@@ -1,0 +1,260 @@
+"""pages corpus -> (vertices, edges) graph build.
+
+Ray-Data-first re-expression of the reference's convert pipeline
+(Main.kt:60-102 → WikiProcessor.readPagesWithStats,
+WikiProcessor.kt:99-112):
+
+    reference (single JVM, mutable HashMap)        this engine (Datasets)
+    -----------------------------------------      -----------------------------
+    SAX parse → HashMap<String, PagePointer>       map_batches extract (stages/extract.py)
+    deferred PagePointer title resolution (§1.4)   hash join links ⋈ vertices on title
+    dropRedirectLoops (WikiProcessor.kt:133-172)   pointer-doubling fixpoint on the
+                                                   redirect-only subgraph (join per round)
+    packPages dense int32 parse-order ids          assign_dense_ids: sorted-title rank,
+      (WikiProcessor.kt:36-41)                     dense int64, content-deterministic
+    null links dropped + counted (:246-248)        inner join + anti-join counts
+    gatherStatistics (:174-206)                    Dataset counts (GraphStats)
+
+Output layout (resumable): ``work_dir/vertices/`` and ``work_dir/edges/``
+parquet directories; a rerun that finds both (plus ``_STATS.json``)
+skips the build.
+
+Semantics notes (pinned by tests against the reference's behavior):
+- A redirect that survives cleanup keeps exactly ONE edge — to its
+  *immediate* target (not the chain's end), and only if that target is a
+  surviving page (packPages, WikiProcessor.kt:232-241).
+- A redirect whose chain of redirects never reaches a non-redirect and
+  cycles is dropped entirely (endSomewhere, WikiProcessor.kt:146-172).
+  A redirect to a *missing* title survives with zero edges (the
+  ``immediateTarget == null`` branch returns true).
+- Articles' links resolve by exact (capitalized) title; unresolved are
+  dropped and counted (WikiProcessor.kt:246-248).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, asdict
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..stages.extract import extract_pages_meta, LinkExtractor
+from ..stages.ids import assign_dense_ids
+
+
+@dataclass
+class GraphStats:
+    """Analog of the reference's GraphStatistics (WikiProcessor.kt:174-206)."""
+
+    n_articles: int
+    n_redirects_before: int
+    n_redirects_dropped: int
+    article_link_occurrences: int
+    resolved_article_links: int
+    null_article_link_occurrences: int
+    n_vertices: int
+    n_edges: int
+
+
+@dataclass
+class GraphBuildResult:
+    vertices_path: str
+    edges_path: str
+    stats: GraphStats
+
+    def vertices(self) -> "ray.data.Dataset":
+        return ray.data.read_parquet(self.vertices_path)
+
+    def edges(self) -> "ray.data.Dataset":
+        return ray.data.read_parquet(self.edges_path)
+
+
+def _filter_expr(ds, col, value=True):
+    return ds.map_batches(
+        lambda t, c=col, v=value: t.filter(pc.equal(t[c], v)),
+        batch_format="pyarrow",
+    )
+
+
+def _loop_members_local(pairs: list[tuple[str, str]]) -> set[str]:
+    """Driver-side exact cycle detection on (src, target) redirect pairs.
+
+    Same semantics as the distributed path; used when the redirect table
+    is small enough to collect (the common case — cycle detection only
+    needs the redirect subset, ≈10% of vertices in wiki-like corpora).
+    Iterative chain-walk with memoization: O(N) total.
+    """
+    nxt = dict(pairs)
+    survives: dict[str, bool] = {}
+    for start in nxt:
+        if start in survives:
+            continue
+        path: list[str] = []
+        on_path: set[str] = set()
+        cur = start
+        while True:
+            if cur in survives:
+                verdict = survives[cur]
+                break
+            if cur in on_path:  # closed a cycle among redirects
+                verdict = False
+                break
+            if cur not in nxt:  # left the redirect set (article or missing)
+                verdict = True
+                break
+            path.append(cur)
+            on_path.add(cur)
+            cur = nxt[cur]
+        # cycle members and chains feeding into a cycle all fail
+        # endSomewhere (WikiProcessor.kt:146-172)
+        for t in path:
+            survives[t] = verdict
+    return {t for t, ok in survives.items() if not ok}
+
+
+def find_redirect_loop_members(redirects: "ray.data.Dataset",
+                               num_partitions: int = 8,
+                               driver_side_limit: int = 2_000_000) -> "ray.data.Dataset":
+    """Titles of redirects whose redirect-only chain cycles (to drop).
+
+    Pointer-doubling over J(src, cur): after round k, ``cur`` is the
+    title reached after up to 2^k redirect hops (frozen early once it
+    leaves the redirect set). After ceil(log2(N))+1 rounds any row whose
+    ``cur`` is still a redirect title sits on/feeds a cycle — exactly
+    the set ``dropRedirectLoops`` nulls out (WikiProcessor.kt:133-172).
+    Each round is one hash join of the redirect-only table with itself
+    (≈10% of vertices), so the fixpoint costs O(log N) small shuffles.
+
+    ``num_partitions`` is capped at ~1/50th of the redirect count: Ray's
+    hash-shuffle join emits schema-less empty blocks for key partitions
+    that receive no rows, and pyarrow's underlying join then fails with
+    ``FieldRef`` resolution errors — keep every partition non-empty.
+    """
+    r = redirects.select_columns(["title", "redirect_target"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t["redirect_target"])),
+        batch_format="pyarrow",
+    ).rename_columns({"title": "src", "redirect_target": "cur"}).materialize()
+    n = r.count()
+    if n == 0:
+        return r.select_columns(["src"]).limit(0)
+    if n <= driver_side_limit:
+        # fast path: collect the redirect pairs, resolve exactly on the
+        # driver (one pass), return as a tiny dataset.
+        pairs = [(row["src"], row["cur"]) for row in r.take_all()]
+        dropped = sorted(_loop_members_local(pairs))
+        if not dropped:
+            return r.select_columns(["src"]).limit(0)
+        return ray.data.from_arrow(pa.table({"src": pa.array(dropped, pa.string())}))
+    num_partitions = max(1, min(num_partitions, n // 50))
+    rounds = max(1, math.ceil(math.log2(max(2, n))) + 1)
+
+    j = r
+    targets = r.rename_columns({"src": "t_src", "cur": "t_cur"})
+    for _ in range(rounds):
+        step = j.join(targets, "left_outer", num_partitions,
+                      on=("cur",), right_on=("t_src",))
+
+        def advance(t: pa.Table) -> pa.Table:
+            cur = pc.if_else(pc.is_valid(t["t_cur"]), t["t_cur"], t["cur"])
+            return pa.table({"src": t["src"], "cur": cur})
+
+        j = step.map_batches(advance, batch_format="pyarrow").materialize()
+        targets = j.rename_columns({"src": "t_src", "cur": "t_cur"})
+
+    # still pointing at a redirect => cyclic
+    red_titles = r.select_columns(["src"]).rename_columns({"src": "t_src"})
+    cyc = j.join(red_titles, "left_semi", num_partitions, on=("cur",), right_on=("t_src",))
+    return cyc.select_columns(["src"])
+
+
+def build_graph(
+    pages: "ray.data.Dataset",
+    work_dir: str,
+    *,
+    num_partitions: int = 16,
+    extract_concurrency: int = 4,
+    extract_batch_size: int = 512,
+    overwrite: bool = False,
+) -> GraphBuildResult:
+    """Full build: pages -> vertices(id,url,title,is_redirect) + edges(src,dst)."""
+    v_path = os.path.join(work_dir, "vertices")
+    e_path = os.path.join(work_dir, "edges")
+    s_path = os.path.join(work_dir, "_STATS.json")
+    if not overwrite and os.path.exists(s_path):
+        with open(s_path) as f:
+            return GraphBuildResult(v_path, e_path, GraphStats(**json.load(f)))
+    os.makedirs(work_dir, exist_ok=True)
+
+    meta = pages.map_batches(extract_pages_meta, batch_format="pyarrow",
+                             batch_size=extract_batch_size).materialize()
+    links = pages.map_batches(LinkExtractor, batch_format="pyarrow",
+                              batch_size=extract_batch_size,
+                              concurrency=extract_concurrency).materialize()
+
+    redirects = _filter_expr(meta, "is_redirect", True)
+    dropped = find_redirect_loop_members(redirects, num_partitions).materialize()
+    n_dropped = dropped.count()
+
+    # vertices = all pages minus cyclic redirects; id = sorted-title rank.
+    # The dropped set is tiny (cycle members only), so this anti-join is a
+    # broadcast-set filter (ray.put once, read per task), not a shuffle.
+    if n_dropped:
+        import ray as _ray
+
+        dropped_ref = _ray.put(frozenset(r["src"] for r in dropped.take_all()))
+
+        def drop_cyclic(t: pa.Table) -> pa.Table:
+            titles = t.column("title").to_pylist()
+            drop = _ray.get(dropped_ref)
+            mask = pa.array([x not in drop for x in titles], pa.bool_())
+            return t.filter(mask)
+
+        surviving = meta.map_batches(drop_cyclic, batch_format="pyarrow")
+    else:
+        surviving = meta
+    vertices = assign_dense_ids(
+        surviving.select_columns(["url", "title", "is_redirect"]),
+        "title", num_partitions=num_partitions,
+    )
+    vertices.write_parquet(v_path)
+    vertices = ray.data.read_parquet(v_path)
+
+    # resolve edges: src join + dst join against surviving vertices
+    vkey_src = vertices.select_columns(["title", "id"]).rename_columns(
+        {"title": "v_src_title", "id": "src"})
+    vkey_dst = vertices.select_columns(["title", "id"]).rename_columns(
+        {"title": "v_dst_title", "id": "dst"})
+    e1 = links.join(vkey_src, "inner", num_partitions,
+                    on=("src_title",), right_on=("v_src_title",))
+    e2 = e1.join(vkey_dst, "inner", num_partitions,
+                 on=("dst_title",), right_on=("v_dst_title",))
+    edges = e2.select_columns(["src", "dst"])
+    edges.write_parquet(e_path)
+    edges = ray.data.read_parquet(e_path)
+
+    # ---- statistics (reference gatherStatistics, WikiProcessor.kt:174-206)
+    n_articles = _filter_expr(meta, "is_redirect", False).count()
+    n_redirects = redirects.count()
+    article_links = _filter_expr(links, "src_is_redirect", False)
+    occ = article_links.count()
+    resolved = _filter_expr(
+        e2.select_columns(["src_is_redirect"]), "src_is_redirect", False).count()
+    n_edges = edges.count()
+    stats = GraphStats(
+        n_articles=n_articles,
+        n_redirects_before=n_redirects,
+        n_redirects_dropped=n_dropped,
+        article_link_occurrences=occ,
+        resolved_article_links=resolved,
+        null_article_link_occurrences=occ - resolved,
+        n_vertices=vertices.count(),
+        n_edges=n_edges,
+    )
+    with open(s_path, "w") as f:
+        json.dump(asdict(stats), f, indent=1)
+    return GraphBuildResult(v_path, e_path, stats)

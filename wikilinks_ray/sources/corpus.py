@@ -1,0 +1,223 @@
+"""Deterministic synthetic Common-Crawl-style pages corpus.
+
+Produces the `input_hint` table
+``(url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string)``
+embedding a known wikitext-like link graph, mirroring the semantics the
+reference ingests (WikiProcessor.kt:43-71):
+
+- ``[[Target]]`` / ``[[Target|anchor]]`` links inside ``text``;
+- ``#REDIRECT [[Target]]`` pages (10%): chains of length 1-3 plus planted
+  2- and 3-cycles that must be eliminated like ``dropRedirectLoops``
+  (WikiProcessor.kt:133-172);
+- ~10% of link occurrences are written lowercase-first and must be
+  capitalized to resolve (WikiProcessor.kt:114-121);
+- duplicate links per page that must be deduped (WikiProcessor.kt:55);
+- ~2% dangling targets with no page, dropped + counted
+  (WikiProcessor.kt:246-248);
+- unicode titles exercising unsigned-byte title ordering
+  (SegmentWikiGraphSerialization.kt:363-371), including the reference
+  fixtures' golden-route pages: ``Gdańsk → Polska`` is a direct link and
+  ``Polska → Polsko → Bałtycke Morze`` goes through the redirect
+  ``Polsko`` (RouteIntegrationTest.kt:37-63);
+- one hub page with > 32_767 out-links at ``n_pages >= 2000`` to prove
+  we do not inherit the reference's int16 link-count limit
+  (BufferWikiPage.java:52).
+
+Everything is a pure function of ``(n_pages, seed)`` — no RNG state
+leaks, no wall clock (warc_ts is epoch-based), so two runs (and two
+processes) produce byte-identical parquet.
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+URL_PREFIX = "https://wiki.test/wiki/"
+EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
+
+UNICODE_TITLES = [
+    "Gdańsk",
+    "Polska",
+    "Polsko",  # redirect -> Bałtycke Morze (golden route middle hop)
+    "Bałtycke Morze",
+    "Gůrny Ślůnsk",
+    "ソニック・ザ・ヘッジホッグ",
+]
+
+_WORDS = (
+    "graph link node edge page wiki data ray arrow batch shard actor "
+    "stream block shuffle merge rank label path route title corpus"
+).split()
+
+
+def page_url(title: str) -> str:
+    """Canonical url of a page title (spaces become underscores)."""
+    return URL_PREFIX + urllib.parse.quote(title.replace(" ", "_"), safe="")
+
+
+def title_from_url(url: str) -> str:
+    """Inverse of :func:`page_url`."""
+    return urllib.parse.unquote(url[len(URL_PREFIX):]).replace("_", " ")
+
+
+def _lower_first(s: str) -> str:
+    return s[0].lower() + s[1:] if s else s
+
+
+@dataclass
+class CorpusSpec:
+    """Golden expectations computed by the generator alongside the table."""
+
+    titles: list[str]
+    # title -> ordered, deduped, capitalized link targets as *written*
+    # (resolution/dropping of dangling targets happens downstream)
+    expected_links: dict[str, list[str]] = field(default_factory=dict)
+    # title -> redirect target (capitalized) for redirect pages
+    redirects: dict[str, str] = field(default_factory=dict)
+    # titles of redirects that sit on a redirect-only cycle (must be dropped)
+    loop_redirects: set[str] = field(default_factory=set)
+
+
+def build_corpus_spec(n_pages: int = 2000, seed: int = 42) -> CorpusSpec:
+    """Draw the link graph. Deterministic in (n_pages, seed)."""
+    if n_pages < 64:
+        raise ValueError("n_pages must be >= 64")
+    rng = np.random.default_rng(seed)
+
+    n_plain = n_pages - len(UNICODE_TITLES)
+    titles = [f"Page {i:05d}" for i in range(n_plain)] + list(UNICODE_TITLES)
+    spec = CorpusSpec(titles=titles)
+
+    # --- redirects: ~10% of plain pages, drawn from the tail ---------------
+    n_redirect = max(4, n_plain // 10)
+    redirect_ids = list(range(n_plain - n_redirect, n_plain))
+    redirect_set = set(redirect_ids)
+    article_ids = [i for i in range(n_plain) if i not in redirect_set]
+
+    # chains: r -> r' -> article for the first quarter of redirects
+    for j, rid in enumerate(redirect_ids):
+        if j < n_redirect // 4 and j + 1 < n_redirect:
+            target = titles[redirect_ids[j + 1]]  # chain into next redirect
+        else:
+            target = titles[int(rng.choice(article_ids))]
+        spec.redirects[titles[rid]] = target
+    # planted 2-cycle and 3-cycle (overwrite some chain targets)
+    a, b, c, d, e = (titles[redirect_ids[-k]] for k in (1, 2, 3, 4, 5))
+    spec.redirects[a], spec.redirects[b] = b, a
+    spec.redirects[c], spec.redirects[d], spec.redirects[e] = d, e, c
+    spec.loop_redirects = {a, b, c, d, e}
+    # one redirect to a missing page (survives cleanup, packs 0 links:
+    # WikiProcessor.kt:240 + endSomewhere null-page branch)
+    spec.redirects[titles[redirect_ids[0]]] = "Missing Redirect Target"
+
+    # --- article out-links: power-law degrees ------------------------------
+    dangling_pool = [f"Missing Topic {k:04d}" for k in range(max(8, n_plain // 50))]
+    for i in article_ids:
+        deg = min(int(rng.pareto(1.3) * 4) + 1, max(4, n_plain // 4))
+        target_ids = rng.choice(n_pages, size=deg, replace=True)
+        links: list[str] = []
+        for t in target_ids:
+            name = titles[int(t)]
+            r = rng.random()
+            if r < 0.02:
+                name = dangling_pool[int(rng.integers(len(dangling_pool)))]
+            elif r < 0.12:
+                name = _lower_first(name)  # must capitalize to resolve
+            links.append(name)
+        if len(links) > 2 and rng.random() < 0.3:
+            links.append(links[0])  # planted duplicate, must dedup
+        spec.expected_links[titles[i]] = links
+
+    # hub page proving int16-free link counts (BufferWikiPage.java:52 limit)
+    if n_plain >= 2000:
+        hub = titles[article_ids[0]]
+        spec.expected_links[hub] = [
+            titles[k % n_plain] for k in range(33_000)
+        ]
+
+    # --- planted golden routes (RouteIntegrationTest.kt:37-63) -------------
+    spec.expected_links["Gdańsk"] = ["Polska"] + spec.expected_links.get("Gdańsk", [])
+    spec.expected_links["Polska"] = ["Polsko", "Gdańsk"]
+    spec.redirects["Polsko"] = "Bałtycke Morze"
+    spec.expected_links["Bałtycke Morze"] = ["Polska"]
+    spec.expected_links["Gůrny Ślůnsk"] = ["Polska", "Gdańsk"]
+    spec.expected_links["ソニック・ザ・ヘッジホッグ"] = [titles[article_ids[1]]]
+    for t in UNICODE_TITLES:
+        spec.redirects.pop(t, None) if t != "Polsko" else None
+        if t != "Polsko" and t not in spec.expected_links:
+            spec.expected_links[t] = []
+    spec.expected_links.pop("Polsko", None)
+
+    return spec
+
+
+def _render_text(title: str, links: list[str], redirect_target: str | None,
+                 rng: np.random.Generator) -> str:
+    """Wikitext-like body embedding the links in order."""
+    if redirect_target is not None:
+        return f"#REDIRECT [[{redirect_target}]]"
+    parts: list[str] = [f"'''{title}''' is a page in the test corpus."]
+    for j, link in enumerate(links):
+        w1 = _WORDS[int(rng.integers(len(_WORDS)))]
+        if j % 7 == 3:
+            parts.append(f"{w1} [[{link}|{w1} anchor]]")
+        else:
+            parts.append(f"{w1} [[{link}]]")
+    parts.append("End of page.")
+    return " ".join(parts)
+
+
+def _render_html(title: str, text: str) -> bytes:
+    body = text.replace("[[", '<a href="/wiki/').replace("]]", '">link</a>')
+    return f"<html><head><title>{title}</title></head><body>{body}</body></html>".encode()
+
+
+def generate_pages_table(n_pages: int = 2000, seed: int = 42) -> tuple[pa.Table, CorpusSpec]:
+    """Materialize the pages table + its golden spec."""
+    spec = build_corpus_spec(n_pages, seed)
+    rng = np.random.default_rng(seed + 1)  # text filler RNG, separate stream
+
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for i, title in enumerate(spec.titles):
+        redirect_target = spec.redirects.get(title)
+        links = spec.expected_links.get(title, [])
+        text = _render_text(title, links, redirect_target, rng)
+        urls.append(page_url(title))
+        tss.append(EPOCH_US + i * 1_000_000)
+        htmls.append(_render_html(title, text))
+        texts.append(text)
+        langs.append("szl" if title in ("Gůrny Ślůnsk", "Bałtycke Morze", "Polsko")
+                     else ("fo" if i % 97 == 13 else "en"))
+
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    return table, spec
+
+
+def write_pages_corpus(path: str, n_pages: int = 2000, seed: int = 42,
+                       n_shards: int = 8) -> CorpusSpec:
+    """Write the corpus as ``path/part-{k}.parquet`` shards (resumable
+    layout: one file per shard)."""
+    import os
+
+    table, spec = generate_pages_table(n_pages, seed)
+    os.makedirs(path, exist_ok=True)
+    n = table.num_rows
+    per = -(-n // n_shards)
+    for k in range(n_shards):
+        chunk = table.slice(k * per, per)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(path, f"part-{k:05d}.parquet"))
+    return spec
