@@ -1,0 +1,201 @@
+"""CC / label propagation / BFS / triangles vs oracles.
+
+Oracle pattern mirrors the reference's RouteFinderTest.kt:41-72 (random
+digraphs, independent-library oracle, exact match on lengths/labels)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wikilinks_ray.state.csr import shard_edges, create_shard_actors
+from wikilinks_ray.pipelines.components import connected_components, symmetrize_edges
+from wikilinks_ray.pipelines.labelprop import label_propagation
+from wikilinks_ray.pipelines.bfs import multi_source_bfs, shortest_route
+from wikilinks_ray.pipelines.triangles import triangle_count
+
+
+def random_digraph(n, m, seed):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    return np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+
+
+def edges_ds(pairs):
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"src": pa.array(pairs[:, 0], pa.int64()),
+                                   "dst": pa.array(pairs[:, 1], pa.int64())}))
+
+
+@pytest.fixture(scope="module")
+def rand_graph(ray_session, tmp_path_factory):
+    n = 400
+    pairs = random_digraph(n, 1600, seed=11)
+    ds = edges_ds(pairs)
+    d = tmp_path_factory.mktemp("randg")
+    fwd = create_shard_actors(shard_edges(ds, n, 3, str(d / "fwd"), by="src"), n)[0]
+    sym = symmetrize_edges(ds)
+    symA = create_shard_actors(shard_edges(sym, n, 3, str(d / "sym"), by="src"), n)[0]
+    yield n, pairs, ds, fwd, symA
+    import ray
+
+    for a in fwd + symA:
+        ray.kill(a)
+
+
+def test_connected_components_exact_vs_networkx(rand_graph):
+    import networkx as nx
+
+    n, pairs, _ds, _fwd, symA = rand_graph
+    res = connected_components(symA, n)
+    assert res.converged
+    labels = res.to_array()
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(pairs)
+    for comp in nx.connected_components(g):
+        want = min(comp)
+        for v in comp:
+            assert labels[v] == want
+
+
+def test_cc_checkpoint_resume(rand_graph, tmp_path):
+    n, _pairs, _ds, _fwd, symA = rand_graph
+    fresh = connected_components(symA, n)
+    ck = str(tmp_path / "ck")
+    partial = connected_components(symA, n, max_iter=2, checkpoint_dir=ck)
+    assert not partial.converged
+    resumed = connected_components(symA, n, checkpoint_dir=ck, resume=True)
+    assert resumed.converged
+    assert (resumed.to_array() == fresh.to_array()).all()
+
+
+def dense_labelprop_oracle(pairs, n, max_iter):
+    """Synchronous mode-of-neighbors with smallest-label tie-break."""
+    adj = [set() for _ in range(n)]
+    for s, d in pairs:
+        adj[s].add(d)
+        adj[d].add(s)
+    # multigraph→simple: our shards keep duplicate (u,v) messages only if
+    # duplicate edges exist; edges are distinct pairs + symmetrized, but a
+    # reciprocal pair (a,b),(b,a) symmetrizes to duplicates — count them.
+    from collections import Counter
+
+    msrc = Counter()
+    for s, d in pairs:
+        msrc[(s, d)] += 1
+        msrc[(d, s)] += 1
+    labels = np.arange(n)
+    for _ in range(max_iter):
+        new = labels.copy()
+        for v in range(n):
+            cnt = Counter()
+            for u in adj[v]:
+                cnt[labels[u]] += msrc[(u, v)]
+            if cnt:
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+        if (new == labels).all():
+            return new
+        labels = new
+    return labels
+
+
+def test_label_propagation_deterministic_vs_oracle(rand_graph):
+    n, pairs, _ds, _fwd, symA = rand_graph
+    res = label_propagation(symA, n, max_iter=4)
+    oracle = dense_labelprop_oracle(pairs, n, 4)
+    assert (res.to_array() == oracle).all()
+    # determinism: second run identical
+    res2 = label_propagation(symA, n, max_iter=4)
+    assert (res2.to_array() == res.to_array()).all()
+
+
+def test_multi_source_bfs_distances_vs_networkx(rand_graph):
+    import networkx as nx
+
+    n, pairs, _ds, fwd, _symA = rand_graph
+    sources = [0, 7, 123, 399]
+    res = multi_source_bfs(fwd, n, sources)
+    dist = res.distances()
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(pairs)
+    for sid, s in enumerate(sources):
+        lengths = nx.single_source_shortest_path_length(g, s)
+        for v in range(n):
+            want = lengths.get(v, -1)
+            assert dist[v, sid] == want, (s, v)
+
+
+def test_shortest_route_is_valid_shortest_path(rand_graph):
+    import networkx as nx
+
+    n, pairs, _ds, fwd, _symA = rand_graph
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(pairs)
+    eset = {(int(a), int(b)) for a, b in pairs}
+    rng = np.random.default_rng(3)
+    checked = 0
+    for _ in range(10):
+        s, t = int(rng.integers(n)), int(rng.integers(n))
+        route = shortest_route(fwd, n, s, t)
+        try:
+            want = nx.shortest_path_length(g, s, t)
+        except nx.NetworkXNoPath:
+            assert route is None
+            continue
+        # route length exact (paths not unique: length-only assert,
+        # RouteFinderTest.kt:69), every hop a real edge
+        assert route is not None
+        assert len(route) - 1 == want
+        assert route[0] == s and route[-1] == t
+        for a, b in zip(route, route[1:]):
+            assert (a, b) in eset
+        checked += 1
+    assert checked >= 3
+
+
+def test_golden_routes_end_to_end(ray_session, small_corpus, tmp_path):
+    """The reference's golden-route fixtures on the synthetic corpus
+    (RouteIntegrationTest.kt:37-63)."""
+    _table, _spec, resg = small_corpus
+    n = resg.stats.n_vertices
+    paths = shard_edges(resg.edges(), n, 3, str(tmp_path / "fwd"), by="src")
+    actors, _ = create_shard_actors(paths, n)
+    vp = resg.vertices().to_pandas()
+    id_of = dict(zip(vp["title"], vp["id"]))
+    title_of = dict(zip(vp["id"], vp["title"]))
+
+    r1 = shortest_route(actors, n, id_of["Gdańsk"], id_of["Polska"])
+    assert [title_of[v] for v in r1] == ["Gdańsk", "Polska"]
+    r2 = shortest_route(actors, n, id_of["Polska"], id_of["Bałtycke Morze"])
+    assert [title_of[v] for v in r2] == ["Polska", "Polsko", "Bałtycke Morze"]
+    import ray
+
+    for a in actors:
+        ray.kill(a)
+
+
+def test_triangle_count_vs_networkx(rand_graph):
+    import networkx as nx
+
+    n, pairs, ds, _fwd, _symA = rand_graph
+    got = triangle_count(ds, num_partitions=4)
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    want = sum(nx.triangles(g).values()) // 3
+    assert got == want
+
+
+def test_triangle_count_small_known(ray_session):
+    # K4 has 4 triangles; plus an isolated edge
+    pairs = np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3], [7, 8],
+                      [1, 0]])  # duplicate reversed edge must not double-count
+    got = triangle_count(edges_ds(pairs), num_partitions=2)
+    assert got == 4

@@ -1,0 +1,106 @@
+"""PageRank tests: networkx oracle (allclose 1e-6 per north_rule),
+dangling-mass handling, checkpoint/resume identity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wikilinks_ray.state.csr import shard_edges, create_shard_actors
+from wikilinks_ray.pipelines.pagerank import pagerank
+
+
+@pytest.fixture(scope="module")
+def graph_actors(ray_session, small_corpus, tmp_path_factory):
+    _table, _spec, res = small_corpus
+    n = res.stats.n_vertices
+    shard_dir = str(tmp_path_factory.mktemp("csr_fwd"))
+    paths = shard_edges(res.edges(), n, 4, shard_dir, by="src")
+    actors, bounds = create_shard_actors(paths, n)
+    yield actors, n, res
+    import ray
+
+    for a in actors:
+        ray.kill(a)
+
+
+def dense_pagerank_oracle(edges_df, n, damping, iters=500):
+    """Independent dense-matrix power iteration (networkx.pagerank needs
+    scipy, absent here; this is the same uniform-teleport + dangling
+    redistribution formulation, computed with an n×n matmul)."""
+    src = np.asarray(edges_df["src"], dtype=np.int64)
+    dst = np.asarray(edges_df["dst"], dtype=np.int64)
+    A = np.zeros((n, n))
+    A[src, dst] = 1.0  # edges are distinct (src,dst) pairs
+    deg = A.sum(axis=1)
+    nz = deg > 0
+    P = np.zeros((n, n))
+    P[nz] = A[nz] / deg[nz, None]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[~nz].sum()
+        r_new = (1 - damping) / n + damping * (P.T @ r + dangling / n)
+        if np.abs(r_new - r).sum() < 1e-14:
+            r = r_new
+            break
+        r = r_new
+    return r
+
+
+def test_pagerank_matches_networkx(graph_actors):
+    actors, n, res = graph_actors
+    result = pagerank(actors, n, damping=0.85, tol=1e-12, max_iter=200)
+    assert result.converged
+    ours = result.to_array()
+    oracle = dense_pagerank_oracle(res.edges().to_pandas(), n, 0.85)
+    assert np.allclose(ours, oracle, atol=1e-6)
+    assert abs(ours.sum() - 1.0) < 1e-9  # probability mass conserved
+
+
+def test_pagerank_dangling_mass(ray_session, tmp_path):
+    # explicit sink graph: 0->1, 0->2, 1 and 2 dangle
+    import pyarrow as pa
+    import ray.data as rd
+
+    edges = rd.from_arrow(pa.table({"src": pa.array([0, 0], pa.int64()),
+                                    "dst": pa.array([1, 2], pa.int64())}))
+    paths = shard_edges(edges, 3, 2, str(tmp_path / "s"), by="src")
+    actors, _ = create_shard_actors(paths, 3)
+    result = pagerank(actors, 3, damping=0.85, tol=1e-14, max_iter=300)
+    ours = result.to_array()
+    oracle = dense_pagerank_oracle({"src": [0, 0], "dst": [1, 2]}, 3, 0.85)
+    assert np.allclose(ours, oracle, atol=1e-8)
+    import ray
+
+    for a in actors:
+        ray.kill(a)
+
+
+def test_pagerank_checkpoint_resume_identical(graph_actors, tmp_path):
+    actors, n, _res = graph_actors
+    fresh = pagerank(actors, n, tol=1e-12, max_iter=60, checkpoint_dir=None)
+
+    ck = str(tmp_path / "ck")
+    partial = pagerank(actors, n, tol=1e-12, max_iter=5, checkpoint_dir=ck)
+    assert not partial.converged
+    resumed = pagerank(actors, n, tol=1e-12, max_iter=60, checkpoint_dir=ck,
+                       resume=True)
+    assert resumed.metrics_history[0]["iteration"] == 1  # history carried over
+    assert resumed.iterations == fresh.iterations
+    assert np.allclose(resumed.to_array(), fresh.to_array(), atol=1e-12)
+
+
+def test_checkpoint_manifest_lineage(graph_actors, tmp_path):
+    import json
+    import os
+
+    actors, n, _res = graph_actors
+    ck = str(tmp_path / "ck2")
+    pagerank(actors, n, tol=1e-12, max_iter=3, checkpoint_dir=ck)
+    iters = sorted(os.listdir(ck))
+    assert iters == ["iter-000001", "iter-000002", "iter-000003"]
+    with open(os.path.join(ck, iters[-1], "MANIFEST.json")) as f:
+        m = json.load(f)
+    assert m["iteration"] == 3
+    assert [c["partition"] for c in m["chunks"]] == [0, 1, 2, 3]
+    assert len(m["metrics"]["history"]) == 3

@@ -1,0 +1,134 @@
+"""Distributed PageRank: power iteration with dangling-mass correction.
+
+No reference implementation exists (the reference's envelope is ingest +
+BFS, SURVEY.md §2.12); this reuses its CSR skeleton (WikiRoutes.kt:201-226)
+at partition granularity. Per superstep:
+
+1. each ``CSRShardActor`` p computes the *combined* (dst, rank/deg)
+   messages for its src range as P dense per-dst-range partial arrays
+   (``scatter``) — the map-side pre-aggregation of the groupby(dst).sum
+   shuffle, so the exchange moves O(P·n) floats, never O(E) rows;
+2. each actor reports its local dangling rank mass (out_deg == 0);
+3. one reducer task per dst range sums its P partials and applies
+       r' = (1-d)/n + d * (partials + dangling_mass/n)
+   (uniform-teleport power iteration with dangling correction);
+4. the driver sums per-range L1 deltas; converged when < tol.
+
+All rank state lives in the object store as per-range chunks (refs),
+never materialized whole on the driver (``collect=False``). Every
+superstep checkpoints per-partition chunks + a manifest (lineage +
+metrics), and ``resume=True`` continues from the newest complete
+iteration (state/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import ray
+
+from ..state.checkpoint import latest_checkpoint, save_checkpoint
+from ..state.csr import vertex_ranges
+
+
+@ray.remote
+def _reduce_rank(q_size: int, d: float, n: int, dangling_mass: float,
+                 old_chunk: np.ndarray, *partials) -> tuple[np.ndarray, float]:
+    acc = np.zeros(q_size, dtype=np.float64)
+    for p in partials:
+        if p is not None:
+            acc += p
+    new = (1.0 - d) / n + d * (acc + dangling_mass / n)
+    return new, float(np.abs(new - old_chunk).sum())
+
+
+@dataclass
+class PageRankResult:
+    ranks: list  # per-range chunk refs (or ndarrays if collected)
+    bounds: np.ndarray
+    iterations: int
+    delta: float
+    converged: bool
+    metrics_history: list[dict] = field(default_factory=list)
+
+    def to_array(self) -> np.ndarray:
+        chunks = [c if isinstance(c, np.ndarray) else ray.get(c) for c in self.ranks]
+        return np.concatenate(chunks) if chunks else np.empty(0)
+
+
+def pagerank(
+    actors: list,
+    n_vertices: int,
+    *,
+    damping: float = 0.85,
+    tol: float = 1e-10,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = True,
+) -> PageRankResult:
+    """Run PageRank over pre-built CSR shard actors (state/csr.py).
+
+    ``tol`` is the L1 convergence threshold; 1e-10 comfortably exceeds
+    the north-rule's allclose(1e-6) per-vertex match vs the oracle.
+    """
+    P = len(actors)
+    bounds = vertex_ranges(n_vertices, P)
+    sizes = [int(bounds[p + 1] - bounds[p]) for p in range(P)]
+
+    start_iter = 0
+    history: list[dict] = []
+    chunk_refs = None
+    if resume and checkpoint_dir:
+        ck = latest_checkpoint(checkpoint_dir)
+        if ck is not None:
+            start_iter, chunks, m = ck
+            history = m.get("history", [])
+            delta0 = float(m.get("delta", float("inf")))
+            chunk_refs = [ray.put(c) for c in chunks]
+    if chunk_refs is None:
+        delta0 = float("inf")
+        init = 1.0 / n_vertices
+        chunk_refs = [ray.put(np.full(sizes[p], init, dtype=np.float64)) for p in range(P)]
+
+    delta = delta0  # resumed-from-converged runs report honestly
+    it = start_iter
+    while it < max_iter and delta >= tol:
+        it += 1
+        t0 = time.perf_counter()
+        dangling = sum(ray.get([a.dangling_sum.remote(chunk_refs[p])
+                                for p, a in enumerate(actors)]))
+        if P > 1:
+            scatter = [a.scatter.options(num_returns=P).remote(chunk_refs[p])
+                       for p, a in enumerate(actors)]
+        else:
+            scatter = [[a.scatter.remote(chunk_refs[p])]
+                       for p, a in enumerate(actors)]
+        out = [
+            _reduce_rank.options(num_returns=2).remote(
+                sizes[q], damping, n_vertices, dangling, chunk_refs[q],
+                *[scatter[p][q] for p in range(P)],
+            )
+            for q in range(P)
+        ]
+        new_refs = [o[0] for o in out]
+        delta = float(sum(ray.get([o[1] for o in out])))
+        chunk_refs = new_refs
+        wall = time.perf_counter() - t0
+        history.append({"iteration": it, "delta": delta,
+                        "dangling_mass": dangling, "sec": round(wall, 4)})
+        if checkpoint_dir and (it % checkpoint_every == 0 or delta < tol):
+            save_checkpoint(checkpoint_dir, it, ray.get(chunk_refs),
+                            {"history": history, "delta": delta})
+
+    return PageRankResult(
+        ranks=chunk_refs,
+        bounds=bounds,
+        iterations=it,
+        delta=delta,
+        converged=delta < tol,
+        metrics_history=history,
+    )

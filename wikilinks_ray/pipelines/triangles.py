@@ -1,0 +1,97 @@
+"""Triangle counting via degree-ordered wedge joins — pure Ray Data.
+
+No reference implementation (SURVEY.md §2.12). Classic distributed
+formulation:
+
+1. canonicalize: undirected distinct edges (lo, hi), self-loops dropped
+   (``groupby`` dedup — one shuffle);
+2. degrees: ``groupby(vertex).count()`` over both endpoints;
+3. orient each edge from its lower-(degree, id) endpoint to the higher
+   one -> E'(u, v). Every vertex's oriented out-degree is O(sqrt(E)),
+   which bounds the wedge blowup — this is the standard skew guard for
+   triangle counting (hub vertices never fan out);
+4. wedges: for each u, all pairs (v, w) of its oriented neighbors with
+   v before w in (degree, id) order — ``groupby(u).map_groups``;
+5. close: wedges semi-joined against E' on (v, w); each triangle is
+   counted exactly once (at its lowest-(deg,id) apex).
+
+Total: three shuffles + one hash join, no iteration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _canonical_edges(edges: "ray.data.Dataset", num_partitions: int) -> "ray.data.Dataset":
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        return pa.table({"lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64())})
+
+    cn = edges.map_batches(canon, batch_format="pyarrow")
+    # distinct (lo, hi)
+    return cn.groupby(["lo", "hi"]).count().select_columns(["lo", "hi"])
+
+
+def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8) -> int:
+    """Exact triangle count of the undirected simple graph underlying
+    ``edges(src, dst)``."""
+    und = _canonical_edges(edges, num_partitions).materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy(zero_copy_only=False)
+        hi = t.column("hi").to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(np.concatenate([lo, hi]), pa.int64())})
+
+    deg = und.map_batches(explode, batch_format="pyarrow").groupby("v").count()
+    deg = deg.rename_columns({"count()": "deg"})
+
+    # attach degrees to both endpoints (two hash joins)
+    e1 = und.join(deg.rename_columns({"v": "lo_v", "deg": "lo_deg"}),
+                  "inner", num_partitions, on=("lo",), right_on=("lo_v",))
+    e2 = e1.join(deg.rename_columns({"v": "hi_v", "deg": "hi_deg"}),
+                 "inner", num_partitions, on=("hi",), right_on=("hi_v",))
+
+    def orient(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy(zero_copy_only=False)
+        hi = t.column("hi").to_numpy(zero_copy_only=False)
+        ld = t.column("lo_deg").to_numpy(zero_copy_only=False)
+        hd = t.column("hi_deg").to_numpy(zero_copy_only=False)
+        # orient from lower (deg, id) to higher (deg, id)
+        lo_first = (ld < hd) | ((ld == hd) & (lo < hi))
+        u = np.where(lo_first, lo, hi)
+        v = np.where(lo_first, hi, lo)
+        ud = np.where(lo_first, ld, hd)
+        vd = np.where(lo_first, hd, ld)
+        return pa.table({
+            "u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+            "vdeg": pa.array(vd, pa.int64()),
+        })
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # neighbors of u in oriented order (deg, id); all ordered pairs
+        g = g.sort_values(["vdeg", "v"], kind="mergesort")
+        vs = g["v"].to_numpy()
+        k = len(vs)
+        if k < 2:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        ai, bi = np.triu_indices(k, k=1)
+        return pd.DataFrame({"a": vs[ai], "b": vs[bi]})
+
+    w = oriented.groupby("u").map_groups(wedges, batch_format="pandas")
+    closed = w.join(
+        oriented.select_columns(["u", "v"]).rename_columns({"u": "eu", "v": "ev"}),
+        "inner", num_partitions, on=("a", "b"), right_on=("eu", "ev"),
+    )
+    return closed.count()

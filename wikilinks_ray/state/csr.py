@@ -1,0 +1,284 @@
+"""Per-partition CSR adjacency shards held in stateful Ray actors.
+
+Ray-native analog of the reference's packed adjacency: the segment
+store's ``nodes/outEdges/inEdges`` mmap'd CSR sections
+(SegmentWikiGraphStore.kt:100-114, built by degree-count + prefix-sum +
+scatter at SegmentWikiGraphSerialization.kt:88-140) and the query-time
+``LeanPageMapper`` int[] adjacency (WikiRoutes.kt:201-226). One machine
+holds one CSR there; here the vertex id space [0, n) is cut into P
+contiguous ranges, each range's out-edges live in one parquet shard, and
+one ``CSRShardActor`` per shard loads it ONCE (``__init__``) and serves
+every superstep from memory — state loaded once, queried many times,
+exactly the reference's build-once mapper (WikiRoutes.kt:31-32).
+
+Shard layout on disk (resumable: one directory per shard):
+
+    out_dir/shard-{p:05d}.parquet   # (src, dst) sorted by (src, dst)
+
+Iteration kernels are dense-vectorized numpy over the shard:
+- ``scatter(rank_chunk)``: per-dst-range partial contribution sums —
+  the *combiner* form of the (dst, rank/deg) message shuffle: messages
+  are pre-aggregated per destination range inside the actor, so the
+  exchange is O(P·n/P) dense arrays, not O(E) rows.
+- ``min_push(label_chunk)``: per-dst-range min-label candidates
+  (hash-min connected components / label propagation skeleton).
+- ``gather_neighbors(frontier)``: (dst, parent) expansion for BFS
+  (PageMapper.forEachLinkIndex analog, WikiRoutes.kt:102-124).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+
+def vertex_ranges(n_vertices: int, num_shards: int) -> np.ndarray:
+    """Boundaries b[0..P] with shard p owning ids [b[p], b[p+1])."""
+    return np.linspace(0, n_vertices, num_shards + 1).astype(np.int64)
+
+
+def shard_edges(
+    edges: "ray.data.Dataset",
+    n_vertices: int,
+    num_shards: int,
+    out_dir: str,
+    *,
+    by: str = "src",
+    overwrite: bool = False,
+) -> list[str]:
+    """Range-partition the edge table by ``by`` ∈ {src, dst} and write one
+    sorted parquet shard per vertex range.
+
+    ``by="src"`` gives forward CSR shards; ``by="dst"`` is the transpose
+    shuffle (reverse CSR — the reference builds both: outEdges + inEdges,
+    SegmentWikiGraphSerialization.kt:88-140). This is the ONE partitioning
+    pass each direction needs; every later superstep reuses it.
+    """
+    paths = [os.path.join(out_dir, f"shard-{p:05d}.parquet") for p in range(num_shards)]
+    done = os.path.join(out_dir, "_SHARDS_OK")
+    if not overwrite and os.path.exists(done):
+        return paths
+    os.makedirs(out_dir, exist_ok=True)
+    bounds = vertex_ranges(n_vertices, num_shards)
+    other = "dst" if by == "src" else "src"
+
+    def tag(t: pa.Table) -> pa.Table:
+        key = t.column(by).to_numpy(zero_copy_only=False)
+        part = np.searchsorted(bounds, key, side="right") - 1
+        return t.append_column("__part", pa.array(part.astype(np.int64)))
+
+    def write_shard(g) -> "pa.Table":
+        import pandas as pd  # noqa: F401  (map_groups pandas batch)
+
+        p = int(g["__part"].iloc[0])
+        g = g.sort_values([by, other], kind="mergesort")
+        tbl = pa.table(
+            {
+                by: pa.array(g[by].to_numpy(), pa.int64()),
+                other: pa.array(g[other].to_numpy(), pa.int64()),
+            }
+        )
+        tmp = paths[p] + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, paths[p])
+        return pa.table({"part": pa.array([p], pa.int64()),
+                         "rows": pa.array([len(g)], pa.int64())})
+
+    res = (
+        edges.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(write_shard, batch_format="pandas")
+    )
+    written = {r["part"] for r in res.take_all()}
+    # empty ranges still need a shard file
+    for p in range(num_shards):
+        if p not in written:
+            pq.write_table(
+                pa.table({by: pa.array([], pa.int64()),
+                          other: pa.array([], pa.int64())}),
+                paths[p],
+            )
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return paths
+
+
+class CSRShardData:
+    """In-memory CSR over one contiguous src range [lo, hi).
+
+    Arrays:
+      indptr   (hi-lo+1,)  prefix offsets into ``indices``
+      indices  (E_p,)      dst ids (global), sorted within each src
+      out_deg  (hi-lo,)    out-degrees of owned vertices
+      dst_sorted_dst/src   edge list re-sorted by dst, for per-dst-range
+                           aggregation without re-sorting per superstep
+    """
+
+    def __init__(self, path: str, lo: int, hi: int, key: str = "src"):
+        other = "dst" if key == "src" else "src"
+        t = pq.read_table(path)
+        srcs = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        dsts = t.column(other).to_numpy(zero_copy_only=False).astype(np.int64)
+        self.lo, self.hi = int(lo), int(hi)
+        counts = np.bincount(srcs - lo, minlength=hi - lo).astype(np.int64)
+        self.indptr = np.concatenate([[0], np.cumsum(counts)])
+        self.indices = dsts  # already sorted by (src, dst) at shard write
+        self.out_deg = counts
+        order = np.argsort(dsts, kind="stable")
+        self.dst_sorted_dst = dsts[order]
+        self.dst_sorted_src = srcs[order]
+
+    @property
+    def num_edges(self) -> int:
+        return len(self.indices)
+
+    def edge_values_by_dst(self, per_vertex: np.ndarray) -> np.ndarray:
+        """per-owned-vertex values -> per-edge values in dst-sorted order."""
+        return per_vertex[self.dst_sorted_src - self.lo]
+
+    def range_segments(self, bounds: np.ndarray) -> np.ndarray:
+        """Offsets into dst-sorted edges for each dst range."""
+        return np.searchsorted(self.dst_sorted_dst, bounds)
+
+
+@ray.remote
+class CSRShardActor:
+    """One actor per shard; adjacency loaded once, served every superstep."""
+
+    def __init__(self, path: str, lo: int, hi: int, bounds: list[int]):
+        self.csr = CSRShardData(path, lo, hi)
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.segs = self.csr.range_segments(self.bounds)
+
+    def ready(self) -> tuple[int, int]:
+        return self.csr.num_edges, int(self.csr.out_deg.sum())
+
+    def out_degrees(self) -> np.ndarray:
+        return self.csr.out_deg
+
+    def dangling_sum(self, rank_chunk: np.ndarray) -> float:
+        return float(rank_chunk[self.csr.out_deg == 0].sum())
+
+    def scatter(self, rank_chunk: np.ndarray):
+        """PageRank combiner: per-dst-range dense partial sums of
+        rank[src]/out_deg[src] over this shard's edges. Returns P arrays
+        (None for ranges this shard sends nothing to)."""
+        csr = self.csr
+        contrib = np.zeros_like(rank_chunk, dtype=np.float64)
+        nz = csr.out_deg > 0
+        contrib[nz] = rank_chunk[nz] / csr.out_deg[nz]
+        edge_vals = csr.edge_values_by_dst(contrib)
+        out = []
+        for q in range(len(self.bounds) - 1):
+            a, b = self.segs[q], self.segs[q + 1]
+            if a == b:
+                out.append(None)
+                continue
+            local = np.zeros(int(self.bounds[q + 1] - self.bounds[q]), dtype=np.float64)
+            np.add.at(local, csr.dst_sorted_dst[a:b] - self.bounds[q], edge_vals[a:b])
+            out.append(local)
+        return out if len(out) > 1 else out[0]
+
+    def min_push(self, label_chunk: np.ndarray):
+        """Hash-min combiner: per-dst-range elementwise-min of incoming
+        src labels (connected components superstep)."""
+        csr = self.csr
+        edge_vals = csr.edge_values_by_dst(label_chunk)
+        out = []
+        for q in range(len(self.bounds) - 1):
+            a, b = self.segs[q], self.segs[q + 1]
+            if a == b:
+                out.append(None)
+                continue
+            size = int(self.bounds[q + 1] - self.bounds[q])
+            local = np.full(size, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(local, csr.dst_sorted_dst[a:b] - self.bounds[q], edge_vals[a:b])
+            out.append(local)
+        return out if len(out) > 1 else out[0]
+
+    def gather_neighbors(self, frontier: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(dst, parent_src) pairs for frontier vertices owned by this
+        shard — the BFS expansion (PageMapper analog, WikiRoutes.kt:102-124)."""
+        csr = self.csr
+        f = frontier[(frontier >= csr.lo) & (frontier < csr.hi)] - csr.lo
+        if len(f) == 0:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        starts = csr.indptr[f]
+        ends = csr.indptr[f + 1]
+        counts = ends - starts
+        total = int(counts.sum())
+        if total == 0:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        idx = np.repeat(starts + counts - counts.cumsum(), counts) + np.arange(total)
+        # idx enumerates [starts[i], ends[i]) concatenated
+        dsts = csr.indices[idx]
+        parents = np.repeat(f + csr.lo, counts)
+        return dsts, parents
+
+    def label_messages(self, label_chunk: np.ndarray):
+        """Per-dst-range (dst, label) message rows — the groupby-shuffle
+        form WITHOUT a combiner, needed when the aggregate is a mode
+        (label propagation): a mode is not decomposable into per-shard
+        partials the way sum/min are, so raw (dst, label) pairs flow to
+        the per-range reducer, pre-partitioned by dst range here
+        (map-side shuffle write)."""
+        csr = self.csr
+        edge_vals = csr.edge_values_by_dst(label_chunk)
+        out = []
+        for q in range(len(self.bounds) - 1):
+            a, b = self.segs[q], self.segs[q + 1]
+            out.append((csr.dst_sorted_dst[a:b], edge_vals[a:b]))
+        return out if len(out) > 1 else out[0]
+
+    def bfs_expand(self, frontier_v: np.ndarray, frontier_sid: np.ndarray):
+        """Multi-source BFS expansion: for frontier vertices owned by
+        this shard, emit (dst, parent, sid) candidates pre-partitioned
+        by dst range (the reference's forEachLinkIndex neighbor
+        iteration, WikiRoutes.kt:102-124, batched + multi-source)."""
+        csr = self.csr
+        own = (frontier_v >= csr.lo) & (frontier_v < csr.hi)
+        f = frontier_v[own] - csr.lo
+        sids = frontier_sid[own]
+        P = len(self.bounds) - 1
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+        if len(f) == 0:
+            out = [empty] * P
+            return out if P > 1 else out[0]
+        starts, ends = csr.indptr[f], csr.indptr[f + 1]
+        counts = ends - starts
+        total = int(counts.sum())
+        if total == 0:
+            out = [empty] * P
+            return out if P > 1 else out[0]
+        idx = np.repeat(starts + counts - counts.cumsum(), counts) + np.arange(total)
+        dsts = csr.indices[idx]
+        parents = np.repeat(f + csr.lo, counts)
+        sid_rep = np.repeat(sids, counts)
+        order = np.argsort(dsts, kind="stable")
+        dsts, parents, sid_rep = dsts[order], parents[order], sid_rep[order]
+        segs = np.searchsorted(dsts, self.bounds)
+        out = [
+            (dsts[segs[q]:segs[q + 1]], parents[segs[q]:segs[q + 1]],
+             sid_rep[segs[q]:segs[q + 1]])
+            for q in range(P)
+        ]
+        return out if P > 1 else out[0]
+
+
+def create_shard_actors(shard_paths: list[str], n_vertices: int):
+    """Spawn one CSRShardActor per shard; blocks until all loaded."""
+    P = len(shard_paths)
+    bounds = vertex_ranges(n_vertices, P)
+    actors = [
+        CSRShardActor.remote(shard_paths[p], int(bounds[p]), int(bounds[p + 1]),
+                             bounds.tolist())
+        for p in range(P)
+    ]
+    ray.get([a.ready.remote() for a in actors])
+    return actors, bounds
