@@ -1,0 +1,244 @@
+"""Training-data ops tests: dedup flavors, similarity search, text
+analysis, multimodal plumbing. Inputs: /root/testdata documents +
+planted near-duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    df = t.to_pandas()
+    base = int(df["doc_id"].max()) + 1
+    extra = []
+    # exact duplicates of docs 0 and 1
+    extra.append({"doc_id": base + 0, "text": df.loc[0, "text"], "lang": "en",
+                  "source": "dup", "n_chars": len(df.loc[0, "text"])})
+    extra.append({"doc_id": base + 1, "text": df.loc[1, "text"], "lang": "en",
+                  "source": "dup", "n_chars": len(df.loc[1, "text"])})
+    # near-duplicate: doc 2 with one word appended
+    nd = df.loc[2, "text"] + " appended"
+    extra.append({"doc_id": base + 2, "text": nd, "lang": "en",
+                  "source": "dup", "n_chars": len(nd)})
+    full = pd.concat([df, pd.DataFrame(extra)], ignore_index=True)
+    return rd.from_pandas(full), full, base
+
+
+def test_exact_dedup_keep_min(docs_with_dups):
+    from wikilinks_ray.ops.dedup import exact_dedup_keep_min
+
+    ds, full, base = docs_with_dups
+    kept = sorted(r["doc_id"] for r in exact_dedup_keep_min(ds).take_all())
+    assert base + 0 not in kept and base + 1 not in kept  # dup loses to min id
+    assert 0 in kept and 1 in kept
+    assert base + 2 in kept  # near-dup is NOT an exact dup
+    assert len(kept) == full["text"].nunique()
+
+
+def ngram_jaccard_oracle(a: str, b: str, k: int = 3) -> float:
+    import re
+
+    def sh(t):
+        toks = re.findall(r"\w+", t.lower())
+        if len(toks) < k:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B) if A | B else 0.0
+
+
+def test_ngram_jaccard_pairs_exact(docs_with_dups):
+    from wikilinks_ray.ops.dedup import ngram_jaccard_pairs
+
+    ds, full, base = docs_with_dups
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(ds, threshold=0.5,
+                                        num_partitions=4).take_all()}
+    assert got[(0, base + 0)] == pytest.approx(1.0)
+    assert got[(1, base + 1)] == pytest.approx(1.0)
+    j = ngram_jaccard_oracle(full.loc[2, "text"], full.loc[full.index[-1], "text"])
+    assert got[(2, base + 2)] == pytest.approx(j)
+    # no false positives below threshold
+    for (a, b), v in got.items():
+        assert v >= 0.5
+        assert v == pytest.approx(
+            ngram_jaccard_oracle(full.set_index("doc_id").loc[a, "text"],
+                                 full.set_index("doc_id").loc[b, "text"]))
+
+
+def test_minhash_lsh_finds_planted_dups(docs_with_dups):
+    from wikilinks_ray.ops.dedup import minhash_lsh_candidates
+
+    ds, _full, base = docs_with_dups
+    cand = {(r["a"], r["b"]) for r in minhash_lsh_candidates(ds).take_all()}
+    # identical docs agree on every band -> guaranteed candidates
+    assert (0, base + 0) in cand
+    assert (1, base + 1) in cand
+    # high-jaccard near-dup found with near-certainty at b=32, r=4
+    assert (2, base + 2) in cand
+
+
+def test_simhash_properties(docs_with_dups):
+    from wikilinks_ray.ops.dedup import simhash_signatures, simhash_near_dup_pairs
+
+    ds, _full, base = docs_with_dups
+    sigs = pd.DataFrame(simhash_signatures(ds).take_all())
+    by_id = dict(zip(sigs["doc_id"], sigs["simhash"]))
+    assert by_id[0] == by_id[base + 0]  # identical text, identical simhash
+    ham = bin(int(by_id[2]) ^ int(by_id[base + 2])).count("1")
+    assert ham <= 8  # one appended word flips few bits
+    pairs = simhash_near_dup_pairs(sigs, max_hamming=3)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (0, base + 0) in got and (1, base + 1) in got
+
+
+def test_embedding_near_dup_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from wikilinks_ray.ops.dedup import embedding_near_dup_pairs
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    got = {(r["a"], r["b"]) for r in
+           embedding_near_dup_pairs(emb, threshold=0.9).take_all()}
+    df = emb.to_pandas()
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    ids = df["vec_id"].to_numpy()
+    want = set()
+    for i, j in zip(*np.nonzero(S >= 0.9)):
+        if ids[i] < ids[j]:
+            want.add((int(ids[i]), int(ids[j])))
+    assert got == want
+
+
+def test_brute_force_top_k_exact(ray_session):
+    import ray.data as rd
+
+    from wikilinks_ray.ops.similarity import brute_force_top_k
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = emb.to_pandas()
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    queries = M[:5]
+    got = brute_force_top_k(emb, queries, k=10).to_pandas()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    S = Qn @ Mn.T
+    ids = df["vec_id"].to_numpy()
+    for qid in range(5):
+        want = [int(ids[i]) for i in
+                sorted(range(len(ids)), key=lambda i: (-S[qid, i], ids[i]))[:10]]
+        rows = got[got["query_id"] == qid].sort_values("rank")
+        assert rows["vec_id"].tolist() == want
+        assert rows["rank"].tolist() == list(range(1, 11))
+    # self is its own nearest neighbor
+    assert got[(got["query_id"] == 0) & (got["rank"] == 1)]["vec_id"].iloc[0] == ids[0]
+
+
+def test_lsh_top_k_recall(ray_session):
+    import ray.data as rd
+
+    from wikilinks_ray.ops.similarity import brute_force_top_k, lsh_top_k
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = emb.to_pandas()
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    queries = M[:10]
+    exact = brute_force_top_k(emb, queries, k=5).to_pandas()
+    approx = lsh_top_k(emb, queries, k=5, n_planes=8, n_tables=4).to_pandas()
+    recalls = []
+    for qid in range(10):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # multi-probe LSH, clustered data
+
+
+def test_text_analyzer(ray_session):
+    import ray.data as rd
+
+    from wikilinks_ray.ops.text import TextAnalyzer, token_count_expr
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    out = docs.map_batches(TextAnalyzer, batch_format="pyarrow",
+                           concurrency=2).to_pandas()
+    src = docs.to_pandas().set_index("doc_id")
+    assert len(out) == len(src)
+    for _, r in out.head(20).iterrows():
+        assert r["token_count"] == token_count_expr(src.loc[r["doc_id"], "text"])
+        assert 0.0 <= r["quality_score"] <= 1.0
+    # deterministic fingerprints across runs
+    out2 = docs.map_batches(TextAnalyzer, batch_format="pyarrow",
+                            concurrency=2).to_pandas()
+    m1 = dict(zip(out["doc_id"], out["fingerprint"]))
+    m2 = dict(zip(out2["doc_id"], out2["fingerprint"]))
+    assert m1 == m2
+
+
+def test_lang_pred_heuristics(ray_session):
+    from wikilinks_ray.ops.text import TextAnalyzer
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "text": pa.array(["the quick brown fox", "straße über münchen",
+                                    "château à paris", "mañana señor", "你好 世界"])})
+    out = TextAnalyzer()(t).to_pandas()
+    assert out["lang_pred"].tolist() == ["en", "de", "fr", "es", "zh"]
+
+
+def test_multimodal_fake_pipeline(ray_session):
+    import ray.data as rd
+
+    from wikilinks_ray.ops.multimodal import (
+        DecodeImage, ResizeImage, FrameSampler, make_fake_image,
+    )
+
+    rows = [{"media_id": i, "kind": "image", "mime": "image/fake",
+             "payload": make_fake_image(i, 32, 16), "width": 32, "height": 16,
+             "duration_ms": -1} for i in range(20)]
+    ds = rd.from_items(rows)
+    dec = ds.map_batches(DecodeImage(fake=True), batch_format="pyarrow",
+                         batch_size=4, concurrency=2).to_pandas()
+    assert len(dec) == 20
+    assert (dec["width"] == 32).all() and (dec["height"] == 16).all()
+    # deterministic payloads -> deterministic phash
+    assert dec.sort_values("media_id")["phash"].tolist() == \
+        [DecodeImage(fake=True)(pa.table({
+            "media_id": pa.array([i], pa.int64()),
+            "payload": pa.array([make_fake_image(i, 32, 16)], pa.binary())
+        })).to_pandas()["phash"].iloc[0] for i in range(20)]
+
+    small = ds.map_batches(ResizeImage((8, 8), fake=True), batch_format="pyarrow",
+                           batch_size=4, concurrency=2).to_pandas()
+    redec = DecodeImage(fake=True)(pa.table({
+        "media_id": pa.array(small["media_id"].tolist(), pa.int64()),
+        "payload": pa.array(small["payload"].tolist(), pa.binary()),
+    })).to_pandas()
+    assert (redec["width"] == 8).all() and (redec["height"] == 8).all()
+
+    video = b"".join(make_fake_image(7, 4, 4, seed=s) for s in range(6))
+    vds = rd.from_items([{"media_id": 7, "payload": video}])
+    frames = vds.map_batches(FrameSampler(every=2, fake=True),
+                             batch_format="pyarrow", concurrency=1).to_pandas()
+    assert frames["frame_index"].tolist() == [0, 2, 4]
+
+
+def test_multimodal_real_decode_raises(ray_session):
+    from wikilinks_ray.ops.multimodal import DecodeImage, make_fake_image
+
+    with pytest.raises(NotImplementedError, match="PIL/cv2"):
+        DecodeImage(fake=False)(pa.table({
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([make_fake_image(1, 4, 4)], pa.binary()),
+        }))

@@ -1,0 +1,9 @@
+from .text import TextAnalyzer, token_count_expr  # noqa: F401
+from .dedup import (  # noqa: F401
+    exact_dedup_keep_min,
+    ngram_jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_signatures,
+    embedding_near_dup_pairs,
+)
+from .similarity import brute_force_top_k, lsh_top_k  # noqa: F401

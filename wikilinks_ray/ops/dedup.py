@@ -1,0 +1,334 @@
+"""Deduplication operators for training-data pipelines.
+
+Five flavors over ``documents(doc_id, text, ...)`` / ``embeddings``:
+
+- exact: content-hash partition + min-id winner per group (one shuffle);
+- n-gram Jaccard (exact): shingle inverted index -> self-join on shingle
+  -> per-pair intersection counts -> Jaccard threshold. Exact, fully
+  SQL-expressible (the oracle-checkable near-dup path);
+- MinHash + LSH banding: per-batch signatures -> (band, band_hash)
+  groupby buckets -> candidate pairs -> exact-Jaccard verification
+  (probabilistic recall; candidates only, verified pairs exact);
+- SimHash: 64-bit signatures; near-dups = hamming distance <= k within
+  LSH-rotated buckets (engine-only);
+- embedding cosine: blockwise matmul against a broadcast matrix
+  (small corpora) — at scale, bucket by LSH hyperplanes first
+  (ops/similarity.py does exactly that for top-k).
+
+Every operator keeps the hot path vectorized (numpy over hashed shingle
+arrays); Python loops only assemble per-document lists.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+MERSENNE = (1 << 61) - 1
+
+
+def _hash_shingles(tokens: list[str], k: int) -> np.ndarray:
+    """Distinct word-k-gram shingles as uint64 hashes (md5-based, stable
+    across processes — Python's builtin hash is salted)."""
+    if len(tokens) < k:
+        grams = [" ".join(tokens)] if tokens else []
+    else:
+        grams = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+    out = {
+        int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "little")
+        for g in grams
+    }
+    return np.fromiter(out, dtype=np.uint64, count=len(out))
+
+
+def exact_dedup_keep_min(docs: "ray.data.Dataset", *, key: str = "text",
+                         id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Exact dedup: one surviving row id per distinct ``key`` (the
+    smallest id wins — deterministic). Returns (doc_id,) of survivors.
+
+    Hash the content first so the shuffle moves 16-byte digests, not
+    full documents."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+              for x in t.column(key).to_pylist()]
+        return pa.table({id_col: t.column(id_col), "__h": pa.array(hs, pa.string())})
+
+    from ray.data.aggregate import Min
+
+    kept = (docs.map_batches(add_hash, batch_format="pyarrow")
+            .groupby("__h")
+            .aggregate(Min(id_col, alias_name=id_col)))
+    return kept.select_columns([id_col])
+
+
+class ShingleSignatures:
+    """documents -> one row per (doc_id, shingle_hash). Stateless-ish
+    actor stage (regex compiled once)."""
+
+    def __init__(self, k: int = 3):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_sh = [], []
+        for i, text in zip(ids, texts):
+            sh = _hash_shingles(_WORD_RE.findall((text or "").lower()), self.k)
+            out_id.append(np.full(len(sh), i, dtype=np.int64))
+            out_sh.append(sh)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id) if out_id else [], pa.int64()),
+            "shingle": pa.array(np.concatenate(out_sh) if out_sh else [], pa.uint64()),
+        })
+
+
+def ngram_jaccard_pairs(
+    docs: "ray.data.Dataset",
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+    num_partitions: int = 8,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """EXACT n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
+
+    shingles -> groupby(shingle) -> per-shingle doc pairs -> groupby
+    (a, b) intersection counts -> join each side's shingle count ->
+    |A∩B| / (|A|+|B|-|A∩B|). All-pairs work is bounded by shingle
+    co-occurrence (a shingle shared by m docs emits m(m-1)/2 pair rows);
+    for web-scale corpora cap m (drop ubiquitous shingles) — the
+    standard "stop-shingle" guard, exposed as ``max_docs_per_shingle``
+    in the LSH variant below.
+    """
+    from ray.data.aggregate import Count
+
+    from ..stages.util import rename_cols
+
+    sh = docs.map_batches(ShingleSignatures(k), batch_format="pyarrow",
+                          concurrency=concurrency).materialize()
+    sizes = rename_cols(sh.groupby("doc_id").count(), {"count()": "size"}).materialize()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+
+    inter = rename_cols(
+        sh.groupby("shingle").map_groups(pairs, batch_format="pandas")
+        .groupby(["a", "b"]).count(), {"count()": "inter"})
+    j1 = inter.join(rename_cols(sizes, {"doc_id": "a_id", "size": "size_a"}),
+                    "inner", num_partitions, on=("a",), right_on=("a_id",))
+    j2 = j1.join(rename_cols(sizes, {"doc_id": "b_id", "size": "size_b"}),
+                 "inner", num_partitions, on=("b",), right_on=("b_id",))
+
+    def score(t: pa.Table) -> pa.Table:
+        inter_ = t.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = t.column("size_a").to_numpy(zero_copy_only=False)
+        sb = t.column("size_b").to_numpy(zero_copy_only=False)
+        jac = inter_ / (sa + sb - inter_)
+        keep = jac >= threshold
+        return pa.table({
+            "a": pa.array(t.column("a").to_numpy(zero_copy_only=False)[keep], pa.int64()),
+            "b": pa.array(t.column("b").to_numpy(zero_copy_only=False)[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        })
+
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
+class MinHasher:
+    """documents -> (doc_id, band, band_hash) rows.
+
+    128 permutations via universal hashing ((a*x + b) mod p, seeded),
+    banded into ``bands`` rows of ``rows_per_band`` for LSH bucketing.
+    One signature matrix per batch, fully vectorized."""
+
+    def __init__(self, k: int = 3, num_perm: int = 128, bands: int = 32, seed: int = 7):
+        assert num_perm % bands == 0
+        rng = np.random.default_rng(seed)
+        self.k = k
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows = num_perm // bands
+        self.a = rng.integers(1, MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, MERSENNE, num_perm, dtype=np.uint64)
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # (a*x + b) with uint64 wraparound — one (num_perm, S) matmul-shaped
+        # broadcast, min over shingles. Wrapping mod 2^64 is a standard
+        # universal-hash family for MinHash.
+        prods = self.a[:, None] * shingles[None, :] + self.b[:, None]
+        return prods.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_band, out_hash = [], [], []
+        for i, text in zip(ids, texts):
+            sh = _hash_shingles(_WORD_RE.findall((text or "").lower()), self.k)
+            sig = self.signature(sh)
+            for band in range(self.bands):
+                seg = sig[band * self.rows:(band + 1) * self.rows]
+                h = hashlib.md5(seg.tobytes()).hexdigest()[:16]
+                out_id.append(i)
+                out_band.append(band)
+                out_hash.append(h)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.string()),
+        })
+
+
+def minhash_lsh_candidates(
+    docs: "ray.data.Dataset",
+    *,
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    concurrency: int = 4,
+    max_docs_per_bucket: int = 200,
+) -> "ray.data.Dataset":
+    """Candidate near-dup pairs (a < b) from MinHash-LSH banding.
+
+    Buckets larger than ``max_docs_per_bucket`` are dropped (skew guard:
+    a degenerate bucket of m docs would emit O(m²) pairs; such buckets
+    mean the band is non-discriminative anyway). Verify candidates with
+    ``ngram_jaccard_pairs`` semantics downstream."""
+    mh = docs.map_batches(MinHasher(k, num_perm, bands), batch_format="pyarrow",
+                          concurrency=concurrency)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2 or len(ids) > max_docs_per_bucket:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+
+    cand = mh.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    # distinct pairs (a doc pair can collide in many bands)
+    return cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+class SimHasher:
+    """documents -> (doc_id, simhash: uint64). 64-bit hyperplane sketch
+    of the token multiset (token md5 bits weighted by term frequency)."""
+
+    def __init__(self):
+        self.word_re = _WORD_RE
+
+    @staticmethod
+    def simhash64(tokens: list[str]) -> int:
+        if not tokens:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        from collections import Counter
+
+        for tok, cnt in Counter(tokens).items():
+            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
+            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+            acc += np.where(bits == 1, cnt, -cnt)
+        return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = [self.simhash64(self.word_re.findall((t or "").lower())) for t in texts]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "simhash": pa.array(out, pa.uint64())})
+
+
+def simhash_signatures(docs: "ray.data.Dataset", *, concurrency: int = 4) -> "ray.data.Dataset":
+    return docs.map_batches(SimHasher, batch_format="pyarrow",
+                            concurrency=concurrency)
+
+
+def simhash_near_dup_pairs(sigs_df: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
+    """Block by 4 × 16-bit segments (a pair within hamming<=3 must agree
+    on at least one segment — pigeonhole); verify hamming exactly.
+    Driver-side finisher over the collected (small) signature table; the
+    scale path runs the same blocking as a groupby over segment keys."""
+    ids = sigs_df["doc_id"].to_numpy()
+    sh = sigs_df["simhash"].to_numpy().astype(np.uint64)
+    seen: set[tuple[int, int]] = set()
+    out_a, out_b, out_d = [], [], []
+    for seg in range(4):
+        key = (sh >> np.uint64(16 * seg)) & np.uint64(0xFFFF)
+        order = np.argsort(key, kind="stable")
+        k_s, i_s = key[order], order
+        start = 0
+        for end in range(1, len(k_s) + 1):
+            if end == len(k_s) or k_s[end] != k_s[start]:
+                grp = i_s[start:end]
+                if 1 < len(grp) <= 500:
+                    for x in range(len(grp)):
+                        for y in range(x + 1, len(grp)):
+                            a, b = int(ids[grp[x]]), int(ids[grp[y]])
+                            if a > b:
+                                a, b = b, a
+                            if (a, b) in seen:
+                                continue
+                            d = int(bin(int(sh[grp[x]]) ^ int(sh[grp[y]])).count("1"))
+                            if d <= max_hamming:
+                                seen.add((a, b))
+                                out_a.append(a)
+                                out_b.append(b)
+                                out_d.append(d)
+                start = end
+    return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_d})
+
+
+def embedding_near_dup_pairs(
+    emb: "ray.data.Dataset",
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Cosine-similarity near-dup pairs (a < b, cos >= threshold).
+
+    The full (normalized) matrix is broadcast once via ``ray.put`` and
+    every batch matmuls against it — O(n·d) broadcast + O(batch·n)
+    compute, no shuffle. For corpora where the matrix exceeds worker
+    memory, pre-bucket with the LSH hyperplanes of ops/similarity.py."""
+    import pandas as _pd
+
+    all_df = emb.select_columns([id_col, vec_col]).to_pandas()
+    ids = all_df[id_col].to_numpy().astype(np.int64)
+    M = np.stack(all_df[vec_col].to_numpy()).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, M))
+
+    def block(t: pa.Table) -> pa.Table:
+        bids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        B = np.stack(t.column(vec_col).to_pylist()).astype(np.float64)
+        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        gids, gM = ray.get(ref)
+        S = B @ gM.T
+        bi, gj = np.nonzero(S >= threshold)
+        a = bids[bi]
+        b = gids[gj]
+        keep = a < b  # dedup + drop self
+        return pa.table({
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "cosine": pa.array(S[bi, gj][keep], pa.float64()),
+        })
+
+    return emb.map_batches(block, batch_format="pyarrow")

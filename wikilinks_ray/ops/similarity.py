@@ -1,0 +1,167 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``brute_force_top_k``: exact cosine top-k. The query matrix is
+  broadcast ONCE (``ray.put``) and read inside each task; every batch is
+  one numpy matmul; per-batch local top-k candidates stream to a tiny
+  driver-side merge (k × Q rows per batch, never the full score matrix).
+- ``lsh_top_k``: the scale path — random-hyperplane bucketing (seeded),
+  ``n_tables`` independent tables (standard multi-table LSH) with
+  hamming<=1 multi-probe per table; only batch rows sharing a probed
+  bucket with a query are scored. Approximate: recall measured in
+  tests, not 1.0; raise n_tables / lower n_planes to trade compute for
+  recall.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def _merge_topk(parts, k: int) -> list[tuple[int, list[tuple[int, float]]]]:
+    """Merge per-batch candidate lists into final per-query top-k
+    (score desc, id asc tie-break — deterministic)."""
+    best: dict[int, list] = {}
+    for qid, vid, score in parts:
+        best.setdefault(int(qid), []).append((float(score), int(vid)))
+    out = []
+    for qid, cands in sorted(best.items()):
+        top = heapq.nsmallest(k, cands, key=lambda sv: (-sv[0], sv[1]))
+        out.append((qid, [(vid, s) for s, vid in top]))
+    return out
+
+
+def brute_force_top_k(
+    emb: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "pa.Table":
+    """Exact cosine top-k: rows (query_id, rank, vec_id, cosine)."""
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(Q)
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _normalize(np.stack(t.column(vec_col).to_pylist()).astype(np.float64))
+        Qm = ray.get(qref)
+        S = Qm @ M.T  # (Q, batch)
+        kk = min(k, S.shape[1])
+        idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        qids = np.repeat(np.arange(S.shape[0]), kk)
+        vids = ids[idx.ravel()]
+        scores = np.take_along_axis(S, idx, axis=1).ravel()
+        return pa.table({
+            "query_id": pa.array(qids, pa.int64()),
+            "vec_id": pa.array(vids, pa.int64()),
+            "cosine": pa.array(scores, pa.float64()),
+        })
+
+    cands = emb.map_batches(score, batch_format="pyarrow").take_all()
+    merged = _merge_topk(((r["query_id"], r["vec_id"], r["cosine"]) for r in cands), k)
+    q_out, r_out, v_out, s_out = [], [], [], []
+    for qid, top in merged:
+        for rank, (vid, s) in enumerate(top):
+            q_out.append(qid)
+            r_out.append(rank + 1)
+            v_out.append(vid)
+            s_out.append(s)
+    return pa.table({
+        "query_id": pa.array(q_out, pa.int64()),
+        "rank": pa.array(r_out, pa.int64()),
+        "vec_id": pa.array(v_out, pa.int64()),
+        "cosine": pa.array(s_out, pa.float64()),
+    })
+
+
+class _HyperplaneLSH:
+    def __init__(self, dim: int, n_planes: int, n_tables: int, seed: int = 13):
+        rng = np.random.default_rng(seed)
+        self.planes = [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
+        self.pows = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def buckets(self, M: np.ndarray) -> list[np.ndarray]:
+        return [((M @ P.T) > 0) @ self.pows for P in self.planes]
+
+
+def lsh_top_k(
+    emb: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "pa.Table":
+    """Approximate cosine top-k: score only rows that share a probed
+    bucket (exact or 1-bit flip) with a query in ANY of ``n_tables``
+    hyperplane tables. Same output schema as ``brute_force_top_k``."""
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    dim = Q.shape[1]
+    lsh = _HyperplaneLSH(dim, n_planes, n_tables)
+    probes: list[dict[int, list[int]]] = []
+    for qb in lsh.buckets(Q):
+        probe: dict[int, list[int]] = {}
+        for qi, b in enumerate(qb):
+            for cand in [int(b)] + [int(b) ^ (1 << j) for j in range(n_planes)]:
+                probe.setdefault(cand, []).append(qi)
+        probes.append(probe)
+    state = ray.put((Q, lsh.planes, probes))
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _normalize(np.stack(t.column(vec_col).to_pylist()).astype(np.float64))
+        Qm, planes_list, prs = ray.get(state)
+        n_pl = planes_list[0].shape[0]
+        pows = (1 << np.arange(n_pl)).astype(np.int64)
+        # candidate (query, row) pairs, deduped across tables
+        cand_rows: dict[int, set[int]] = {}
+        for planes, pr in zip(planes_list, prs):
+            buckets = ((M @ planes.T) > 0) @ pows
+            for b in np.unique(buckets):
+                qis = pr.get(int(b))
+                if not qis:
+                    continue
+                rows = np.flatnonzero(buckets == b)
+                for qi in qis:
+                    cand_rows.setdefault(qi, set()).update(rows.tolist())
+        q_out, v_out, s_out = [], [], []
+        for qi, rows in cand_rows.items():
+            rows = np.fromiter(rows, dtype=np.int64, count=len(rows))
+            S = Qm[qi] @ M[rows].T
+            q_out.extend([qi] * len(rows))
+            v_out.extend(ids[rows].tolist())
+            s_out.extend(np.atleast_1d(S).tolist())
+        return pa.table({
+            "query_id": pa.array(q_out, pa.int64()),
+            "vec_id": pa.array(v_out, pa.int64()),
+            "cosine": pa.array(s_out, pa.float64()),
+        })
+
+    cands = emb.map_batches(score, batch_format="pyarrow").take_all()
+    merged = _merge_topk(((r["query_id"], r["vec_id"], r["cosine"]) for r in cands), k)
+    q_out, r_out, v_out, s_out = [], [], [], []
+    for qid, top in merged:
+        for rank, (vid, s) in enumerate(top):
+            q_out.append(qid)
+            r_out.append(rank + 1)
+            v_out.append(vid)
+            s_out.append(s)
+    return pa.table({
+        "query_id": pa.array(q_out, pa.int64()),
+        "rank": pa.array(r_out, pa.int64()),
+        "vec_id": pa.array(v_out, pa.int64()),
+        "cosine": pa.array(s_out, pa.float64()),
+    })

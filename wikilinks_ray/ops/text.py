@@ -1,0 +1,105 @@
+"""Text-analysis stages for training-data pipelines over a ``documents``
+table ``(doc_id, text, lang, source, n_chars)``.
+
+All stages are actor-pool ``map_batches`` transforms: regexes and
+profiles compile once per actor (``__init__``), batches stream through
+``__call__``. Semantics are frozen so the companion SQL oracles in
+``__ray_entry__.oracle_sql`` can reproduce the SQL-expressible columns
+exactly (token/char counts, ratios); language-ID and fingerprints are
+engine-only (rows-only correctness check).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+# frozen stopword list (shared with quality scoring); tiny on purpose
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that".split()
+)
+
+# frozen tokenizer: maximal \w+ runs (unicode), BPE-ish fallback of single
+# non-space symbols. SQL oracle equivalent: regexp token extraction.
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def token_count_expr(text: str) -> int:
+    """Frozen token-count semantics (shared by engine + tests)."""
+    return len(_TOKEN_RE.findall(text))
+
+
+class TextAnalyzer:
+    """documents -> per-doc analysis columns.
+
+    Emits: token_count, punct_count, stopword_ratio, mean_token_len,
+    quality_score (length/punct/stopword heuristic in [0,1]),
+    lang_pred (character-profile heuristic), fingerprint (FNV-1a 64-bit
+    rolling hash of the normalized token stream).
+    """
+
+    FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+    FNV_PRIME = np.uint64(0x100000001B3)
+
+    def __init__(self):
+        self.token_re = _TOKEN_RE
+        self.punct_re = _PUNCT_RE
+        self.stop = STOPWORDS
+
+    def _fingerprint(self, tokens: list[str]) -> int:
+        """FNV-1a over the normalized (lowercased, space-joined) tokens —
+        a document fingerprint stable under whitespace/punct noise."""
+        h = self.FNV_OFFSET
+        prime = self.FNV_PRIME
+        for b in " ".join(t.lower() for t in tokens).encode("utf-8"):
+            h = np.uint64((int(h) ^ b) * int(prime) & 0xFFFFFFFFFFFFFFFF)
+        return int(h)
+
+    def _lang_pred(self, text: str) -> str:
+        """Deterministic character-profile language heuristic."""
+        if re.search(r"[一-鿿]", text):
+            return "zh"
+        if re.search(r"[äöüß]", text):
+            return "de"
+        if re.search(r"[àâçèêëîïôùûœ]", text):
+            return "fr"
+        if re.search(r"[áéíóúñ¿¡]", text):
+            return "es"
+        return "en"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        tc, pc_, sr, mtl, q, lp, fp = [], [], [], [], [], [], []
+        for text in texts:
+            text = text or ""
+            tokens = self.token_re.findall(text)
+            n_tok = len(tokens)
+            n_punct = len(self.punct_re.findall(text))
+            n_stop = sum(1 for t in tokens if t.lower() in self.stop)
+            stop_ratio = n_stop / n_tok if n_tok else 0.0
+            mean_len = sum(len(t) for t in tokens) / n_tok if n_tok else 0.0
+            # quality: reward moderate length + stopword presence, punish
+            # punctuation soup (frozen formula, documented in tests)
+            length_score = min(1.0, n_tok / 100.0)
+            punct_pen = min(1.0, n_punct / max(1, n_tok))
+            quality = max(0.0, min(1.0,
+                          0.5 * length_score + 0.5 * min(1.0, 4 * stop_ratio)
+                          - 0.25 * punct_pen))
+            tc.append(n_tok)
+            pc_.append(n_punct)
+            sr.append(stop_ratio)
+            mtl.append(mean_len)
+            q.append(quality)
+            lp.append(self._lang_pred(text))
+            fp.append(self._fingerprint(tokens))
+        out = batch.select([c for c in ("doc_id", "lang", "source") if c in batch.column_names])
+        return out.append_column("token_count", pa.array(tc, pa.int64())) \
+                  .append_column("punct_count", pa.array(pc_, pa.int64())) \
+                  .append_column("stopword_ratio", pa.array(sr, pa.float64())) \
+                  .append_column("mean_token_len", pa.array(mtl, pa.float64())) \
+                  .append_column("quality_score", pa.array(q, pa.float64())) \
+                  .append_column("lang_pred", pa.array(lp, pa.string())) \
+                  .append_column("fingerprint", pa.array(fp, pa.uint64()))

@@ -51,13 +51,16 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8) -> int
         hi = t.column("hi").to_numpy(zero_copy_only=False)
         return pa.table({"v": pa.array(np.concatenate([lo, hi]), pa.int64())})
 
-    deg = und.map_batches(explode, batch_format="pyarrow").groupby("v").count()
-    deg = deg.rename_columns({"count()": "deg"})
+    from ..stages.util import rename_cols
+
+    deg = rename_cols(
+        und.map_batches(explode, batch_format="pyarrow").groupby("v").count(),
+        {"count()": "deg"}).materialize()
 
     # attach degrees to both endpoints (two hash joins)
-    e1 = und.join(deg.rename_columns({"v": "lo_v", "deg": "lo_deg"}),
+    e1 = und.join(rename_cols(deg, {"v": "lo_v", "deg": "lo_deg"}),
                   "inner", num_partitions, on=("lo",), right_on=("lo_v",))
-    e2 = e1.join(deg.rename_columns({"v": "hi_v", "deg": "hi_deg"}),
+    e2 = e1.join(rename_cols(deg, {"v": "hi_v", "deg": "hi_deg"}),
                  "inner", num_partitions, on=("hi",), right_on=("hi_v",))
 
     def orient(t: pa.Table) -> pa.Table:
@@ -91,7 +94,7 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8) -> int
 
     w = oriented.groupby("u").map_groups(wedges, batch_format="pandas")
     closed = w.join(
-        oriented.select_columns(["u", "v"]).rename_columns({"u": "eu", "v": "ev"}),
+        rename_cols(oriented.select_columns(["u", "v"]), {"u": "eu", "v": "ev"}),
         "inner", num_partitions, on=("a", "b"), right_on=("eu", "ev"),
     )
     return closed.count()
