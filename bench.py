@@ -1,0 +1,187 @@
+"""Benchmark harness for wikilinks_ray.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the same benchmark twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the
+north-rule's N vs 4N cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
+    import logging
+
+    import numpy as np
+    import ray
+
+    if not ray.is_initialized():
+        # log_to_driver=False: worker log lines would interleave with the
+        # single JSON stdout line the driver parses
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from wikilinks_ray.ops.dedup import ngram_jaccard_pairs
+    from wikilinks_ray.ops.similarity import brute_force_top_k
+    from wikilinks_ray.ops.text import TextAnalyzer
+    from wikilinks_ray.pipelines.bfs import multi_source_bfs
+    from wikilinks_ray.pipelines.build import build_graph
+    from wikilinks_ray.pipelines.components import connected_components, symmetrize_edges
+    from wikilinks_ray.pipelines.derived import DerivedGraph
+    from wikilinks_ray.pipelines.pagerank import pagerank
+    from wikilinks_ray.pipelines.triangles import triangle_count
+    from wikilinks_ray.sources.corpus import write_pages_corpus
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    n_pages = max(2000, int(200_000 * sf))
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- flagship: pages corpus -> extraction -> graph build --------------
+    corpus_dir = f"/tmp/wl_bench_corpus_{n_pages}"
+    if not os.path.exists(os.path.join(corpus_dir, "part-00000.parquet")):
+        write_pages_corpus(corpus_dir, n_pages=n_pages, seed=42,
+                           n_shards=max(8, num_cpus))
+    pages = rd.read_parquet(corpus_dir)
+    pages.count()  # warm page cache: measure compute+shuffle, not cold disk
+
+    import shutil
+
+    graph_dir = f"/tmp/wl_bench_graph_{n_pages}_{num_cpus}"
+    shutil.rmtree(graph_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    built = build_graph(pages, graph_dir, num_partitions=max(8, num_cpus // 2),
+                        extract_concurrency=max(2, num_cpus // 2),
+                        overwrite=True)
+    timings["ingest_graph_build"] = time.perf_counter() - t0
+    extras["n_vertices"] = built.stats.n_vertices
+    extras["n_edges"] = built.stats.n_edges
+
+    # --- graph analytics over the built pages graph -----------------------
+    num_shards = max(4, num_cpus // 4)
+    n = built.stats.n_vertices
+    from wikilinks_ray.state.csr import create_shard_actors, shard_edges
+
+    t0 = time.perf_counter()
+    fwd_paths = shard_edges(built.edges(), n, num_shards,
+                            f"{graph_dir}/csr_fwd", by="src")
+    fwd, _ = create_shard_actors(fwd_paths, n)
+    timings["csr_build"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pr = pagerank(fwd, n, tol=1e-10, max_iter=50, checkpoint_dir=None)
+    timings["pagerank"] = time.perf_counter() - t0
+    edges_traversed = built.stats.n_edges * pr.iterations
+    extras["pagerank_iters"] = pr.iterations
+    extras["pagerank_gteps"] = edges_traversed / timings["pagerank"] / 1e9
+
+    sym_paths = shard_edges(symmetrize_edges(built.edges()), n, num_shards,
+                            f"{graph_dir}/csr_sym", by="src")
+    symA, _ = create_shard_actors(sym_paths, n)
+    t0 = time.perf_counter()
+    cc = connected_components(symA, n)
+    timings["connected_components"] = time.perf_counter() - t0
+    extras["cc_iters"] = cc.iterations
+
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(0xCAFEBABE)  # reference benchmark seed
+    sources = rng.integers(0, n, 8).tolist()
+    multi_source_bfs(fwd, n, sources)
+    timings["multi_source_bfs"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    extras["triangles"] = triangle_count(built.edges(),
+                                         num_partitions=num_shards)
+    timings["triangles"] = time.perf_counter() - t0
+
+    for a in fwd + symA:
+        ray.kill(a)
+
+    # --- training-data ops over the driver tables -------------------------
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    ngram_jaccard_pairs(docs, threshold=0.5,
+                        num_partitions=max(4, num_cpus // 4),
+                        concurrency=max(2, num_cpus // 2)).count()
+    timings["dedup_ngram_jaccard"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docs.map_batches(TextAnalyzer, batch_format="pyarrow",
+                     concurrency=max(2, num_cpus // 2)).count()
+    timings["text_analysis"] = time.perf_counter() - t0
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.limit(16).to_pandas()
+    queries_m = np.stack(qdf["embedding"].to_numpy())
+    t0 = time.perf_counter()
+    brute_force_top_k(emb, queries_m, k=10)
+    timings["similarity_topk"] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    return {
+        "metric": "headline_pipeline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "extras": {k: (round(v, 4) if isinstance(v, float) else v)
+                   for k, v in extras.items()},
+        "sf": sf,
+        "num_cpus": num_cpus,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        import subprocess
+
+        def run(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+            return json.loads(out.stdout.strip().splitlines()[-1])
+
+        lo, hi = 8, 32
+        r_lo, r_hi = run(lo), run(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "sec_lo": r_lo["value"], "cpus_lo": lo,
+            "sec_hi": r_hi["value"], "cpus_hi": hi,
+            "queries_lo": r_lo["queries"], "queries_hi": r_hi["queries"],
+            "sf": r_hi["sf"],
+        }))
+        return
+
+    result = run_benchmarks(sf_dir, num_cpus)
+    import ray
+
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Derived edge table over the driver's TPC-H-ish testdata.
+
+The correctness gate (CORRECTNESS_r{N}.json) runs each ``queries()``
+entry against DuckDB oracle SQL on the same parquet tables, so the
+graph operators are exercised over a graph DERIVED deterministically
+from those tables:
+
+    edges(src, dst) = SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+
+Part and supplier keys share one integer id space on purpose — the
+overlap makes the graph non-bipartite (triangles exist, components
+merge), which exercises the interesting paths. The pages-corpus engine
+(sources/corpus.py -> pipelines/build.py) is the flagship pipeline;
+this module only adapts the same algorithms to oracle-checkable input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..state.csr import shard_edges, create_shard_actors
+
+
+def derived_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct (src=l_partkey, dst=l_suppkey) pairs — column-pruned read
+    + one groupby shuffle."""
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column("l_partkey").cast(pa.int64()),
+            "dst": t.column("l_suppkey").cast(pa.int64()),
+        })
+
+    return (li.map_batches(project, batch_format="pyarrow")
+            .groupby(["src", "dst"]).count().select_columns(["src", "dst"]))
+
+
+def derived_vertices(edges: "ray.data.Dataset") -> np.ndarray:
+    """Sorted distinct vertex ids (small at query scale; the engine's
+    own id space is dense by construction — see stages/ids.py)."""
+    def explode(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(np.concatenate([s, d]), pa.int64())})
+
+    vs = edges.map_batches(explode, batch_format="pyarrow").unique("v")
+    return np.sort(np.asarray(vs, dtype=np.int64))
+
+
+class DerivedGraph:
+    """Shards + actors for the derived graph, built once per sf_dir into
+    /tmp (resumable shard layout), torn down explicitly."""
+
+    def __init__(self, sf_dir: str, *, num_shards: int = 4, symmetric: bool = False,
+                 work_root: str = "/tmp/wikilinks_ray_derived"):
+        import os
+
+        self.edges = derived_edges(sf_dir).materialize()
+        self.vertices = derived_vertices(self.edges)
+        self.n = int(self.vertices.max()) + 1 if len(self.vertices) else 0
+        import hashlib
+
+        tag = hashlib.md5(
+            f"{sf_dir}|{symmetric}|{num_shards}".encode()).hexdigest()[:12]
+        shard_dir = os.path.join(work_root, tag)
+        es = self.edges
+        if symmetric:
+            from .components import symmetrize_edges
+
+            es = symmetrize_edges(self.edges)
+        paths = shard_edges(es, self.n, num_shards, shard_dir, by="src")
+        self.actors, self.bounds = create_shard_actors(paths, self.n)
+
+    def close(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
