@@ -1,0 +1,220 @@
+"""CLI entry points — the Ray-native analog of the reference's clikt
+commands (Main.kt:29-200: ``convert`` and ``query``) plus ``bench``.
+
+    python -m wikilinks_ray convert --pages DIR --out GRAPH_DIR
+    python -m wikilinks_ray query --graph GRAPH_DIR [--benchmark]
+    python -m wikilinks_ray generate --out DIR --n-pages N [--seed S]
+
+``query`` runs the interactive loop of Interactive.kt:10-96: enter
+"Start title -> End title" to search a route; a trailing ``#`` on a
+name lists up to 10 prefix matches (Main.kt:323); ``<`` picks a random
+page; empty line exits. ``--benchmark`` times 50 seeded-random routes
+with Welford stats (Main.kt:341-384, Benchmarking.java:14-34, seed
+0xcafebabe).
+
+The CLI owns its Ray session (guarded init; library code never inits).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray():
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    return ray
+
+
+def cmd_generate(args) -> int:
+    from .sources.corpus import write_pages_corpus
+
+    write_pages_corpus(args.out, n_pages=args.n_pages, seed=args.seed,
+                       n_shards=args.shards)
+    print(f"wrote {args.n_pages}-page corpus to {args.out}")
+    return 0
+
+
+def cmd_convert(args) -> int:
+    ray = _init_ray()
+    import ray.data as rd
+
+    from .pipelines.build import build_graph
+
+    res = build_graph(rd.read_parquet(args.pages), args.out,
+                      num_partitions=args.partitions,
+                      extract_concurrency=args.concurrency,
+                      overwrite=args.overwrite)
+    print(json.dumps(res.stats.__dict__, indent=1))
+    ray.shutdown()
+    return 0
+
+
+class _Welford:
+    """Running mean/stddev/min/max (Main.kt:360-384, Benchmarking.java:61-85)."""
+
+    def __init__(self):
+        self.n = 0
+        self.mean = 0.0
+        self.m2 = 0.0
+        self.min = float("inf")
+        self.max = float("-inf")
+        self.sum = 0.0
+
+    def add(self, x: float):
+        self.n += 1
+        d = x - self.mean
+        self.mean += d / self.n
+        self.m2 += d * (x - self.mean)
+        self.min = min(self.min, x)
+        self.max = max(self.max, x)
+        self.sum += x
+
+    def stddev(self) -> float:
+        return (self.m2 / self.n) ** 0.5 if self.n else 0.0
+
+
+def route_benchmark(actors, n, index, n_pairs: int = 50,
+                    seed: int = 0xCAFEBABE) -> dict:
+    """Seeded-random route benchmark (Q5, Benchmarking.java:14-34)."""
+    import numpy as np
+
+    from .pipelines.bfs import shortest_route
+
+    rng = np.random.default_rng(seed)
+    w = _Welford()
+    found = 0
+    for _ in range(n_pairs):
+        s, _st = index.random_vertex(rng)
+        t, _tt = index.random_vertex(rng)
+        t0 = time.perf_counter()
+        route = shortest_route(actors, n, s, t)
+        w.add((time.perf_counter() - t0) * 1000.0)
+        if route is not None:
+            found += 1
+    return {"pairs": n_pairs, "found": found, "mean_ms": round(w.mean, 2),
+            "stddev_ms": round(w.stddev(), 2), "min_ms": round(w.min, 2),
+            "max_ms": round(w.max, 2), "sum_ms": round(w.sum, 2)}
+
+
+def _load_query_state(graph_dir: str, num_shards: int):
+    import json as _json
+    import os
+
+    from .pipelines.build import GraphBuildResult, GraphStats
+    from .state.csr import create_shard_actors, shard_edges
+    from .state.lookup import VertexIndex
+
+    with open(os.path.join(graph_dir, "_STATS.json")) as f:
+        stats = GraphStats(**_json.load(f))
+    res = GraphBuildResult(os.path.join(graph_dir, "vertices"),
+                           os.path.join(graph_dir, "edges"), stats)
+    n = stats.n_vertices
+    paths = shard_edges(res.edges(), n, num_shards,
+                        os.path.join(graph_dir, "csr_fwd"), by="src")
+    actors, _ = create_shard_actors(paths, n)
+    index = VertexIndex(res.vertices_path, n, num_shards)
+    return res, n, actors, index
+
+
+def cmd_query(args) -> int:
+    ray = _init_ray()
+
+    from .pipelines.bfs import shortest_route
+
+    res, n, actors, index = _load_query_state(args.graph, args.shards)
+    print(f"graph loaded: {n} vertices, {res.stats.n_edges} edges")
+
+    if args.benchmark:
+        print(json.dumps(route_benchmark(actors, n, index)))
+        ray.shutdown()
+        return 0
+
+    def resolve(name: str) -> int | None:
+        name = name.strip()
+        if name.endswith("#"):
+            matches = index.prefix_search(name[:-1], 10)
+            print(f"  prefix '{name[:-1]}' -> " +
+                  ", ".join(t for _, t in matches))
+            return None
+        if name == "<":
+            import numpy as np
+
+            vid, title = index.random_vertex(np.random.default_rng())
+            print(f"  random page: {title}")
+            return vid
+        vid = index.lookup(name)
+        if vid is None:
+            print(f"  no page named '{name}'")  # BadRouteException analog
+        return vid
+
+    print('enter "Start -> End" (name# = prefix search, < = random, empty = quit)')
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            break
+        if "->" not in line:
+            if line.endswith("#"):
+                resolve(line)  # bare prefix search (Interactive.kt wildcard)
+            else:
+                print("  expected: Start -> End")
+            continue
+        a, b = line.split("->", 1)
+        s, t = resolve(a), resolve(b)
+        if s is None or t is None:
+            continue
+        t0 = time.perf_counter()
+        route = shortest_route(actors, n, s, t)
+        ms = (time.perf_counter() - t0) * 1000
+        if route is None:
+            print(f"  no route ({ms:.0f} ms)")
+        else:
+            names = [index.title_of(v) for v in route]
+            print("  " + " -> ".join(names) + f"  ({ms:.0f} ms)")
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="wikilinks_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a synthetic pages corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-pages", type=int, default=2000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--shards", type=int, default=8)
+    g.set_defaults(fn=cmd_generate)
+
+    c = sub.add_parser("convert", help="pages parquet -> graph (vertices+edges)")
+    c.add_argument("--pages", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--partitions", type=int, default=16)
+    c.add_argument("--concurrency", type=int, default=8)
+    c.add_argument("--overwrite", action="store_true")
+    c.set_defaults(fn=cmd_convert)
+
+    q = sub.add_parser("query", help="interactive route queries / benchmark")
+    q.add_argument("--graph", required=True)
+    q.add_argument("--shards", type=int, default=4)
+    q.add_argument("--benchmark", action="store_true")
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -118,16 +118,22 @@ def ngram_jaccard_pairs(
                           concurrency=concurrency).materialize()
     sizes = rename_cols(sh.groupby("doc_id").count(), {"count()": "size"}).materialize()
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": np.empty(0, np.int64),
-                                 "b": np.empty(0, np.int64)})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+    # per-shingle doc pairs via a native hash self-join on the shingle
+    # (a per-group map_groups here costs a Python call per distinct
+    # shingle — tens of thousands of calls; the join is one shuffle of
+    # Arrow kernels)
+    paired = sh.join(rename_cols(sh, {"doc_id": "b"}), "inner",
+                     num_partitions, on=("shingle",))
+
+    def ordered(t: pa.Table) -> pa.Table:
+        a = t.column("doc_id").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        keep = a < b
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
 
     inter = rename_cols(
-        sh.groupby("shingle").map_groups(pairs, batch_format="pandas")
+        paired.map_batches(ordered, batch_format="pyarrow")
         .groupby(["a", "b"]).count(), {"count()": "inter"})
     j1 = inter.join(rename_cols(sizes, {"doc_id": "a_id", "size": "size_a"}),
                     "inner", num_partitions, on=("a",), right_on=("a_id",))

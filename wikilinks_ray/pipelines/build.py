@@ -190,11 +190,16 @@ def build_graph(
             return GraphBuildResult(v_path, e_path, GraphStats(**json.load(f)))
     os.makedirs(work_dir, exist_ok=True)
 
-    meta = pages.map_batches(extract_pages_meta, batch_format="pyarrow",
-                             batch_size=extract_batch_size).materialize()
-    links = pages.map_batches(LinkExtractor, batch_format="pyarrow",
-                              batch_size=extract_batch_size,
-                              concurrency=extract_concurrency).materialize()
+    # single pass over the heavy pages input (html+text read once)
+    from ..stages.extract import CombinedExtractor, split_combined
+
+    combined = pages.map_batches(
+        CombinedExtractor, batch_format="pyarrow",
+        batch_size=extract_batch_size,
+        concurrency=extract_concurrency).materialize()
+    meta, links = split_combined(combined)
+    meta = meta.materialize()
+    links = links.materialize()
 
     redirects = _filter_expr(meta, "is_redirect", True)
     dropped = find_redirect_loop_members(redirects, num_partitions).materialize()
@@ -217,8 +222,10 @@ def build_graph(
         surviving = meta.map_batches(drop_cyclic, batch_format="pyarrow")
     else:
         surviving = meta
+    # materialize the small projected vertex-side once: assign_dense_ids
+    # executes its input three times (sample, counts, rank)
     vertices = assign_dense_ids(
-        surviving.select_columns(["url", "title", "is_redirect"]),
+        surviving.select_columns(["url", "title", "is_redirect"]).materialize(),
         "title", num_partitions=num_partitions,
     )
     vertices.write_parquet(v_path)
@@ -232,28 +239,32 @@ def build_graph(
     e1 = links.join(vkey_src, "inner", num_partitions,
                     on=("src_title",), right_on=("v_src_title",))
     e2 = e1.join(vkey_dst, "inner", num_partitions,
-                 on=("dst_title",), right_on=("v_dst_title",))
-    edges = e2.select_columns(["src", "dst"])
-    edges.write_parquet(e_path)
+                 on=("dst_title",), right_on=("v_dst_title",)
+                 ).select_columns(["src", "dst", "src_is_redirect"]).materialize()
+    e2.select_columns(["src", "dst"]).write_parquet(e_path)
     edges = ray.data.read_parquet(e_path)
 
     # ---- statistics (reference gatherStatistics, WikiProcessor.kt:174-206)
-    n_articles = _filter_expr(meta, "is_redirect", False).count()
-    n_redirects = redirects.count()
-    article_links = _filter_expr(links, "src_is_redirect", False)
-    occ = article_links.count()
-    resolved = _filter_expr(
-        e2.select_columns(["src_is_redirect"]), "src_is_redirect", False).count()
-    n_edges = edges.count()
+    # one groupby pass per table instead of a count() execution per metric
+    def counts_by(ds, col) -> dict:
+        return {r[col]: r["count()"] for r in ds.groupby(col).count().take_all()}
+
+    meta_counts = counts_by(meta.select_columns(["is_redirect"]), "is_redirect")
+    link_counts = counts_by(links.select_columns(["src_is_redirect"]),
+                            "src_is_redirect")
+    e2_counts = counts_by(e2.select_columns(["src_is_redirect"]),
+                          "src_is_redirect")
+    occ = int(link_counts.get(False, 0))
+    resolved = int(e2_counts.get(False, 0))
     stats = GraphStats(
-        n_articles=n_articles,
-        n_redirects_before=n_redirects,
+        n_articles=int(meta_counts.get(False, 0)),
+        n_redirects_before=int(meta_counts.get(True, 0)),
         n_redirects_dropped=n_dropped,
         article_link_occurrences=occ,
         resolved_article_links=resolved,
         null_article_link_occurrences=occ - resolved,
         n_vertices=vertices.count(),
-        n_edges=n_edges,
+        n_edges=e2.count(),
     )
     with open(s_path, "w") as f:
         json.dump(asdict(stats), f, indent=1)

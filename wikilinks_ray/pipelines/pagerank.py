@@ -99,14 +99,9 @@ def pagerank(
     while it < max_iter and delta >= tol:
         it += 1
         t0 = time.perf_counter()
-        dangling = sum(ray.get([a.dangling_sum.remote(chunk_refs[p])
-                                for p, a in enumerate(actors)]))
-        if P > 1:
-            scatter = [a.scatter.options(num_returns=P).remote(chunk_refs[p])
-                       for p, a in enumerate(actors)]
-        else:
-            scatter = [[a.scatter.remote(chunk_refs[p])]
-                       for p, a in enumerate(actors)]
+        scatter = [a.scatter.options(num_returns=P + 1).remote(chunk_refs[p])
+                   for p, a in enumerate(actors)]
+        dangling = sum(ray.get([s[P] for s in scatter]))
         out = [
             _reduce_rank.options(num_returns=2).remote(
                 sizes[q], damping, n_vertices, dangling, chunk_refs[q],

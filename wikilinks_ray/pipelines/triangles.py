@@ -81,19 +81,25 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8) -> int
 
     oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
 
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        # neighbors of u in oriented order (deg, id); all ordered pairs
-        g = g.sort_values(["vdeg", "v"], kind="mergesort")
-        vs = g["v"].to_numpy()
-        k = len(vs)
-        if k < 2:
-            return pd.DataFrame({"a": np.empty(0, np.int64),
-                                 "b": np.empty(0, np.int64)})
-        ai, bi = np.triu_indices(k, k=1)
-        return pd.DataFrame({"a": vs[ai], "b": vs[bi]})
+    # wedges via a native hash self-join on the apex u (a per-group
+    # map_groups costs a Python call per vertex); the closing edge
+    # (a, b) exists in E' iff (adeg, a) < (bdeg, b), which the wedge
+    # filter already enforces, so orientation and closure agree.
+    w = oriented.join(
+        rename_cols(oriented, {"v": "w", "vdeg": "wdeg"}),
+        "inner", num_partitions, on=("u",))
 
-    w = oriented.groupby("u").map_groups(wedges, batch_format="pandas")
-    closed = w.join(
+    def ordered_wedges(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        vd = t.column("vdeg").to_numpy(zero_copy_only=False)
+        ww = t.column("w").to_numpy(zero_copy_only=False)
+        wd = t.column("wdeg").to_numpy(zero_copy_only=False)
+        keep = (vd < wd) | ((vd == wd) & (v < ww))
+        return pa.table({"a": pa.array(v[keep], pa.int64()),
+                         "b": pa.array(ww[keep], pa.int64())})
+
+    wed = w.map_batches(ordered_wedges, batch_format="pyarrow")
+    closed = wed.join(
         rename_cols(oriented.select_columns(["u", "v"]), {"u": "eu", "v": "ev"}),
         "inner", num_partitions, on=("a", "b"), right_on=("eu", "ev"),
     )

@@ -70,6 +70,98 @@ def extract_pages_meta(batch: pa.Table) -> pa.Table:
     )
 
 
+COMBINED_SCHEMA = pa.schema(
+    [
+        ("kind", pa.int8()),  # 0 = page meta row, 1 = link row
+        ("url", pa.string()),
+        ("title", pa.string()),
+        ("is_redirect", pa.bool_()),
+        ("redirect_target", pa.string()),
+        ("n_links", pa.int64()),
+        ("extracted_text", pa.binary()),
+        ("dst_title", pa.string()),
+        ("ord", pa.int64()),
+    ]
+)
+
+
+class CombinedExtractor:
+    """Single-pass extractor: one meta row (kind=0) AND one row per link
+    (kind=1) per page, in one table.
+
+    At corpus scale the pages input (html + text columns) is the heavy
+    read; running the meta and link extractors separately reads it
+    twice. This emits both row kinds in one pass; downstream splits with
+    a cheap vectorized filter on ``kind`` over the (much smaller)
+    extracted table. Parse work is also done once per page instead of
+    twice.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        kind, url_o, title_o, isrd, rtgt, nlinks, ext, dst, order = \
+            [], [], [], [], [], [], [], [], []
+        for url, text in zip(urls, texts):
+            r, target, links = parse_wikitext(text or "")
+            title = title_from_url(url)
+            kind.append(0)
+            url_o.append(url)
+            title_o.append(title)
+            isrd.append(r)
+            rtgt.append(target)
+            nlinks.append(len(links))
+            ext.append(extracted_text_bytes(r, target, links))
+            dst.append(None)
+            order.append(-1)
+            for j, link in enumerate(links):
+                kind.append(1)
+                url_o.append(url)
+                title_o.append(title)
+                isrd.append(r)
+                rtgt.append(None)
+                nlinks.append(0)
+                ext.append(None)
+                dst.append(link)
+                order.append(j)
+        return pa.table(
+            {
+                "kind": pa.array(kind, pa.int8()),
+                "url": pa.array(url_o, pa.string()),
+                "title": pa.array(title_o, pa.string()),
+                "is_redirect": pa.array(isrd, pa.bool_()),
+                "redirect_target": pa.array(rtgt, pa.string()),
+                "n_links": pa.array(nlinks, pa.int64()),
+                "extracted_text": pa.array(ext, pa.binary()),
+                "dst_title": pa.array(dst, pa.string()),
+                "ord": pa.array(order, pa.int64()),
+            },
+            schema=COMBINED_SCHEMA,
+        )
+
+
+def split_combined(combined: "object"):
+    """combined Dataset -> (meta_ds, links_ds) via vectorized kind filters."""
+    import pyarrow.compute as pc
+
+    def meta_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], 0))
+        return t.select(["url", "title", "is_redirect", "redirect_target",
+                         "n_links", "extracted_text"])
+
+    def links_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], 1))
+        return pa.table({
+            "src_title": t["title"],
+            "dst_title": t["dst_title"],
+            "ord": t["ord"],
+            "src_is_redirect": t["is_redirect"],
+        })
+
+    return (combined.map_batches(meta_part, batch_format="pyarrow"),
+            combined.map_batches(links_part, batch_format="pyarrow"))
+
+
 class LinkExtractor:
     """pages -> flat (src_title, dst_title, ord, src_is_redirect) rows.
 

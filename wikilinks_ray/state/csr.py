@@ -167,12 +167,15 @@ class CSRShardActor:
 
     def scatter(self, rank_chunk: np.ndarray):
         """PageRank combiner: per-dst-range dense partial sums of
-        rank[src]/out_deg[src] over this shard's edges. Returns P arrays
+        rank[src]/out_deg[src] over this shard's edges, plus this
+        shard's dangling rank mass as the LAST return (folded in so a
+        superstep costs one actor RPC, not two). Returns P+1 values
         (None for ranges this shard sends nothing to)."""
         csr = self.csr
         contrib = np.zeros_like(rank_chunk, dtype=np.float64)
         nz = csr.out_deg > 0
         contrib[nz] = rank_chunk[nz] / csr.out_deg[nz]
+        dangling = float(rank_chunk[~nz].sum())
         edge_vals = csr.edge_values_by_dst(contrib)
         out = []
         for q in range(len(self.bounds) - 1):
@@ -183,7 +186,8 @@ class CSRShardActor:
             local = np.zeros(int(self.bounds[q + 1] - self.bounds[q]), dtype=np.float64)
             np.add.at(local, csr.dst_sorted_dst[a:b] - self.bounds[q], edge_vals[a:b])
             out.append(local)
-        return out if len(out) > 1 else out[0]
+        out.append(dangling)
+        return out
 
     def min_push(self, label_chunk: np.ndarray):
         """Hash-min combiner: per-dst-range elementwise-min of incoming
