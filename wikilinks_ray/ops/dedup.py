@@ -59,15 +59,22 @@ def exact_dedup_keep_min(docs: "ray.data.Dataset", *, key: str = "text",
     full documents."""
 
     def add_hash(t: pa.Table) -> pa.Table:
-        hs = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
-              for x in t.column(key).to_pylist()]
-        return pa.table({id_col: t.column(id_col), "__h": pa.array(hs, pa.string())})
+        # full 128-bit digest as two int64 key columns: a truncated
+        # 64-bit key would see birthday collisions (false merges) at
+        # 10^12-document scale
+        h1, h2 = [], []
+        for x in t.column(key).to_pylist():
+            d = hashlib.md5((x or "").encode("utf-8")).digest()
+            h1.append(int.from_bytes(d[:8], "little", signed=True))
+            h2.append(int.from_bytes(d[8:], "little", signed=True))
+        return pa.table({id_col: t.column(id_col),
+                         "__h1": pa.array(h1, pa.int64()),
+                         "__h2": pa.array(h2, pa.int64())})
 
-    from ray.data.aggregate import Min
+    from ..stages.agg import grouped_agg
 
-    kept = (docs.map_batches(add_hash, batch_format="pyarrow")
-            .groupby("__h")
-            .aggregate(Min(id_col, alias_name=id_col)))
+    kept = grouped_agg(docs.map_batches(add_hash, batch_format="pyarrow"),
+                       ["__h1", "__h2"], id_col, "min", out_col=id_col)
     return kept.select_columns([id_col])
 
 
@@ -112,11 +119,13 @@ def ngram_jaccard_pairs(
     """
     from ray.data.aggregate import Count
 
+    from ..stages.agg import grouped_agg
     from ..stages.util import rename_cols
 
     sh = docs.map_batches(ShingleSignatures(k), batch_format="pyarrow",
                           concurrency=concurrency).materialize()
-    sizes = rename_cols(sh.groupby("doc_id").count(), {"count()": "size"}).materialize()
+    sizes = grouped_agg(sh, ["doc_id"], None, "count",
+                        out_col="size").materialize()
 
     # per-shingle doc pairs via a native hash self-join on the shingle
     # (a per-group map_groups here costs a Python call per distinct
@@ -132,9 +141,8 @@ def ngram_jaccard_pairs(
         return pa.table({"a": pa.array(a[keep], pa.int64()),
                          "b": pa.array(b[keep], pa.int64())})
 
-    inter = rename_cols(
-        paired.map_batches(ordered, batch_format="pyarrow")
-        .groupby(["a", "b"]).count(), {"count()": "inter"})
+    inter = grouped_agg(paired.map_batches(ordered, batch_format="pyarrow"),
+                        ["a", "b"], None, "count", out_col="inter")
     j1 = inter.join(rename_cols(sizes, {"doc_id": "a_id", "size": "size_a"}),
                     "inner", num_partitions, on=("a",), right_on=("a_id",))
     j2 = j1.join(rename_cols(sizes, {"doc_id": "b_id", "size": "size_b"}),
@@ -173,13 +181,17 @@ class MinHasher:
         self.b = rng.integers(0, MERSENNE, num_perm, dtype=np.uint64)
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
-        if len(shingles) == 0:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        # (a*x + b) with uint64 wraparound — one (num_perm, S) matmul-shaped
+        sig = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # (a*x + b) with uint64 wraparound — a (num_perm, S)-shaped
         # broadcast, min over shingles. Wrapping mod 2^64 is a standard
-        # universal-hash family for MinHash.
-        prods = self.a[:, None] * shingles[None, :] + self.b[:, None]
-        return prods.min(axis=1)
+        # universal-hash family for MinHash. Chunked so the temporary
+        # stays a few MB: one huge-document temp (num_perm × 100k) costs
+        # SECONDS of first-touch page faults on fresh heap pages.
+        for i in range(0, len(shingles), 4096):
+            chunk = shingles[i:i + 4096]
+            prods = self.a[:, None] * chunk[None, :] + self.b[:, None]
+            np.minimum(sig, prods.min(axis=1), out=sig)
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -227,9 +239,11 @@ def minhash_lsh_candidates(
         ai, bi = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
 
+    from ..stages.agg import distinct_pairs
+
     cand = mh.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
     # distinct pairs (a doc pair can collide in many bands)
-    return cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    return distinct_pairs(cand, "a", "b")
 
 
 class SimHasher:

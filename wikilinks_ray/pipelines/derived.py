@@ -37,8 +37,10 @@ def derived_edges(sf_dir: str) -> "ray.data.Dataset":
             "dst": t.column("l_suppkey").cast(pa.int64()),
         })
 
-    return (li.map_batches(project, batch_format="pyarrow")
-            .groupby(["src", "dst"]).count().select_columns(["src", "dst"]))
+    from ..stages.agg import distinct_pairs
+
+    return distinct_pairs(li.map_batches(project, batch_format="pyarrow"),
+                          "src", "dst")
 
 
 def derived_vertices(edges: "ray.data.Dataset") -> np.ndarray:

@@ -36,9 +36,10 @@ def _canonical_edges(edges: "ray.data.Dataset", num_partitions: int) -> "ray.dat
         lo, hi = np.minimum(s, d), np.maximum(s, d)
         return pa.table({"lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64())})
 
+    from ..stages.agg import distinct_pairs
+
     cn = edges.map_batches(canon, batch_format="pyarrow")
-    # distinct (lo, hi)
-    return cn.groupby(["lo", "hi"]).count().select_columns(["lo", "hi"])
+    return distinct_pairs(cn, "lo", "hi")
 
 
 def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8) -> int:
@@ -51,11 +52,11 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8) -> int
         hi = t.column("hi").to_numpy(zero_copy_only=False)
         return pa.table({"v": pa.array(np.concatenate([lo, hi]), pa.int64())})
 
+    from ..stages.agg import grouped_agg
     from ..stages.util import rename_cols
 
-    deg = rename_cols(
-        und.map_batches(explode, batch_format="pyarrow").groupby("v").count(),
-        {"count()": "deg"}).materialize()
+    deg = grouped_agg(und.map_batches(explode, batch_format="pyarrow"),
+                      ["v"], None, "count", out_col="deg").materialize()
 
     # attach degrees to both endpoints (two hash joins)
     e1 = und.join(rename_cols(deg, {"v": "lo_v", "deg": "lo_deg"}),

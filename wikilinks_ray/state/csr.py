@@ -184,7 +184,14 @@ class CSRShardActor:
                 out.append(None)
                 continue
             local = np.zeros(int(self.bounds[q + 1] - self.bounds[q]), dtype=np.float64)
-            np.add.at(local, csr.dst_sorted_dst[a:b] - self.bounds[q], edge_vals[a:b])
+            # edges are dst-sorted: run-length reduceat beats np.add.at
+            # by ~10x (add.at is a per-element scatter loop)
+            d = csr.dst_sorted_dst[a:b]
+            first = np.empty(b - a, dtype=bool)
+            first[0] = True
+            first[1:] = d[1:] != d[:-1]
+            idx = np.flatnonzero(first)
+            local[d[idx] - self.bounds[q]] = np.add.reduceat(edge_vals[a:b], idx)
             out.append(local)
         out.append(dangling)
         return out
@@ -202,7 +209,12 @@ class CSRShardActor:
                 continue
             size = int(self.bounds[q + 1] - self.bounds[q])
             local = np.full(size, np.iinfo(np.int64).max, dtype=np.int64)
-            np.minimum.at(local, csr.dst_sorted_dst[a:b] - self.bounds[q], edge_vals[a:b])
+            d = csr.dst_sorted_dst[a:b]
+            first = np.empty(b - a, dtype=bool)
+            first[0] = True
+            first[1:] = d[1:] != d[:-1]
+            idx = np.flatnonzero(first)
+            local[d[idx] - self.bounds[q]] = np.minimum.reduceat(edge_vals[a:b], idx)
             out.append(local)
         return out if len(out) > 1 else out[0]
 
