@@ -1,0 +1,62 @@
+"""Bucketed vectorized aggregation tests, incl. salted two-stage mode
+on a pathologically skewed key distribution."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def make_skewed(ray_session, n=200_000, hot_frac=0.6, seed=3):
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    hot = int(n * hot_frac)
+    keys = np.concatenate([np.zeros(hot, np.int64),  # one hub key
+                           rng.integers(1, 5000, n - hot)])
+    vals = rng.integers(0, 100, n)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    return rd.from_arrow(t).repartition(16), keys, vals
+
+
+@pytest.mark.parametrize("op", ["count", "sum", "min"])
+def test_grouped_agg_matches_pandas(ray_session, op):
+    from wikilinks_ray.stages.agg import grouped_agg
+
+    ds, keys, vals = make_skewed(ray_session, n=50_000)
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "v": vals})
+    if op == "count":
+        want = df.groupby("k").size()
+    elif op == "sum":
+        want = df.groupby("k")["v"].sum()
+    else:
+        want = df.groupby("k")["v"].min()
+    got = grouped_agg(ds, ["k"], "v", op, out_col="r").to_pandas()
+    got = got.set_index("k")["r"].sort_index()
+    assert (got == want.sort_index()).all()
+
+
+@pytest.mark.parametrize("op", ["count", "sum", "min"])
+def test_salted_equals_unsalted_on_hub_key(ray_session, op):
+    from wikilinks_ray.stages.agg import grouped_agg
+
+    ds, _keys, _vals = make_skewed(ray_session, n=100_000, hot_frac=0.7)
+    plain = grouped_agg(ds, ["k"], "v", op, out_col="r").to_pandas()
+    salted = grouped_agg(ds, ["k"], "v", op, out_col="r", salt=8).to_pandas()
+    p = plain.set_index("k")["r"].sort_index()
+    s = salted.set_index("k")["r"].sort_index()
+    assert (p == s).all()
+
+
+def test_distinct_pairs(ray_session):
+    import ray.data as rd
+
+    from wikilinks_ray.stages.agg import distinct_pairs
+
+    t = pa.table({"a": pa.array([1, 1, 2, 2, 1], pa.int64()),
+                  "b": pa.array([2, 2, 3, 3, 3], pa.int64())})
+    got = {(r["a"], r["b"]) for r in distinct_pairs(rd.from_arrow(t), "a", "b").take_all()}
+    assert got == {(1, 2), (2, 3), (1, 3)}

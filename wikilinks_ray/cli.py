@@ -87,11 +87,14 @@ class _Welford:
 
 
 def route_benchmark(actors, n, index, n_pairs: int = 50,
-                    seed: int = 0xCAFEBABE) -> dict:
-    """Seeded-random route benchmark (Q5, Benchmarking.java:14-34)."""
+                    seed: int = 0xCAFEBABE, rev_actors=None) -> dict:
+    """Seeded-random route benchmark (Q5, Benchmarking.java:14-34).
+    With ``rev_actors`` the bidirectional finder runs (RouteFinder
+    analog); otherwise plain level-synchronous BFS."""
     import numpy as np
 
     from .pipelines.bfs import shortest_route
+    from .pipelines.bidirectional import bidirectional_route
 
     rng = np.random.default_rng(seed)
     w = _Welford()
@@ -100,7 +103,10 @@ def route_benchmark(actors, n, index, n_pairs: int = 50,
         s, _st = index.random_vertex(rng)
         t, _tt = index.random_vertex(rng)
         t0 = time.perf_counter()
-        route = shortest_route(actors, n, s, t)
+        if rev_actors is not None:
+            route = bidirectional_route(actors, rev_actors, n, s, t)
+        else:
+            route = shortest_route(actors, n, s, t)
         w.add((time.perf_counter() - t0) * 1000.0)
         if route is not None:
             found += 1
@@ -109,7 +115,8 @@ def route_benchmark(actors, n, index, n_pairs: int = 50,
             "max_ms": round(w.max, 2), "sum_ms": round(w.sum, 2)}
 
 
-def _load_query_state(graph_dir: str, num_shards: int):
+def _load_query_state(graph_dir: str, num_shards: int,
+                      bidirectional: bool = False):
     import json as _json
     import os
 
@@ -125,20 +132,34 @@ def _load_query_state(graph_dir: str, num_shards: int):
     paths = shard_edges(res.edges(), n, num_shards,
                         os.path.join(graph_dir, "csr_fwd"), by="src")
     actors, _ = create_shard_actors(paths, n)
+    rev = None
+    if bidirectional:
+        # reverse CSR (transpose) shards — the reference's paired
+        # outEdges/inEdges sections (SegmentWikiGraphStore.kt:100-114)
+        rpaths = shard_edges(res.edges(), n, num_shards,
+                             os.path.join(graph_dir, "csr_rev"), by="dst")
+        rev, _ = create_shard_actors(rpaths, n, key="dst")
     index = VertexIndex(res.vertices_path, n, num_shards)
-    return res, n, actors, index
+    return res, n, actors, rev, index
 
 
 def cmd_query(args) -> int:
     ray = _init_ray()
 
     from .pipelines.bfs import shortest_route
+    from .pipelines.bidirectional import bidirectional_route
 
-    res, n, actors, index = _load_query_state(args.graph, args.shards)
+    res, n, actors, rev, index = _load_query_state(
+        args.graph, args.shards, bidirectional=args.bidirectional)
     print(f"graph loaded: {n} vertices, {res.stats.n_edges} edges")
 
+    def find(s: int, t: int):
+        if rev is not None:
+            return bidirectional_route(actors, rev, n, s, t)
+        return shortest_route(actors, n, s, t)
+
     if args.benchmark:
-        print(json.dumps(route_benchmark(actors, n, index)))
+        print(json.dumps(route_benchmark(actors, n, index, rev_actors=rev)))
         ray.shutdown()
         return 0
 
@@ -176,7 +197,7 @@ def cmd_query(args) -> int:
         if s is None or t is None:
             continue
         t0 = time.perf_counter()
-        route = shortest_route(actors, n, s, t)
+        route = find(s, t)
         ms = (time.perf_counter() - t0) * 1000
         if route is None:
             print(f"  no route ({ms:.0f} ms)")
@@ -210,6 +231,8 @@ def main(argv=None) -> int:
     q.add_argument("--graph", required=True)
     q.add_argument("--shards", type=int, default=4)
     q.add_argument("--benchmark", action="store_true")
+    q.add_argument("--bidirectional", action="store_true",
+                   help="use the bidirectional finder (builds reverse CSR)")
     q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)

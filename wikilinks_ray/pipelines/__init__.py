@@ -7,4 +7,5 @@ from .components import (  # noqa: F401
 )
 from .labelprop import label_propagation, LabelPropResult  # noqa: F401
 from .bfs import multi_source_bfs, shortest_route, BFSResult  # noqa: F401
+from .bidirectional import bidirectional_route  # noqa: F401
 from .triangles import triangle_count  # noqa: F401

@@ -72,12 +72,36 @@ def grouped_agg(
     *,
     num_buckets: int = 64,
     out_col: str = "agg",
+    salt: int = 1,
 ) -> "ray.data.Dataset":
     """groupby(key_cols).op(val_col) with the bucketed vectorized plan.
 
     ``op='count'`` ignores ``val_col``. Output: key_cols + out_col.
+
+    ``salt > 1`` enables two-stage salted aggregation for hot keys: the
+    first stage aggregates on ``(key, salt)`` where the salt spreads a
+    single key's rows across ``salt`` sub-groups (and therefore across
+    reducers), and a second, much smaller pass merges the per-salt
+    partials. sum/count/min compose exactly. Use when one key can
+    receive a significant fraction of ALL rows (e.g. in-degree counts of
+    a hub vertex) — the per-batch combiner already collapses duplicates
+    within a batch, so salting only matters when a key's post-combine
+    partials still swamp one reducer.
     """
     kc = list(key_cols)
+    if salt > 1:
+        def add_salt(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__salt", pa.array(np.arange(t.num_rows, dtype=np.int64)
+                                   % salt))
+
+        stage1 = grouped_agg(
+            ds.map_batches(add_salt, batch_format="pyarrow"),
+            kc + ["__salt"], val_col, op,
+            num_buckets=num_buckets, out_col=out_col)
+        merge_op = "sum" if op == "count" else op
+        return grouped_agg(stage1, kc, out_col, merge_op,
+                           num_buckets=num_buckets, out_col=out_col)
 
     def partial(t: pa.Table) -> pa.Table:
         keys = [t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)

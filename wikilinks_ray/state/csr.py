@@ -151,8 +151,12 @@ class CSRShardData:
 class CSRShardActor:
     """One actor per shard; adjacency loaded once, served every superstep."""
 
-    def __init__(self, path: str, lo: int, hi: int, bounds: list[int]):
-        self.csr = CSRShardData(path, lo, hi)
+    def __init__(self, path: str, lo: int, hi: int, bounds: list[int],
+                 key: str = "src"):
+        # key="src": forward adjacency; key="dst": the shard was written
+        # by shard_edges(by="dst") and this actor serves the REVERSE
+        # adjacency (owner = dst, neighbors = srcs)
+        self.csr = CSRShardData(path, lo, hi, key=key)
         self.bounds = np.asarray(bounds, dtype=np.int64)
         self.segs = self.csr.range_segments(self.bounds)
 
@@ -287,13 +291,16 @@ class CSRShardActor:
         return out if P > 1 else out[0]
 
 
-def create_shard_actors(shard_paths: list[str], n_vertices: int):
-    """Spawn one CSRShardActor per shard; blocks until all loaded."""
+def create_shard_actors(shard_paths: list[str], n_vertices: int,
+                        key: str = "src"):
+    """Spawn one CSRShardActor per shard; blocks until all loaded.
+    ``key="dst"`` loads shards written with ``shard_edges(by="dst")`` as
+    the reverse adjacency."""
     P = len(shard_paths)
     bounds = vertex_ranges(n_vertices, P)
     actors = [
         CSRShardActor.remote(shard_paths[p], int(bounds[p]), int(bounds[p + 1]),
-                             bounds.tolist())
+                             bounds.tolist(), key)
         for p in range(P)
     ]
     ray.get([a.ready.remote() for a in actors])
