@@ -267,6 +267,16 @@ def q_events_windowed(sf_dir: str):
 
 # ---- training-data ops family -------------------------------------------
 
+def q_events_sessions(sf_dir: str):
+    """Sessionization: per-user sessions split at >1h gaps (session
+    windows over the keyed event log; ordering handled per group)."""
+    from wikilinks_ray.ops.windows import session_windows
+
+    _quiet()
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return session_windows(ev, gap_s=3600)
+
+
 def q_dedup_exact(sf_dir: str):
     from wikilinks_ray.ops.dedup import exact_dedup_keep_min
 
@@ -375,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -462,6 +473,26 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value
             FROM events
             GROUP BY user_id, window_start
+        """,
+        "events_sessions": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            ),
+            m AS (SELECT user_id, us,
+                         CASE WHEN prev IS NULL OR us - prev > 3600000000
+                              THEN 1 ELSE 0 END AS brk
+                  FROM o),
+            s AS (SELECT user_id, us,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM m)
+            SELECT user_id, session_id,
+                   min(us) AS session_start_us,
+                   count(*) AS n_events,
+                   max(us) - min(us) AS duration_us
+            FROM s GROUP BY user_id, session_id
         """,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "dedup_ngram_jaccard": r"""

@@ -199,3 +199,20 @@ def test_triangle_count_small_known(ray_session):
                       [1, 0]])  # duplicate reversed edge must not double-count
     got = triangle_count(edges_ds(pairs), num_partitions=2)
     assert got == 4
+
+
+def test_bfs_checkpoint_resume_identical(rand_graph, tmp_path):
+    n, _pairs, _ds, fwd, _symA = rand_graph
+    sources = [0, 7]
+    fresh = multi_source_bfs(fwd, n, sources)
+    ck = str(tmp_path / "bfs_ck")
+    partial = multi_source_bfs(fwd, n, sources, max_levels=2, checkpoint_dir=ck)
+    assert partial.levels == 2
+    resumed = multi_source_bfs(fwd, n, sources, checkpoint_dir=ck, resume=True)
+    assert (resumed.distances() == fresh.distances()).all()
+    # parents define valid shortest-path trees after resume too
+    d = resumed.distances()
+    for v in range(0, n, 37):
+        if d[v, 0] > 0:
+            path = resumed.path_to(v, 0)
+            assert path is not None and len(path) - 1 == d[v, 0]

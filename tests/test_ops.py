@@ -242,3 +242,31 @@ def test_multimodal_real_decode_raises(ray_session):
             "media_id": pa.array([1], pa.int64()),
             "payload": pa.array([make_fake_image(1, 4, 4)], pa.binary()),
         }))
+
+
+def test_windows_ops(ray_session):
+    import ray.data as rd
+
+    from wikilinks_ray.ops.windows import (
+        session_windows, sliding_windows, tumbling_windows,
+    )
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    df = ev.to_pandas()
+
+    tw = tumbling_windows(ev, size_s=3600).to_pandas()
+    # oracle: pandas global groupby
+    w = (df["ts"].astype("int64") // 10**6) // 3600
+    want = df.groupby(["user_id", w]).size()
+    got = tw.set_index(["user_id", "window_start"])["n_events"].sort_index()
+    assert (got == want.sort_index()).all()
+
+    sw = session_windows(ev, gap_s=3600).to_pandas()
+    # per-session event counts sum to the total; durations non-negative
+    assert sw["n_events"].sum() == len(df)
+    assert (sw["duration_us"] >= 0).all()
+    assert (sw.groupby("user_id")["session_id"].min() == 1).all()
+
+    sl = sliding_windows(ev, size_s=3600, hop_s=1800).to_pandas()
+    # every event lands in exactly size/hop = 2 windows
+    assert sl["n_events"].sum() == 2 * len(df)

@@ -104,3 +104,16 @@ def test_checkpoint_manifest_lineage(graph_actors, tmp_path):
     assert m["iteration"] == 3
     assert [c["partition"] for c in m["chunks"]] == [0, 1, 2, 3]
     assert len(m["metrics"]["history"]) == 3
+
+
+def test_pagerank_shuffle_matches_actor_path(graph_actors):
+    """The pure-Dataset groupby-aggregate form and the actor-pool
+    combiner form are the same algorithm: fixed iterations, same
+    damping -> near-bitwise agreement."""
+    from wikilinks_ray.pipelines.pagerank_shuffle import pagerank_shuffle
+
+    actors, n, res = graph_actors
+    iters = 15
+    actor_res = pagerank(actors, n, damping=0.85, tol=0.0, max_iter=iters)
+    shuffle_ranks = pagerank_shuffle(res.edges(), n, damping=0.85, iters=iters)
+    assert np.allclose(actor_res.to_array(), shuffle_ranks, atol=1e-12)

@@ -33,6 +33,7 @@ import numpy as np
 
 import ray
 
+from ..state.checkpoint import latest_checkpoint_multi, save_checkpoint_multi
 from ..state.csr import vertex_ranges
 
 
@@ -106,34 +107,52 @@ def multi_source_bfs(
     *,
     max_levels: int = 10_000,
     stop_targets: list[tuple[int, int]] | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = True,
 ) -> BFSResult:
-    """``stop_targets``: optional (sid, vertex) pairs; expansion stops
+    """Level-synchronous BFS from K sources in one pass.
+
+    ``stop_targets``: optional (sid, vertex) pairs; expansion stops
     early once every pair has been reached (single-pair route queries
     don't explore the whole graph — the reference stops at frontier
-    intersection, RouteFinder.kt:91-93)."""
-    """Level-synchronous BFS from K sources in one pass."""
+    intersection, RouteFinder.kt:91-93). With ``checkpoint_dir`` every
+    superstep persists per-partition dist/parent/frontier chunks + a
+    manifest, and ``resume=True`` continues from the newest complete
+    level."""
     P = len(actors)
     K = len(sources)
     bounds = vertex_ranges(n_vertices, P)
     sizes = [int(bounds[p + 1] - bounds[p]) for p in range(P)]
 
-    dist_refs, parent_refs = [], []
-    frontier_v = [np.empty(0, np.int64) for _ in range(P)]
-    frontier_s = [np.empty(0, np.int64) for _ in range(P)]
-    for p in range(P):
-        dist = np.full((sizes[p], K), -1, dtype=np.int32)
-        parent = np.full((sizes[p], K), -1, dtype=np.int64)
-        for sid, src in enumerate(sources):
-            if bounds[p] <= src < bounds[p + 1]:
-                dist[src - bounds[p], sid] = 0
-                parent[src - bounds[p], sid] = src
-                frontier_v[p] = np.append(frontier_v[p], src)
-                frontier_s[p] = np.append(frontier_s[p], sid)
-        dist_refs.append(ray.put(dist))
-        parent_refs.append(ray.put(parent))
+    start_level = 0
+    dist_refs = None
+    if resume and checkpoint_dir:
+        ck = latest_checkpoint_multi(checkpoint_dir)
+        if ck is not None:
+            start_level, named, _m = ck
+            dist_refs = [ray.put(c) for c in named["dist"]]
+            parent_refs = [ray.put(c) for c in named["parent"]]
+            frontier_v = list(named["frontier_v"])
+            frontier_s = list(named["frontier_s"])
+    if dist_refs is None:
+        dist_refs, parent_refs = [], []
+        frontier_v = [np.empty(0, np.int64) for _ in range(P)]
+        frontier_s = [np.empty(0, np.int64) for _ in range(P)]
+        for p in range(P):
+            dist = np.full((sizes[p], K), -1, dtype=np.int32)
+            parent = np.full((sizes[p], K), -1, dtype=np.int64)
+            for sid, src in enumerate(sources):
+                if bounds[p] <= src < bounds[p + 1]:
+                    dist[src - bounds[p], sid] = 0
+                    parent[src - bounds[p], sid] = src
+                    frontier_v[p] = np.append(frontier_v[p], src)
+                    frontier_s[p] = np.append(frontier_s[p], sid)
+            dist_refs.append(ray.put(dist))
+            parent_refs.append(ray.put(parent))
 
-    level = 0
-    for level in range(1, max_levels + 1):
+    level = start_level
+    for level in range(start_level + 1, max_levels + 1):
         active = [p for p in range(P) if len(frontier_v[p])]
         if not active:
             level -= 1
@@ -160,6 +179,13 @@ def multi_source_bfs(
         new_f = ray.get([o[2] for o in out])
         new_s = ray.get([o[3] for o in out])
         frontier_v, frontier_s = list(new_f), list(new_s)
+        if checkpoint_dir and level % checkpoint_every == 0:
+            save_checkpoint_multi(
+                checkpoint_dir, level,
+                {"dist": ray.get(dist_refs), "parent": ray.get(parent_refs),
+                 "frontier_v": frontier_v, "frontier_s": frontier_s},
+                {"level": level,
+                 "frontier_size": int(sum(len(f) for f in frontier_v))})
         if stop_targets:
             reached = set()
             for q in range(P):

@@ -110,11 +110,13 @@ def grouped_agg(
             vals = np.ones(len(keys[0]), dtype=np.int64)
             red = "sum"
         else:
-            vals = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = t.column(val_col).to_numpy(zero_copy_only=False)
+            vals = vals.astype(np.float64 if np.issubdtype(vals.dtype, np.floating)
+                               else np.int64)
             red = op
         out_keys, out_vals = _rle_reduce(keys, vals, red)
         cols = {c: pa.array(k, pa.int64()) for c, k in zip(kc, out_keys)}
-        cols[out_col] = pa.array(out_vals, pa.int64())
+        cols[out_col] = pa.array(out_vals)
         cols["__part"] = pa.array(
             _bucket_of(*out_keys, num_buckets=num_buckets) if len(out_vals)
             else np.empty(0, np.int64))
