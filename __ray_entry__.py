@@ -267,6 +267,45 @@ def q_events_windowed(sf_dir: str):
 
 # ---- training-data ops family -------------------------------------------
 
+def q_doc_source_stats(sf_dir: str):
+    """Per-source document stats (groupby + multi-agg over documents)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    _quiet()
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    agg = docs.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Max("n_chars", alias_name="max_chars"))
+    return agg.to_pandas()
+
+
+def q_top_parts(sf_dir: str):
+    """join lineitem⋈part + groupby + sort + limit: top 10 parts by
+    shipped quantity (exact int sums)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from wikilinks_ray.stages.util import rename_cols
+
+    _quiet()
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def qty_int(t: pa.Table) -> pa.Table:
+        q = pc.round(t["l_quantity"]).cast(pa.int64())  # quantities are integral
+        return pa.table({"l_partkey": t["l_partkey"], "q": q})
+
+    per_part = rename_cols(
+        li.map_batches(qty_int, batch_format="pyarrow")
+        .groupby("l_partkey").aggregate(Sum("q", alias_name="total_qty")),
+        {"l_partkey": "p_partkey"})
+    j = per_part.join(part, "inner", 4, on=("p_partkey",))
+    df = j.to_pandas().sort_values(["total_qty", "p_partkey"],
+                                   ascending=[False, True]).head(10)
+    return df[["p_partkey", "p_name", "total_qty"]].reset_index(drop=True)
+
+
 def q_events_sessions(sf_dir: str):
     """Sessionization: per-user sessions split at >1h gaps (session
     windows over the keyed event log; ordering handled per group)."""
@@ -309,6 +348,19 @@ def q_dedup_simhash(sf_dir: str):
 
     _quiet()
     return simhash_signatures(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_dedup_simhash_pairs(sf_dir: str):
+    """Rows-only: near-dup pairs at hamming<=8 via distributed
+    pigeonhole blocking."""
+    from wikilinks_ray.ops.dedup import (
+        simhash_near_dup_pairs_ds,
+        simhash_signatures,
+    )
+
+    _quiet()
+    sigs = simhash_signatures(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return simhash_near_dup_pairs_ds(sigs, max_hamming=8)
 
 
 def q_embedding_near_dups(sf_dir: str):
@@ -386,10 +438,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": q_top_customers,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
+        "doc_source_stats": q_doc_source_stats,
+        "top_parts": q_top_parts,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
@@ -473,6 +528,19 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value
             FROM events
             GROUP BY user_id, window_start
+        """,
+        "doc_source_stats": """
+            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY source
+        """,
+        "top_parts": """
+            SELECT p_partkey, p_name,
+                   sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_partkey, p_name
+            ORDER BY total_qty DESC, p_partkey
+            LIMIT 10
         """,
         "events_sessions": """
             WITH o AS (

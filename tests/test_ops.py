@@ -270,3 +270,20 @@ def test_windows_ops(ray_session):
     sl = sliding_windows(ev, size_s=3600, hop_s=1800).to_pandas()
     # every event lands in exactly size/hop = 2 windows
     assert sl["n_events"].sum() == 2 * len(df)
+
+
+def test_simhash_distributed_matches_driver_finisher(docs_with_dups):
+    from wikilinks_ray.ops.dedup import (
+        simhash_near_dup_pairs,
+        simhash_near_dup_pairs_ds,
+        simhash_signatures,
+    )
+
+    ds, _full, base = docs_with_dups
+    sigs = simhash_signatures(ds)
+    want = simhash_near_dup_pairs(pd.DataFrame(sigs.take_all()), max_hamming=3)
+    got = pd.DataFrame(simhash_near_dup_pairs_ds(sigs, max_hamming=3).take_all())
+    w = set(zip(want["a"], want["b"], want["hamming"]))
+    g = set(zip(got["a"], got["b"], got["hamming"]))
+    assert g == w
+    assert (0, base + 0, 0) in g  # identical docs, hamming 0

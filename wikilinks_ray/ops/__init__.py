@@ -4,6 +4,8 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     minhash_lsh_candidates,
     simhash_signatures,
+    simhash_near_dup_pairs_ds,
     embedding_near_dup_pairs,
 )
 from .similarity import brute_force_top_k, lsh_top_k  # noqa: F401
+from .windows import tumbling_windows, session_windows, sliding_windows  # noqa: F401

@@ -279,6 +279,67 @@ def simhash_signatures(docs: "ray.data.Dataset", *, concurrency: int = 4) -> "ra
                             concurrency=concurrency)
 
 
+def simhash_near_dup_pairs_ds(
+    sigs: "ray.data.Dataset",
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 500,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Distributed SimHash near-dup pairs (a < b, hamming <= k).
+
+    Pigeonhole blocking: a pair within hamming<=3 of a 64-bit signature
+    must agree exactly on at least one of the 4 16-bit segments, so each
+    signature emits 4 (segment, segment_value) rows, candidates form
+    inside ``groupby(segment_key)`` buckets (vectorized XOR popcount per
+    bucket), and a final grouped-min dedups pairs found in several
+    segments. Buckets over ``max_bucket`` docs are dropped (a
+    non-discriminative segment would emit O(m²) pairs).
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        segs, keys, oid, osh = [], [], [], []
+        for seg in range(4):
+            key = ((sh >> np.uint64(16 * seg)) & np.uint64(0xFFFF)).astype(np.int64)
+            segs.append(np.full(len(ids), seg, dtype=np.int64))
+            keys.append(key)
+            oid.append(ids)
+            osh.append(sh)
+        return pa.table({
+            "seg": pa.array(np.concatenate(segs)),
+            "key": pa.array(np.concatenate(keys)),
+            "doc_id": pa.array(np.concatenate(oid)),
+            "simhash": pa.array(np.concatenate(osh)),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        m = len(ids)
+        empty = pd.DataFrame({"a": np.empty(0, np.int64),
+                              "b": np.empty(0, np.int64),
+                              "hamming": np.empty(0, np.int64)})
+        if m < 2 or m > max_bucket:
+            return empty
+        ai, bi = np.triu_indices(m, k=1)
+        x = sh[ai] ^ sh[bi]
+        # vectorized popcount via uint8 view + lookup table
+        pop = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        keep = pop <= max_hamming
+        a, b = ids[ai[keep]], ids[bi[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a": lo, "b": hi,
+                             "hamming": pop[keep].astype(np.int64)})
+
+    from ..stages.agg import grouped_agg
+
+    cand = (sigs.map_batches(explode, batch_format="pyarrow")
+            .groupby(["seg", "key"]).map_groups(bucket_pairs, batch_format="pandas"))
+    return grouped_agg(cand, ["a", "b"], "hamming", "min", out_col="hamming")
+
+
 def simhash_near_dup_pairs(sigs_df: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
     """Block by 4 × 16-bit segments (a pair within hamming<=3 must agree
     on at least one segment — pigeonhole); verify hamming exactly.
