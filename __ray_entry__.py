@@ -530,13 +530,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, window_start
         """,
         "doc_source_stats": """
-            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+            SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY source
         """,
         "top_parts": """
             SELECT p_partkey, p_name,
-                   sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+                   sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS total_qty
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_partkey, p_name
             ORDER BY total_qty DESC, p_partkey
@@ -553,8 +553,8 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1 ELSE 0 END AS brk
                   FROM o),
             s AS (SELECT user_id, us,
-                         sum(brk) OVER (PARTITION BY user_id ORDER BY us
-                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                         (sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                        ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
                   FROM m)
             SELECT user_id, session_id,
                    min(us) AS session_start_us,
