@@ -107,6 +107,22 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     multi_source_bfs(fwd, n, sources)
     timings["multi_source_bfs"] = time.perf_counter() - t0
 
+    # signature workload: seeded route queries over fwd+rev CSR
+    # (reference benchmark protocol, Benchmarking.java:14-34)
+    from wikilinks_ray.pipelines.bidirectional import bidirectional_route
+
+    rev_paths = shard_edges(built.edges(), n, num_shards,
+                            f"{graph_dir}/csr_rev", by="dst")
+    rev, _ = create_shard_actors(rev_paths, n, key="dst")
+    t0 = time.perf_counter()
+    pairs = [(int(rng.integers(n)), int(rng.integers(n))) for _ in range(10)]
+    found = sum(bidirectional_route(fwd, rev, n, s, t) is not None
+                for s, t in pairs)
+    timings["route_queries"] = time.perf_counter() - t0
+    extras["routes_found"] = found
+    for a in rev:
+        ray.kill(a)
+
     t0 = time.perf_counter()
     extras["triangles"] = triangle_count(built.edges(),
                                          num_partitions=num_shards)

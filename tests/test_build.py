@@ -128,3 +128,27 @@ def test_distributed_redirect_fixpoint_matches_local(ray_session, small_corpus):
     dist = find_redirect_loop_members(redirects, num_partitions=4, driver_side_limit=0)
     got = {r["src"] for r in dist.take_all()}
     assert got == spec.loop_redirects
+
+
+def test_build_differential_configs(ray_session, small_corpus, tmp_path):
+    """WikiReaderTest.kt:238-285 analog at the build level: different
+    parallelism configs must produce identical vertices/edges/stats
+    (content-derived ids make block order irrelevant)."""
+    import ray.data as rd
+
+    from wikilinks_ray.pipelines.build import build_graph
+
+    table, _spec, base_res = small_corpus
+    for blocks, parts, conc in ((4, 2, 2), (16, 6, 3)):
+        ds = rd.from_arrow(table).repartition(blocks)
+        res = build_graph(ds, str(tmp_path / f"d{blocks}"),
+                          num_partitions=parts, extract_concurrency=conc,
+                          overwrite=True)
+        assert res.stats == base_res.stats
+        vp = res.vertices().to_pandas().sort_values("id").reset_index(drop=True)
+        vb = base_res.vertices().to_pandas().sort_values("id").reset_index(drop=True)
+        assert vp[["id", "title", "is_redirect"]].equals(
+            vb[["id", "title", "is_redirect"]])
+        ep = set(map(tuple, res.edges().to_pandas().values))
+        eb = set(map(tuple, base_res.edges().to_pandas().values))
+        assert ep == eb

@@ -45,6 +45,16 @@ def compare(name, ray_df, sql_df) -> list[str]:
     if sorted(ray_df.columns) != sorted(sql_df.columns):
         problems.append(f"columns differ: {sorted(ray_df.columns)} vs {sorted(sql_df.columns)}")
         return problems
+    # schema strictness: numeric KIND must match (int vs float), mirroring
+    # a schema-sensitive driver comparison
+    for c in sorted(ray_df.columns):
+        a, b = ray_df[c].dtype, sql_df[c].dtype
+        ka = "f" if np.issubdtype(a, np.floating) else (
+            "i" if np.issubdtype(a, np.integer) else "o")
+        kb = "f" if np.issubdtype(b, np.floating) else (
+            "i" if np.issubdtype(b, np.integer) else "o")
+        if ka != kb:
+            problems.append(f"dtype kind differs on {c}: {a} vs {b}")
     if len(ray_df) != len(sql_df):
         problems.append(f"row count {len(ray_df)} vs {len(sql_df)}")
     a, b = canonical(ray_df), canonical(sql_df)
