@@ -111,9 +111,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     # (reference benchmark protocol, Benchmarking.java:14-34)
     from wikilinks_ray.pipelines.bidirectional import bidirectional_route
 
+    t0 = time.perf_counter()
     rev_paths = shard_edges(built.edges(), n, num_shards,
                             f"{graph_dir}/csr_rev", by="dst")
     rev, _ = create_shard_actors(rev_paths, n, key="dst")
+    timings["csr_rev_build"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     pairs = [(int(rng.integers(n)), int(rng.integers(n))) for _ in range(10)]
     found = sum(bidirectional_route(fwd, rev, n, s, t) is not None
