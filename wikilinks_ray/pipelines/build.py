@@ -197,6 +197,10 @@ def build_graph(
         CombinedExtractor, batch_format="pyarrow",
         batch_size=extract_batch_size,
         concurrency=extract_concurrency).materialize()
+    # meta/links materialize once each: they are consumed by 3-4
+    # downstream passes (fixpoint, ids, joins, stats) and re-running the
+    # kind-filter over the big combined table per consumer measured
+    # slower (43.5s vs 38.9s at 400k pages) than materializing
     meta, links = split_combined(combined)
     meta = meta.materialize()
     links = links.materialize()
