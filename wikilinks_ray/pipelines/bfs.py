@@ -39,14 +39,19 @@ from ..state.csr import vertex_ranges
 
 @ray.remote
 def _bfs_reduce(lo: int, level: int, dist: np.ndarray, parent: np.ndarray,
-                *candidates) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Apply candidates to (dist, parent); return new state + frontier."""
+                stop_pairs, *candidates):
+    """Apply candidates to (dist, parent); return new state + frontier +
+    small driver-facing scalars: (dist, parent, frontier_v, frontier_s,
+    n_new, reached). The frontier arrays stay in the object store — the
+    driver only pulls ``n_new`` (termination) and ``reached`` (which
+    stop pairs were discovered this level), so frontier bytes never
+    transit the driver."""
     ds = [c[0] for c in candidates if c is not None and len(c[0])]
     ps = [c[1] for c in candidates if c is not None and len(c[0])]
     ss = [c[2] for c in candidates if c is not None and len(c[0])]
     empty = np.empty(0, np.int64)
     if not ds:
-        return dist, parent, empty, empty
+        return dist, parent, empty, empty, 0, []
     d = np.concatenate(ds) - lo
     p = np.concatenate(ps)
     s = np.concatenate(ss)
@@ -58,12 +63,16 @@ def _bfs_reduce(lo: int, level: int, dist: np.ndarray, parent: np.ndarray,
     unvisited = dist[d, s] < 0
     d, p, s = d[unvisited], p[unvisited], s[unvisited]
     if len(d) == 0:
-        return dist, parent, empty, empty
+        return dist, parent, empty, empty, 0, []
     dist = dist.copy()
     parent = parent.copy()
     dist[d, s] = level
     parent[d, s] = p
-    return dist, parent, d + lo, s
+    reached = []
+    if stop_pairs:
+        found = {(int(sid), int(v + lo)) for v, sid in zip(d, s)}
+        reached = [t for t in stop_pairs if t in found]
+    return dist, parent, d + lo, s, int(len(d)), reached
 
 
 @dataclass
@@ -151,9 +160,10 @@ def multi_source_bfs(
             dist_refs.append(ray.put(dist))
             parent_refs.append(ray.put(parent))
 
+    frontier_counts = [len(f) for f in frontier_v]  # init arrays are local
     level = start_level
     for level in range(start_level + 1, max_levels + 1):
-        active = [p for p in range(P) if len(frontier_v[p])]
+        active = [p for p in range(P) if frontier_counts[p]]
         if not active:
             level -= 1
             break
@@ -169,29 +179,32 @@ def multi_source_bfs(
             expand = {p: [actors[p].bfs_expand.remote(frontier_v[p], frontier_s[p])]
                       for p in active}
         out = [
-            _bfs_reduce.options(num_returns=4).remote(
+            _bfs_reduce.options(num_returns=6).remote(
                 int(bounds[q]), level, dist_refs[q], parent_refs[q],
+                stop_targets or [],
                 *[expand[p][q] for p in active])
             for q in range(P)
         ]
         dist_refs = [o[0] for o in out]
         parent_refs = [o[1] for o in out]
-        new_f = ray.get([o[2] for o in out])
-        new_s = ray.get([o[3] for o in out])
-        frontier_v, frontier_s = list(new_f), list(new_s)
+        # frontier arrays stay as refs; only tiny counts/reached transit
+        frontier_v = [o[2] for o in out]
+        frontier_s = [o[3] for o in out]
+        counts = ray.get([o[4] for o in out])
+        frontier_counts = list(counts)
         if checkpoint_dir and level % checkpoint_every == 0:
+            fv = ray.get(frontier_v)
+            fs = ray.get(frontier_s)
             save_checkpoint_multi(
                 checkpoint_dir, level,
                 {"dist": ray.get(dist_refs), "parent": ray.get(parent_refs),
-                 "frontier_v": frontier_v, "frontier_s": frontier_s},
-                {"level": level,
-                 "frontier_size": int(sum(len(f) for f in frontier_v))})
+                 "frontier_v": fv, "frontier_s": fs},
+                {"level": level, "frontier_size": int(sum(counts))})
         if stop_targets:
             reached = set()
-            for q in range(P):
-                for v, s in zip(frontier_v[q], frontier_s[q]):
-                    reached.add((int(s), int(v)))
-            stop_targets = [t for t in stop_targets if t not in reached]
+            for r in ray.get([o[5] for o in out]):
+                reached.update(tuple(t) for t in r)
+            stop_targets = [t for t in stop_targets if tuple(t) not in reached]
             if not stop_targets:
                 break
 

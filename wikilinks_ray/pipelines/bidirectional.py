@@ -43,7 +43,7 @@ def _bd_reduce(lo: int, level: int, dist: np.ndarray, parent: np.ndarray,
     ps = [c[1] for c in candidates if c is not None and len(c[0])]
     empty = np.empty(0, np.int64)
     if not ds:
-        return dist, parent, empty, empty, empty
+        return dist, parent, empty, 0, empty, empty
     d = np.concatenate(ds) - lo
     p = np.concatenate(ps)
     uniq, first_idx = np.unique(d, return_index=True)
@@ -51,13 +51,14 @@ def _bd_reduce(lo: int, level: int, dist: np.ndarray, parent: np.ndarray,
     unvisited = dist[d] < 0
     d, p = d[unvisited], p[unvisited]
     if len(d) == 0:
-        return dist, parent, empty, empty, empty
+        return dist, parent, empty, 0, empty, empty
     dist = dist.copy()
     parent = parent.copy()
     dist[d] = level
     parent[d] = p
     meet = d[other_dist[d] >= 0]
-    return dist, parent, d + lo, meet + lo, other_dist[meet] + level
+    return (dist, parent, d + lo, int(len(d)),
+            meet + lo, other_dist[meet] + level)
 
 
 class _Side:
@@ -66,7 +67,10 @@ class _Side:
         self.bounds = bounds
         self.dist = []
         self.parent = []
+        # frontier chunks live in the object store (refs) after the first
+        # expansion; only per-chunk counts transit the driver
         self.frontier = [np.empty(0, np.int64) for _ in sizes]
+        self.counts = [0] * len(sizes)
         for p, size in enumerate(sizes):
             dist = np.full(size, -1, dtype=np.int32)
             parent = np.full(size, -1, dtype=np.int64)
@@ -74,28 +78,28 @@ class _Side:
                 dist[start - bounds[p]] = 0
                 parent[start - bounds[p]] = start
                 self.frontier[p] = np.array([start], dtype=np.int64)
+                self.counts[p] = 1
             self.dist.append(ray.put(dist))
             self.parent.append(ray.put(parent))
         self.depth = 0
 
     def frontier_size(self) -> int:
-        return sum(len(f) for f in self.frontier)
+        return sum(self.counts)
 
     def expand(self, other: "_Side"):
         """One level; returns (meet_vertices, total_lengths)."""
         P = len(self.actors)
         self.depth += 1
-        active = [p for p in range(P) if len(self.frontier[p])]
-        sid = [np.zeros(len(self.frontier[p]), dtype=np.int64) for p in range(P)]
+        active = [p for p in range(P) if self.counts[p]]
         if P > 1:
-            ex = {p: self.actors[p].bfs_expand.options(num_returns=P).remote(
-                self.frontier[p], sid[p]) for p in active}
+            ex = {p: self.actors[p].bfs_expand_mono.options(num_returns=P).remote(
+                self.frontier[p]) for p in active}
         else:
-            ex = {p: [self.actors[p].bfs_expand.remote(self.frontier[p], sid[p])]
+            ex = {p: [self.actors[p].bfs_expand_mono.remote(self.frontier[p])]
                   for p in active}
 
         out = [
-            _bd_reduce.options(num_returns=5).remote(
+            _bd_reduce.options(num_returns=6).remote(
                 int(self.bounds[q]), self.depth, self.dist[q], self.parent[q],
                 other.dist[q],
                 *[ex[p][q] for p in active])
@@ -103,9 +107,10 @@ class _Side:
         ]
         self.dist = [o[0] for o in out]
         self.parent = [o[1] for o in out]
-        self.frontier = list(ray.get([o[2] for o in out]))
-        meets = ray.get([o[3] for o in out])
-        totals = ray.get([o[4] for o in out])
+        self.frontier = [o[2] for o in out]
+        self.counts = list(ray.get([o[3] for o in out]))
+        meets = ray.get([o[4] for o in out])
+        totals = ray.get([o[5] for o in out])
         mv = np.concatenate(meets) if meets else np.empty(0, np.int64)
         mt = np.concatenate(totals) if totals else np.empty(0, np.int64)
         return mv, mt

@@ -256,6 +256,13 @@ class CSRShardActor:
             out.append((csr.dst_sorted_dst[a:b], edge_vals[a:b]))
         return out if len(out) > 1 else out[0]
 
+    def bfs_expand_mono(self, frontier_v: np.ndarray):
+        """Single-source expansion: like bfs_expand with sid=0 for all
+        frontier vertices (callers holding the frontier only as an
+        object ref can't size a sid array driver-side)."""
+        return self.bfs_expand(frontier_v,
+                               np.zeros(len(frontier_v), dtype=np.int64))
+
     def bfs_expand(self, frontier_v: np.ndarray, frontier_sid: np.ndarray):
         """Multi-source BFS expansion: for frontier vertices owned by
         this shard, emit (dst, parent, sid) candidates pre-partitioned
