@@ -216,3 +216,10 @@ def test_bfs_checkpoint_resume_identical(rand_graph, tmp_path):
         if d[v, 0] > 0:
             path = resumed.path_to(v, 0)
             assert path is not None and len(path) - 1 == d[v, 0]
+
+
+def test_triangle_join_fallback_matches_broadcast(rand_graph):
+    n, pairs, ds, _fwd, _symA = rand_graph
+    a = triangle_count(ds, num_partitions=4)
+    b = triangle_count(ds, num_partitions=4, broadcast_degree_limit=0)
+    assert a == b

@@ -42,9 +42,17 @@ def _canonical_edges(edges: "ray.data.Dataset", num_partitions: int) -> "ray.dat
     return distinct_pairs(cn, "lo", "hi")
 
 
-def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8) -> int:
+def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8,
+                   broadcast_degree_limit: int = 50_000_000) -> int:
     """Exact triangle count of the undirected simple graph underlying
-    ``edges(src, dst)``."""
+    ``edges(src, dst)``.
+
+    Degree attachment: the degree table is one int per vertex — tiny
+    next to the edge table — so up to ``broadcast_degree_limit``
+    vertices it is broadcast once (``ray.put`` of a dense array, 8B per
+    vertex) and looked up inside the orient pass; beyond that it falls
+    back to two hash joins (a degree table that big no longer fits one
+    worker)."""
     und = _canonical_edges(edges, num_partitions).materialize()
 
     def explode(t: pa.Table) -> pa.Table:
@@ -52,35 +60,52 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8) -> int
         hi = t.column("hi").to_numpy(zero_copy_only=False)
         return pa.table({"v": pa.array(np.concatenate([lo, hi]), pa.int64())})
 
+    import ray as _ray
+
     from ..stages.agg import grouped_agg
     from ..stages.util import rename_cols
 
     deg = grouped_agg(und.map_batches(explode, batch_format="pyarrow"),
                       ["v"], None, "count", out_col="deg").materialize()
 
-    # attach degrees to both endpoints (two hash joins)
-    e1 = und.join(rename_cols(deg, {"v": "lo_v", "deg": "lo_deg"}),
-                  "inner", num_partitions, on=("lo",), right_on=("lo_v",))
-    e2 = e1.join(rename_cols(deg, {"v": "hi_v", "deg": "hi_deg"}),
-                 "inner", num_partitions, on=("hi",), right_on=("hi_v",))
-
-    def orient(t: pa.Table) -> pa.Table:
-        lo = t.column("lo").to_numpy(zero_copy_only=False)
-        hi = t.column("hi").to_numpy(zero_copy_only=False)
-        ld = t.column("lo_deg").to_numpy(zero_copy_only=False)
-        hd = t.column("hi_deg").to_numpy(zero_copy_only=False)
+    def orient_cols(lo, hi, ld, hd) -> pa.Table:
         # orient from lower (deg, id) to higher (deg, id)
         lo_first = (ld < hd) | ((ld == hd) & (lo < hi))
-        u = np.where(lo_first, lo, hi)
-        v = np.where(lo_first, hi, lo)
-        ud = np.where(lo_first, ld, hd)
-        vd = np.where(lo_first, hd, ld)
         return pa.table({
-            "u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
-            "vdeg": pa.array(vd, pa.int64()),
+            "u": pa.array(np.where(lo_first, lo, hi), pa.int64()),
+            "v": pa.array(np.where(lo_first, hi, lo), pa.int64()),
+            "vdeg": pa.array(np.where(lo_first, hd, ld), pa.int64()),
         })
 
-    oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
+    if deg.count() <= broadcast_degree_limit:
+        ddf = deg.to_pandas()
+        dense = np.zeros((int(ddf["v"].max()) + 1) if len(ddf) else 1,
+                         dtype=np.int64)
+        dense[ddf["v"].to_numpy()] = ddf["deg"].to_numpy()
+        deg_ref = _ray.put(dense)
+
+        def orient(t: pa.Table) -> pa.Table:
+            lo = t.column("lo").to_numpy(zero_copy_only=False)
+            hi = t.column("hi").to_numpy(zero_copy_only=False)
+            dd = _ray.get(deg_ref)
+            return orient_cols(lo, hi, dd[lo], dd[hi])
+
+        oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+    else:
+        e1 = und.join(rename_cols(deg, {"v": "lo_v", "deg": "lo_deg"}),
+                      "inner", num_partitions, on=("lo",), right_on=("lo_v",))
+        e2 = e1.join(rename_cols(deg, {"v": "hi_v", "deg": "hi_deg"}),
+                     "inner", num_partitions, on=("hi",), right_on=("hi_v",))
+
+        def orient_joined(t: pa.Table) -> pa.Table:
+            return orient_cols(
+                t.column("lo").to_numpy(zero_copy_only=False),
+                t.column("hi").to_numpy(zero_copy_only=False),
+                t.column("lo_deg").to_numpy(zero_copy_only=False),
+                t.column("hi_deg").to_numpy(zero_copy_only=False))
+
+        oriented = e2.map_batches(orient_joined,
+                                  batch_format="pyarrow").materialize()
 
     # wedges via a native hash self-join on the apex u (a per-group
     # map_groups costs a Python call per vertex); the closing edge
