@@ -167,6 +167,43 @@ def q_graph_labelprop(sf_dir: str):
                              "community": labels[g.vertices]})
 
 
+# ---- flagship wikitext family (driver-oracled via the deterministic ------
+# ---- corpus at a fixed /tmp path; see pipelines/flagship.py) --------------
+
+def q_wiki_vertices(sf_dir: str):
+    """Flagship build: extraction + redirect fixpoint + dense ids.
+    Vertices (id, title, is_redirect); the oracle re-derives the same
+    table in SQL from the same corpus parquet."""
+    from wikilinks_ray.pipelines.flagship import oracle_build
+
+    _quiet()
+    res = oracle_build()
+    df = res.vertices().to_pandas()
+    return df[["id", "title", "is_redirect"]]
+
+
+def q_wiki_edges(sf_dir: str):
+    """Flagship build: resolved (src, dst) id edges — article links via
+    the deferred title join + single-edge redirect rewrite."""
+    from wikilinks_ray.pipelines.flagship import oracle_build
+
+    _quiet()
+    res = oracle_build()
+    return res.edges().to_pandas()[["src", "dst"]]
+
+
+def q_wiki_stats(sf_dir: str):
+    """Flagship build: GraphStats (gatherStatistics analog,
+    WikiProcessor.kt:174-206) as a single row."""
+    from dataclasses import asdict
+
+    from wikilinks_ray.pipelines.flagship import oracle_build
+
+    _quiet()
+    res = oracle_build()
+    return pd.DataFrame([asdict(res.stats)]).astype("int64")
+
+
 # ---- relational family (classic operators over TPC-H-ish tables) ---------
 
 def q_pricing_summary(sf_dir: str):
@@ -434,6 +471,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs": q_graph_bfs,
         "graph_pagerank": q_graph_pagerank,
         "graph_labelprop": q_graph_labelprop,
+        "wiki_vertices": q_wiki_vertices,
+        "wiki_edges": q_wiki_edges,
+        "wiki_stats": q_wiki_stats,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_windowed": q_events_windowed,
@@ -467,7 +507,15 @@ verts AS (SELECT DISTINCT src AS v FROM edges UNION SELECT DISTINCT dst FROM edg
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from wikilinks_ray.pipelines.flagship import (
+        ensure_oracle_corpus,
+        wiki_oracle_sql,
+    )
+
+    # the wiki oracles read the deterministic corpus parquet from /tmp;
+    # make sure it exists regardless of which side the driver runs first
+    ensure_oracle_corpus()
+    return wiki_oracle_sql() | {
         "graph_edges": _EDGES,
         "graph_out_degree": f"SELECT src, count(*) AS out_degree FROM ({_EDGES}) GROUP BY src",
         "graph_in_degree_hist": f"""

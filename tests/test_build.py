@@ -13,9 +13,10 @@ from tests.test_extract import expected_extraction
 def test_loop_redirects_dropped_exactly(small_corpus):
     _table, spec, res = small_corpus
     vp = res.vertices().to_pandas()
-    assert set(spec.titles) - set(vp["title"]) == spec.loop_redirects
-    # dropRedirectLoops semantics (WikiProcessor.kt:133-172)
-    assert res.stats.n_redirects_dropped == len(spec.loop_redirects)
+    # dropRedirectLoops semantics (WikiProcessor.kt:133-172): cycles AND
+    # chains exiting at a title with no PagePointer are dropped
+    assert set(spec.titles) - set(vp["title"]) == spec.dropped_redirects
+    assert res.stats.n_redirects_dropped == len(spec.dropped_redirects)
 
 
 def test_dense_ids_are_sorted_title_rank(small_corpus):
@@ -40,19 +41,30 @@ def test_golden_routes_edges_present(small_corpus):
     assert [d for s, d in es if s == po] == [id_of["Bałtycke Morze"]]
 
 
-def test_redirect_to_missing_title_survives_with_zero_edges(small_corpus):
+def test_redirect_to_unknown_title_dropped(small_corpus):
+    """A redirect to a title that is neither a page nor any article's
+    link target has no PagePointer in the reference's map — endSomewhere
+    returns false and the redirect is dropped (WikiProcessor.kt:162-164)."""
     _table, spec, res = small_corpus
-    missing_target_redirects = [
-        t for t, tgt in spec.redirects.items()
-        if capitalize_first(tgt) not in set(spec.titles)
-    ]
-    assert missing_target_redirects  # generator plants one
+    assert spec.noexit_redirects  # generator plants one
+    vp = res.vertices().to_pandas()
+    for t in spec.noexit_redirects:
+        assert t not in set(vp["title"])
+
+
+def test_redirect_to_linked_missing_title_survives_with_zero_edges(small_corpus):
+    """A redirect to a MISSING title that some article links to has a
+    PagePointer with a null page — endSomewhere's non-redirect branch
+    returns true, and packPages emits it with zero links
+    (WikiProcessor.kt:232-238)."""
+    _table, spec, res = small_corpus
+    assert spec.ghost_redirects  # generator plants one
     vp = res.vertices().to_pandas()
     id_of = dict(zip(vp["title"], vp["id"]))
     ep = res.edges().to_pandas()
     out_deg = ep.groupby("src").size()
-    for t in missing_target_redirects:
-        assert t in id_of  # survives cleanup (endSomewhere null-page branch)
+    for t in spec.ghost_redirects:
+        assert t in id_of
         assert out_deg.get(id_of[t], 0) == 0
 
 
@@ -77,7 +89,7 @@ def test_edges_match_spec_exactly(small_corpus):
 
 def test_statistics_golden(small_corpus):
     _table, spec, res = small_corpus
-    surviving = set(spec.titles) - spec.loop_redirects
+    surviving = set(spec.titles) - spec.dropped_redirects
     n_articles = sum(1 for t in spec.titles if t not in spec.redirects)
     occ = 0
     resolved = 0
@@ -122,12 +134,23 @@ def test_distributed_redirect_fixpoint_matches_local(ray_session, small_corpus):
     from wikilinks_ray.stages.extract import extract_pages_meta
     from wikilinks_ray.pipelines.build import _filter_expr
 
+    from wikilinks_ray.stages.extract import CombinedExtractor, split_combined
+    from wikilinks_ray.pipelines.build import find_unknown_exit_titles
+
     table, spec, _res = small_corpus
-    meta = rd.from_arrow(table).map_batches(extract_pages_meta, batch_format="pyarrow")
+    combined = rd.from_arrow(table).map_batches(CombinedExtractor,
+                                                batch_format="pyarrow",
+                                                concurrency=2)
+    meta, links = split_combined(combined)
+    meta = meta.materialize()
     redirects = _filter_expr(meta, "is_redirect", True)
-    dist = find_redirect_loop_members(redirects, num_partitions=4, driver_side_limit=0)
+    unknown = find_unknown_exit_titles(redirects, meta, links.materialize())
+    assert unknown == {"Missing Redirect Target"}
+    dist = find_redirect_loop_members(redirects, num_partitions=4,
+                                      driver_side_limit=0,
+                                      unknown_exits=unknown)
     got = {r["src"] for r in dist.take_all()}
-    assert got == spec.loop_redirects
+    assert got == spec.dropped_redirects
 
 
 def test_build_differential_configs(ray_session, small_corpus, tmp_path):

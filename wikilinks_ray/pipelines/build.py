@@ -22,11 +22,23 @@ skips the build.
 Semantics notes (pinned by tests against the reference's behavior):
 - A redirect that survives cleanup keeps exactly ONE edge — to its
   *immediate* target (not the chain's end), and only if that target is a
-  surviving page (packPages, WikiProcessor.kt:232-241).
+  surviving page (packPages, WikiProcessor.kt:226-241).
 - A redirect whose chain of redirects never reaches a non-redirect and
-  cycles is dropped entirely (endSomewhere, WikiProcessor.kt:146-172).
-  A redirect to a *missing* title survives with zero edges (the
-  ``immediateTarget == null`` branch returns true).
+  cycles is dropped entirely (endSomewhere, WikiProcessor.kt:146-171).
+- A redirect whose chain exits at a title that is neither a page nor any
+  *article's* link target is dropped too: only article links create
+  ``PagePointer`` entries (WikiProcessor.kt:56-66), so ``map[target]``
+  is null for such titles and endSomewhere returns false
+  (WikiProcessor.kt:162-164). A redirect to a missing-but-linked title
+  survives with zero edges (pointer exists with ``page == null`` →
+  the non-redirect else-branch returns true).
+- Known intentional divergence: the reference's ``dropRedirectLoops``
+  mutates ``p.page = null`` while iterating in HashMap order, so a chain
+  feeding a cycle (or an unknown exit) survives or drops depending on
+  whether the cycle member was processed first. This engine freezes the
+  order-independent strict semantics: every chain that ends in a cycle
+  or at an unknown title is dropped (equivalent to processing each full
+  chain before any of its members was nulled).
 - Articles' links resolve by exact (capitalized) title; unresolved are
   dropped and counted (WikiProcessor.kt:246-248).
 """
@@ -81,13 +93,18 @@ def _filter_expr(ds, col, value=True):
     )
 
 
-def _loop_members_local(pairs: list[tuple[str, str]]) -> set[str]:
+def _loop_members_local(pairs: list[tuple[str, str]],
+                        unknown_exits: frozenset[str] = frozenset()) -> set[str]:
     """Driver-side exact cycle detection on (src, target) redirect pairs.
 
     Same semantics as the distributed path; used when the redirect table
     is small enough to collect (the common case — cycle detection only
     needs the redirect subset, ≈10% of vertices in wiki-like corpora).
     Iterative chain-walk with memoization: O(N) total.
+
+    ``unknown_exits``: chain-exit titles with no PagePointer in the
+    reference (neither a page title nor any article's link target) —
+    chains ending there fail endSomewhere (WikiProcessor.kt:162-164).
     """
     nxt = dict(pairs)
     survives: dict[str, bool] = {}
@@ -104,23 +121,61 @@ def _loop_members_local(pairs: list[tuple[str, str]]) -> set[str]:
             if cur in on_path:  # closed a cycle among redirects
                 verdict = False
                 break
-            if cur not in nxt:  # left the redirect set (article or missing)
-                verdict = True
+            if cur not in nxt:  # left the redirect set
+                verdict = cur not in unknown_exits
                 break
             path.append(cur)
             on_path.add(cur)
             cur = nxt[cur]
-        # cycle members and chains feeding into a cycle all fail
-        # endSomewhere (WikiProcessor.kt:146-172)
+        # cycle members, chains feeding a cycle, and chains exiting at an
+        # unknown title all fail endSomewhere (WikiProcessor.kt:146-171)
         for t in path:
             survives[t] = verdict
     return {t for t, ok in survives.items() if not ok}
 
 
+def find_unknown_exit_titles(redirects: "ray.data.Dataset",
+                             meta: "ray.data.Dataset",
+                             links: "ray.data.Dataset",
+                             num_partitions: int = 4) -> frozenset[str]:
+    """Redirect targets with no PagePointer in the reference's map:
+    neither a page title nor any *article's* link target
+    (WikiProcessor.kt:56-66 — only article links create pointers).
+
+    Two anti-joins narrow the candidate set: targets − page titles is
+    already tiny (dangling redirect targets only), and the second join
+    removes those some article links to. The result is collected as a
+    frozenset — it is bounded by the number of dangling redirects, a
+    vanishing fraction at wiki scale.
+    """
+    tgt = redirects.select_columns(["redirect_target"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t["redirect_target"])),
+        batch_format="pyarrow",
+    ).materialize()
+    n = tgt.count()
+    if n == 0:
+        return frozenset()
+    p = max(1, min(num_partitions, n // 50))
+    # targets that are not page titles (usually a handful)
+    miss = tgt.join(meta.select_columns(["title"]), "left_anti", p,
+                    on=("redirect_target",), right_on=("title",)).materialize()
+    if miss.count() == 0:
+        return frozenset()
+    # ... of those, the ones no article links to
+    art_dst = _filter_expr(links.select_columns(["dst_title", "src_is_redirect"]),
+                           "src_is_redirect", False).select_columns(["dst_title"])
+    unknown = miss.join(art_dst, "left_anti", p,
+                        on=("redirect_target",), right_on=("dst_title",))
+    return frozenset(r["redirect_target"] for r in unknown.take_all())
+
+
 def find_redirect_loop_members(redirects: "ray.data.Dataset",
                                num_partitions: int = 8,
-                               driver_side_limit: int = 2_000_000) -> "ray.data.Dataset":
-    """Titles of redirects whose redirect-only chain cycles (to drop).
+                               driver_side_limit: int = 200_000,
+                               unknown_exits: frozenset[str] = frozenset(),
+                               ) -> "ray.data.Dataset":
+    """Titles of redirects to drop: chains that cycle, plus chains whose
+    exit title is in ``unknown_exits`` (see find_unknown_exit_titles).
 
     Pointer-doubling over J(src, cur): after round k, ``cur`` is the
     title reached after up to 2^k redirect hops (frozen early once it
@@ -146,7 +201,7 @@ def find_redirect_loop_members(redirects: "ray.data.Dataset",
         # fast path: collect the redirect pairs, resolve exactly on the
         # driver (one pass), return as a tiny dataset.
         pairs = [(row["src"], row["cur"]) for row in r.take_all()]
-        dropped = sorted(_loop_members_local(pairs))
+        dropped = sorted(_loop_members_local(pairs, unknown_exits))
         if not dropped:
             return r.select_columns(["src"]).limit(0)
         return ray.data.from_arrow(pa.table({"src": pa.array(dropped, pa.string())}))
@@ -166,10 +221,21 @@ def find_redirect_loop_members(redirects: "ray.data.Dataset",
         j = step.map_batches(advance, batch_format="pyarrow").materialize()
         targets = j.rename_columns({"src": "t_src", "cur": "t_cur"})
 
-    # still pointing at a redirect => cyclic
+    # still pointing at a redirect => cyclic; exited at an unknown title
+    # => no PagePointer in the reference => dropped too
     red_titles = r.select_columns(["src"]).rename_columns({"src": "t_src"})
     cyc = j.join(red_titles, "left_semi", num_partitions, on=("cur",), right_on=("t_src",))
-    return cyc.select_columns(["src"])
+    dropped = cyc.select_columns(["src"])
+    if unknown_exits:
+        unk = pa.array(sorted(unknown_exits), pa.string())
+
+        def exit_unknown(t: pa.Table, u=unk) -> pa.Table:
+            return t.filter(pc.is_in(t["cur"], value_set=u))
+
+        dropped = dropped.union(
+            j.map_batches(exit_unknown, batch_format="pyarrow")
+            .select_columns(["src"]))
+    return dropped
 
 
 def build_graph(
@@ -206,22 +272,25 @@ def build_graph(
     links = links.materialize()
 
     redirects = _filter_expr(meta, "is_redirect", True)
-    dropped = find_redirect_loop_members(redirects, num_partitions).materialize()
+    unknown_exits = find_unknown_exit_titles(redirects, meta, links,
+                                             num_partitions)
+    dropped = find_redirect_loop_members(
+        redirects, num_partitions, unknown_exits=unknown_exits).materialize()
     n_dropped = dropped.count()
 
-    # vertices = all pages minus cyclic redirects; id = sorted-title rank.
-    # The dropped set is tiny (cycle members only), so this anti-join is a
-    # broadcast-set filter (ray.put once, read per task), not a shuffle.
+    # vertices = all pages minus dropped redirects; id = sorted-title rank.
+    # The dropped set is tiny (cycle members + dead-end chains only), so
+    # this anti-join is a broadcast-set filter (ray.put once, one Arrow
+    # is_in kernel per batch), not a shuffle.
     if n_dropped:
         import ray as _ray
 
-        dropped_ref = _ray.put(frozenset(r["src"] for r in dropped.take_all()))
+        dropped_ref = _ray.put(pa.array(
+            sorted(r["src"] for r in dropped.take_all()), pa.string()))
 
         def drop_cyclic(t: pa.Table) -> pa.Table:
-            titles = t.column("title").to_pylist()
             drop = _ray.get(dropped_ref)
-            mask = pa.array([x not in drop for x in titles], pa.bool_())
-            return t.filter(mask)
+            return t.filter(pc.invert(pc.is_in(t["title"], value_set=drop)))
 
         surviving = meta.map_batches(drop_cyclic, batch_format="pyarrow")
     else:

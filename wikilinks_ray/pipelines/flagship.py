@@ -1,0 +1,168 @@
+"""Driver-oracle plumbing for the flagship wikitext build path.
+
+The driver's correctness gate runs ``queries()`` entries against DuckDB
+SQL over parquet. The flagship pipeline (wikitext extraction → redirect
+fixpoint → title join → dense ids, ``pipelines/build.py``) consumes a
+*pages* corpus, which is not one of the driver's TPC-H-ish tables — so
+this module materializes the deterministic synthetic corpus
+(``sources/corpus.py``, a pure function of (n_pages, seed)) at a fixed
+/tmp path that BOTH sides read: the Ray queries run ``build_graph`` over
+it, and the oracle SQL re-derives extraction + capitalization + per-page
+dedup + redirect-loop elimination + sorted-title ids from the same
+parquet with ``read_parquet``.
+
+Reference semantics being oracle-gated here (WikiProcessor.kt):
+- link syntax + first-letter capitalization (:53-55, :114-121),
+- per-page link dedup (:57 ``.distinct()``),
+- redirect chains/cycles via endSomewhere (:133-171),
+- pointer-map knownness — only article links create PagePointers
+  (:56-66), so a redirect to a never-linked missing title drops,
+- packPages single-edge redirect rewrite + dangling-link drop
+  (:226-248),
+- dense ids as sorted-title rank (this engine's frozen id semantics;
+  DuckDB's binary string collation matches Python/Arrow UTF-8 order).
+"""
+
+from __future__ import annotations
+
+import os
+
+CORPUS_N = 2000
+CORPUS_SEED = 42
+ORACLE_CORPUS_DIR = f"/tmp/wl_wiki_oracle_corpus_n{CORPUS_N}_s{CORPUS_SEED}"
+ORACLE_BUILD_DIR = f"/tmp/wl_wiki_oracle_build_n{CORPUS_N}_s{CORPUS_SEED}"
+
+
+def ensure_oracle_corpus() -> str:
+    """Write the deterministic pages corpus to the fixed /tmp path once
+    (atomic rename so a concurrent caller never sees a half-written
+    directory). Safe to call from both queries() and oracle_sql()."""
+    if not os.path.isdir(ORACLE_CORPUS_DIR):
+        from ..sources.corpus import write_pages_corpus
+
+        tmp = ORACLE_CORPUS_DIR + f".tmp{os.getpid()}"
+        write_pages_corpus(tmp, CORPUS_N, CORPUS_SEED)
+        try:
+            os.rename(tmp, ORACLE_CORPUS_DIR)
+        except OSError:  # concurrent creator won the rename
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return ORACLE_CORPUS_DIR
+
+
+def oracle_build():
+    """Build (or reuse — build_graph skips on existing _STATS.json) the
+    flagship graph over the oracle corpus."""
+    import ray.data
+
+    from .build import build_graph
+
+    ensure_oracle_corpus()
+    pages = ray.data.read_parquet(ORACLE_CORPUS_DIR)
+    return build_graph(pages, ORACLE_BUILD_DIR, num_partitions=8,
+                       extract_concurrency=4)
+
+
+# --------------------------------------------------------------------------
+# oracle SQL — shared CTE prefix reproducing the extraction semantics
+# --------------------------------------------------------------------------
+
+def _norm(expr: str) -> str:
+    """SQL twin of functions.wikitext.normalize_link_target: strip
+    ``|anchor`` and ``#section``, underscores→spaces, trim, NULL if
+    empty, capitalize the first character."""
+    t = f"trim(replace(split_part(split_part({expr}, '|', 1), '#', 1), '_', ' '))"
+    return (f"CASE WHEN {t} = '' THEN NULL "
+            f"ELSE upper(substr({t}, 1, 1)) || substr({t}, 2) END")
+
+
+def wiki_cte_prefix() -> str:
+    corpus = ORACLE_CORPUS_DIR
+    rd_re = r"^\s*#REDIRECT\s*:?\s*\[\[(.*?)\]\]"
+    return rf"""
+WITH RECURSIVE pages AS (
+    -- title travels in the html <title> tag (url-decoding isn't
+    -- available in this DuckDB); text is the wikitext body
+    SELECT regexp_extract(decode(html), '<title>(.*?)</title>', 1) AS title,
+           text
+    FROM read_parquet('{corpus}/part-*.parquet')
+),
+parsed AS (
+    SELECT title, text,
+           regexp_matches(text, '{rd_re}', 'is') AS is_redirect,
+           regexp_extract(text, '{rd_re}', 1, 'is') AS rd_raw
+    FROM pages
+),
+rd AS (  -- redirect pages with normalized target (NULL = empty target)
+    SELECT title, {_norm('rd_raw')} AS target FROM parsed WHERE is_redirect
+),
+rawlinks AS (
+    SELECT title AS src_title,
+           unnest(regexp_extract_all(text, '\[\[(.*?)\]\]', 1)) AS raw
+    FROM parsed WHERE NOT is_redirect
+),
+alinks AS (  -- per-page deduped, capitalized article link targets
+    SELECT DISTINCT src_title, {_norm('raw')} AS dst_title FROM rawlinks
+    WHERE {_norm('raw')} IS NOT NULL
+),
+nxt AS (  -- redirect pairs with a usable target (the walkable subgraph)
+    SELECT title, target FROM rd WHERE target IS NOT NULL
+),
+known AS (  -- titles holding a PagePointer: pages + article link targets
+    SELECT title FROM parsed
+    UNION SELECT dst_title FROM alinks
+),
+reach AS (  -- every title reachable from each redirect via redirect hops
+    SELECT title AS start, target AS cur FROM nxt
+    UNION
+    SELECT r.start, n.target FROM reach r JOIN nxt n ON n.title = r.cur
+),
+surviving_rd AS (  -- endSomewhere == true (WikiProcessor.kt:146-171)
+    SELECT start AS title FROM reach
+    WHERE cur NOT IN (SELECT title FROM nxt)
+      AND cur IN (SELECT title FROM known)
+    UNION SELECT title FROM rd WHERE target IS NULL
+),
+dropped AS (  -- EXCEPT is not allowed inside WITH RECURSIVE in DuckDB
+    SELECT title FROM rd
+    WHERE title NOT IN (SELECT title FROM surviving_rd)
+),
+ids AS (  -- dense sorted-title rank over surviving pages
+    SELECT title, is_redirect,
+           row_number() OVER (ORDER BY title) - 1 AS id
+    FROM parsed WHERE title NOT IN (SELECT title FROM dropped)
+),
+allpairs AS (  -- article links + the single redirect edge (packPages)
+    SELECT src_title, dst_title FROM alinks
+    UNION ALL SELECT title, target FROM nxt
+),
+edges AS (  -- resolve both endpoints against surviving vertices
+    SELECT s.id AS src, d.id AS dst
+    FROM allpairs a
+    JOIN ids s ON s.title = a.src_title
+    JOIN ids d ON d.title = a.dst_title
+)
+"""
+
+
+def wiki_oracle_sql() -> dict[str, str]:
+    p = wiki_cte_prefix()
+    return {
+        "wiki_vertices": p + "SELECT id, title, is_redirect FROM ids",
+        "wiki_edges": p + "SELECT src, dst FROM edges",
+        "wiki_stats": p + """
+            SELECT
+              (SELECT count(*) FROM parsed WHERE NOT is_redirect)::BIGINT AS n_articles,
+              (SELECT count(*) FROM rd)::BIGINT AS n_redirects_before,
+              (SELECT count(*) FROM dropped)::BIGINT AS n_redirects_dropped,
+              (SELECT count(*) FROM alinks)::BIGINT AS article_link_occurrences,
+              (SELECT count(*) FROM edges e JOIN ids s ON e.src = s.id
+                WHERE NOT s.is_redirect)::BIGINT AS resolved_article_links,
+              ((SELECT count(*) FROM alinks)
+               - (SELECT count(*) FROM edges e JOIN ids s ON e.src = s.id
+                   WHERE NOT s.is_redirect))::BIGINT AS null_article_link_occurrences,
+              (SELECT count(*) FROM ids)::BIGINT AS n_vertices,
+              (SELECT count(*) FROM edges)::BIGINT AS n_edges
+        """,
+    }

@@ -8,7 +8,10 @@ reference ingests (WikiProcessor.kt:43-71):
 - ``[[Target]]`` / ``[[Target|anchor]]`` links inside ``text``;
 - ``#REDIRECT [[Target]]`` pages (10%): chains of length 1-3 plus planted
   2- and 3-cycles that must be eliminated like ``dropRedirectLoops``
-  (WikiProcessor.kt:133-172);
+  (WikiProcessor.kt:133-172); also one redirect to a title nothing links
+  to (dropped — no PagePointer exists for it, WikiProcessor.kt:162-164)
+  and one redirect to a missing-but-article-linked title (survives with
+  zero edges — pointer exists with null page);
 - ~10% of link occurrences are written lowercase-first and must be
   capitalized to resolve (WikiProcessor.kt:114-121);
 - duplicate links per page that must be deduped (WikiProcessor.kt:55);
@@ -81,6 +84,15 @@ class CorpusSpec:
     redirects: dict[str, str] = field(default_factory=dict)
     # titles of redirects that sit on a redirect-only cycle (must be dropped)
     loop_redirects: set[str] = field(default_factory=set)
+    # redirects whose chain exits at a title that is neither a page nor any
+    # article's link target (must be dropped: WikiProcessor.kt:162-164)
+    noexit_redirects: set[str] = field(default_factory=set)
+    # redirects to a missing-but-article-linked title (survive, zero edges)
+    ghost_redirects: set[str] = field(default_factory=set)
+
+    @property
+    def dropped_redirects(self) -> set[str]:
+        return self.loop_redirects | self.noexit_redirects
 
 
 def build_corpus_spec(n_pages: int = 2000, seed: int = 42) -> CorpusSpec:
@@ -111,9 +123,11 @@ def build_corpus_spec(n_pages: int = 2000, seed: int = 42) -> CorpusSpec:
     spec.redirects[a], spec.redirects[b] = b, a
     spec.redirects[c], spec.redirects[d], spec.redirects[e] = d, e, c
     spec.loop_redirects = {a, b, c, d, e}
-    # one redirect to a missing page (survives cleanup, packs 0 links:
-    # WikiProcessor.kt:240 + endSomewhere null-page branch)
+    # one redirect to a title that is neither a page nor any article's
+    # link target: no PagePointer exists for it, so endSomewhere returns
+    # false and the redirect is DROPPED (WikiProcessor.kt:162-164)
     spec.redirects[titles[redirect_ids[0]]] = "Missing Redirect Target"
+    spec.noexit_redirects = {titles[redirect_ids[0]]}
 
     # --- article out-links: power-law degrees ------------------------------
     dangling_pool = [f"Missing Topic {k:04d}" for k in range(max(8, n_plain // 50))]
@@ -132,6 +146,19 @@ def build_corpus_spec(n_pages: int = 2000, seed: int = 42) -> CorpusSpec:
         if len(links) > 2 and rng.random() < 0.3:
             links.append(links[0])  # planted duplicate, must dedup
         spec.expected_links[titles[i]] = links
+
+    # one redirect to a MISSING title that some article links to: a
+    # PagePointer exists (null page), so endSomewhere's non-redirect
+    # branch returns true — survives with zero edges (packPages,
+    # WikiProcessor.kt:232-238). Guarded away from the chain section
+    # (indices 1..n//4) and the cycle tail (last 5).
+    ghost_idx = n_redirect // 4 + 1
+    if ghost_idx < n_redirect - 5:
+        ghost_title = titles[redirect_ids[ghost_idx]]
+        spec.redirects[ghost_title] = dangling_pool[0]
+        spec.ghost_redirects = {ghost_title}
+        # deterministically guarantee an article links to the target
+        spec.expected_links[titles[article_ids[2]]].append(dangling_pool[0])
 
     # hub page proving int16-free link counts (BufferWikiPage.java:52 limit)
     if n_plain >= 2000:
