@@ -380,7 +380,9 @@ def q_dedup_minhash_lsh(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
-    """Rows-only (engine-defined 64-bit signatures)."""
+    """64-bit simhash signatures — fully oracle-gated: the frozen
+    semantics (±tf-weighted md5 token bits) are recomputable in SQL via
+    md5_number_upper."""
     from wikilinks_ray.ops.dedup import simhash_signatures
 
     _quiet()
@@ -388,8 +390,11 @@ def q_dedup_simhash(sf_dir: str):
 
 
 def q_dedup_simhash_pairs(sf_dir: str):
-    """Rows-only: near-dup pairs at hamming<=8 via distributed
-    pigeonhole blocking."""
+    """Near-dup pairs at hamming<=8 via distributed pigeonhole blocking
+    (9 segments => exact recall for k=8, modulo the max_bucket skew
+    guard, which no bucket hits at oracle scale). The oracle brute-forces
+    all pairs over SQL-recomputed signatures — so this gates both the
+    signature math AND the blocking's completeness."""
     from wikilinks_ray.ops.dedup import (
         simhash_near_dup_pairs_ds,
         simhash_signatures,
@@ -452,7 +457,10 @@ def q_text_token_counts(sf_dir: str):
 
 
 def q_text_langid(sf_dir: str):
-    """Rows-only (heuristic language ID)."""
+    """Language-ID + document fingerprint; the frozen heuristics are
+    SQL-expressible (regex character classes; md5_number_upper equals
+    the engine's little-endian first-8-bytes md5), so this is fully
+    oracle-gated."""
     from wikilinks_ray.ops.text import TextAnalyzer
 
     _quiet()
@@ -498,6 +506,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------------
 
 _EDGES = "SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem"
+
+# SQL twin of ops.dedup.SimHasher: DuckDB's md5_number_upper(tok) equals
+# the engine's int.from_bytes(md5(tok)[:8], 'little') token hash, so the
+# whole ±tf-weighted bit-vote is re-derivable per document.
+_SIMHASH_SIGS = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, md5_number_upper(tok) AS h, count(*)::BIGINT AS cnt
+    FROM toks GROUP BY doc_id, tok
+),
+bits AS (
+    SELECT doc_id, b.bit,
+           sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+    FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+    GROUP BY doc_id, b.bit
+),
+sigs AS (  -- token-less documents sketch to 0, like the engine
+    SELECT d.doc_id, coalesce(s.simhash, 0)::UBIGINT AS simhash
+    FROM documents d LEFT JOIN (
+        SELECT doc_id,
+               sum(CASE WHEN acc > 0 THEN 1::UBIGINT << bit ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id
+    ) s USING (doc_id)
+)
+"""
 _UND = f"""
 edges AS ({_EDGES}),
 und AS (SELECT src AS a, dst AS b FROM edges WHERE src <> dst
@@ -545,8 +581,15 @@ def oracle_sql() -> dict[str, str]:
             walk(v, dist) AS (
                 SELECT s, 0 FROM start
                 UNION
+                -- the dist cap terminates the recursion on cycles (UNION
+                -- set-semantics alone cannot: (v, dist) pairs keep
+                -- growing); 256 is far above any eccentricity of the
+                -- derived graphs (measured diameter < 10 at sf<=0.1) yet
+                -- keeps the walk table at O(V * 256) rows. The engine
+                -- explores to 10_000 levels — on a graph with
+                -- eccentricity > 256 this oracle would under-report.
                 SELECT u.b, w.dist + 1 FROM walk w JOIN und u ON u.a = w.v
-                WHERE w.dist < 64
+                WHERE w.dist < 256
             )
             SELECT v AS vertex, min(dist) AS dist FROM walk GROUP BY v
         """,
@@ -611,11 +654,21 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_id
         """,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_simhash": _SIMHASH_SIGS + "SELECT doc_id, simhash FROM sigs",
+        "dedup_simhash_pairs": _SIMHASH_SIGS + """
+            SELECT s1.doc_id AS a, s2.doc_id AS b,
+                   bit_count(xor(s1.simhash, s2.simhash))::BIGINT AS hamming
+            FROM sigs s1 JOIN sigs s2 ON s1.doc_id < s2.doc_id
+            WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 8
+        """,
         "dedup_ngram_jaccard": r"""
+            -- tokenization must mirror the engine's _WORD_RE (\w+ over
+            -- lowercased text): a whitespace split only agrees on
+            -- punctuation-free corpora
             WITH words AS (
                 SELECT doc_id,
-                       unnest(string_split_regex(lower(text), '\s+')) AS w,
-                       generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
+                       unnest(regexp_extract_all(lower(text), '\w+')) AS w,
+                       generate_subscripts(regexp_extract_all(lower(text), '\w+'), 1) AS pos
                 FROM documents
             ),
             sh AS (
@@ -654,6 +707,17 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY cos DESC, vec_id) AS rn
                   FROM s)
             SELECT query_id, vec_id FROM r WHERE rn <= 5
+        """,
+        "text_langid": r"""
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                        WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+                        WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+                        WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+                        ELSE 'en' END AS lang_pred,
+                   md5_number_upper(lower(array_to_string(
+                       regexp_extract_all(text, '\w+'), ' '))) AS fingerprint
+            FROM documents
         """,
         "text_token_counts": r"""
             WITH toks AS (

@@ -76,6 +76,33 @@ def test_pagerank_dangling_mass(ray_session, tmp_path):
         ray.kill(a)
 
 
+def test_shard_sentinel_rebuilds_on_config_change(ray_session, tmp_path):
+    """Re-sharding the same dir with different (num_shards, n_vertices)
+    must rebuild, not hand out paths partitioned with stale bounds."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    edges = rd.from_arrow(pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                                    "dst": pa.array([1, 2, 0], pa.int64())}))
+    d = str(tmp_path / "s")
+    p2 = shard_edges(edges, 3, 2, d, by="src")
+    assert len(p2) == 2 and all(os.path.exists(p) for p in p2)
+    # same dir, more shards: all three files must exist and partition by
+    # the NEW bounds (shard p owns [bounds[p], bounds[p+1]))
+    p3 = shard_edges(edges, 3, 3, d, by="src")
+    assert len(p3) == 3 and all(os.path.exists(p) for p in p3)
+    for p, path in enumerate(p3):
+        srcs = pq.read_table(path)["src"].to_pylist()
+        assert srcs == [p]
+    # unchanged config is a no-op reuse (mtime stays)
+    mt = os.path.getmtime(p3[0])
+    shard_edges(edges, 3, 3, d, by="src")
+    assert os.path.getmtime(p3[0]) == mt
+
+
 def test_pagerank_checkpoint_resume_identical(graph_actors, tmp_path):
     actors, n, _res = graph_actors
     fresh = pagerank(actors, n, tol=1e-12, max_iter=60, checkpoint_dir=None)

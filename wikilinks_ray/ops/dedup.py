@@ -27,6 +27,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -36,18 +37,48 @@ _WORD_RE = re.compile(r"\w+", re.UNICODE)
 MERSENNE = (1 << 61) - 1
 
 
-def _hash_shingles(tokens: list[str], k: int) -> np.ndarray:
-    """Distinct word-k-gram shingles as uint64 hashes (md5-based, stable
-    across processes — Python's builtin hash is salted)."""
-    if len(tokens) < k:
-        grams = [" ".join(tokens)] if tokens else []
-    else:
-        grams = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
-    out = {
-        int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "little")
-        for g in grams
-    }
-    return np.fromiter(out, dtype=np.uint64, count=len(out))
+_POLY = np.uint64(0x100000001B3)  # odd multiplier; combines mod 2^64
+
+
+class _TokenHasher:
+    """Token→uint64 md5 cache held per actor.
+
+    md5 (stable across processes — Python's builtin hash is salted) runs
+    once per DISTINCT token per actor at C speed; k-gram shingle hashes
+    then derive from the token-hash array with a vectorized rolling
+    polynomial. The previous implementation md5-hashed every k-gram
+    STRING in a Python loop — ~k× the bytes and one interpreter
+    iteration per gram — and dominated the whole dedup stage.
+    """
+
+    def __init__(self):
+        self.cache: dict[str, int] = {}
+
+    def token_hashes(self, tokens: list[str]) -> np.ndarray:
+        c = self.cache
+        if len(c) > 4_000_000:  # bound actor memory on open vocabularies
+            c.clear()
+        for t in tokens:
+            if t not in c:
+                c[t] = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+        return np.fromiter((c[t] for t in tokens), dtype=np.uint64,
+                           count=len(tokens))
+
+    def shingles(self, tokens: list[str], k: int) -> np.ndarray:
+        """Distinct word-k-gram shingle hashes; documents shorter than k
+        tokens contribute one whole-document gram (same identity
+        semantics as hashing the space-joined gram strings: equal token
+        windows collide, unequal ones don't, w.h.p. on 64 bits)."""
+        h = self.token_hashes(tokens)
+        n = len(h)
+        if n == 0:
+            return np.empty(0, np.uint64)
+        kk = min(k, n)
+        g = h[:n - kk + 1].copy()
+        for j in range(1, kk):
+            g = g * _POLY + h[j:j + n - kk + 1]
+        return np.unique(g)
 
 
 def exact_dedup_keep_min(docs: "ray.data.Dataset", *, key: str = "text",
@@ -84,13 +115,14 @@ class ShingleSignatures:
 
     def __init__(self, k: int = 3):
         self.k = k
+        self.hasher = _TokenHasher()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         out_id, out_sh = [], []
         for i, text in zip(ids, texts):
-            sh = _hash_shingles(_WORD_RE.findall((text or "").lower()), self.k)
+            sh = self.hasher.shingles(_WORD_RE.findall((text or "").lower()), self.k)
             out_id.append(np.full(len(sh), i, dtype=np.int64))
             out_sh.append(sh)
         return pa.table({
@@ -106,19 +138,23 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     num_partitions: int = 8,
     concurrency: int = 4,
+    max_docs_per_shingle: int = 10_000,
 ) -> "ray.data.Dataset":
     """EXACT n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
 
     shingles -> groupby(shingle) -> per-shingle doc pairs -> groupby
     (a, b) intersection counts -> join each side's shingle count ->
     |A∩B| / (|A|+|B|-|A∩B|). All-pairs work is bounded by shingle
-    co-occurrence (a shingle shared by m docs emits m(m-1)/2 pair rows);
-    for web-scale corpora cap m (drop ubiquitous shingles) — the
-    standard "stop-shingle" guard, exposed as ``max_docs_per_shingle``
-    in the LSH variant below.
+    co-occurrence (a shingle shared by m docs emits m(m-1)/2 pair rows),
+    so shingles shared by more than ``max_docs_per_shingle`` documents
+    are dropped BEFORE the self-join — the standard "stop-shingle" guard
+    against the O(m²) blowup of boilerplate headers/footers at web
+    scale. When the cap trips, results become a slight underestimate of
+    jaccard for the affected pairs (intersections lose the ubiquitous
+    shingle; sizes are computed before capping) — the default is far
+    above any co-occurrence seen at test scales, so the oracle-gated
+    path stays exact.
     """
-    from ray.data.aggregate import Count
-
     from ..stages.agg import grouped_agg
     from ..stages.util import rename_cols
 
@@ -126,6 +162,21 @@ def ngram_jaccard_pairs(
                           concurrency=concurrency).materialize()
     sizes = grouped_agg(sh, ["doc_id"], None, "count",
                         out_col="size").materialize()
+
+    # stop-shingle guard: one grouped count + broadcast-set filter (the
+    # hot-shingle list is tiny by construction — these are the most
+    # document-frequent shingles)
+    freq = grouped_agg(sh, ["shingle"], None, "count", out_col="df")
+    hot = freq.map_batches(
+        lambda t: t.filter(pc.greater(t["df"], max_docs_per_shingle)),
+        batch_format="pyarrow").select_columns(["shingle"]).take_all()
+    if hot:
+        hot_arr = pa.array(np.array([r["shingle"] for r in hot], np.uint64))
+
+        def drop_hot(t: pa.Table, h=hot_arr) -> pa.Table:
+            return t.filter(pc.invert(pc.is_in(t["shingle"], value_set=h)))
+
+        sh = sh.map_batches(drop_hot, batch_format="pyarrow")
 
     # per-shingle doc pairs via a native hash self-join on the shingle
     # (a per-group map_groups here costs a Python call per distinct
@@ -179,6 +230,7 @@ class MinHasher:
         self.rows = num_perm // bands
         self.a = rng.integers(1, MERSENNE, num_perm, dtype=np.uint64)
         self.b = rng.integers(0, MERSENNE, num_perm, dtype=np.uint64)
+        self.hasher = _TokenHasher()
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         sig = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -198,7 +250,7 @@ class MinHasher:
         texts = batch.column("text").to_pylist()
         out_id, out_band, out_hash = [], [], []
         for i, text in zip(ids, texts):
-            sh = _hash_shingles(_WORD_RE.findall((text or "").lower()), self.k)
+            sh = self.hasher.shingles(_WORD_RE.findall((text or "").lower()), self.k)
             sig = self.signature(sh)
             for band in range(self.bands):
                 seg = sig[band * self.rows:(band + 1) * self.rows]
@@ -248,23 +300,32 @@ def minhash_lsh_candidates(
 
 class SimHasher:
     """documents -> (doc_id, simhash: uint64). 64-bit hyperplane sketch
-    of the token multiset (token md5 bits weighted by term frequency)."""
+    of the token multiset (token md5 bits weighted by term frequency).
+
+    Frozen + SQL-expressible semantics (the oracle recomputes it with
+    DuckDB's ``md5_number_upper``, which equals the engine's
+    little-endian first-8-bytes token md5): bit i of the signature is
+    set iff sum over distinct tokens of ±tf weighted by bit i of the
+    token hash is positive."""
+
+    _BITS = np.arange(64, dtype=np.uint64)
 
     def __init__(self):
         self.word_re = _WORD_RE
+        self.hasher = _TokenHasher()
 
-    @staticmethod
-    def simhash64(tokens: list[str]) -> int:
+    def simhash64(self, tokens: list[str]) -> int:
         if not tokens:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
         from collections import Counter
 
-        for tok, cnt in Counter(tokens).items():
-            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits == 1, cnt, -cnt)
-        return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        c = Counter(tokens)
+        hs = self.hasher.token_hashes(list(c.keys()))
+        cnt = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+        # (n_tokens, 64) sign matrix in one vectorized expression
+        bits = ((hs[:, None] >> self._BITS[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
+        return int(((acc > 0).astype(np.uint64) << self._BITS).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -279,6 +340,24 @@ def simhash_signatures(docs: "ray.data.Dataset", *, concurrency: int = 4) -> "ra
                             concurrency=concurrency)
 
 
+def _segment_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) for ``max_hamming + 1`` segments covering 64 bits
+    as evenly as possible. Pigeonhole: a pair differing in at most
+    ``max_hamming`` bits must agree exactly on at least one of the
+    ``max_hamming + 1`` segments — exact recall for the stated k (bucket
+    skew guards aside), not just k<=3 as with a fixed 4×16 split."""
+    n_seg = max_hamming + 1
+    if not 1 <= n_seg <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    base, rem = divmod(64, n_seg)
+    layout, shift = [], 0
+    for s in range(n_seg):
+        w = base + (1 if s < rem else 0)
+        layout.append((shift, w))
+        shift += w
+    return layout
+
+
 def simhash_near_dup_pairs_ds(
     sigs: "ray.data.Dataset",
     *,
@@ -288,21 +367,24 @@ def simhash_near_dup_pairs_ds(
 ) -> "ray.data.Dataset":
     """Distributed SimHash near-dup pairs (a < b, hamming <= k).
 
-    Pigeonhole blocking: a pair within hamming<=3 of a 64-bit signature
-    must agree exactly on at least one of the 4 16-bit segments, so each
-    signature emits 4 (segment, segment_value) rows, candidates form
-    inside ``groupby(segment_key)`` buckets (vectorized XOR popcount per
-    bucket), and a final grouped-min dedups pairs found in several
-    segments. Buckets over ``max_bucket`` docs are dropped (a
-    non-discriminative segment would emit O(m²) pairs).
+    Pigeonhole blocking: a pair within hamming<=k of a 64-bit signature
+    must agree exactly on at least one of ``k + 1`` near-equal-width
+    segments, so each signature emits k+1 (segment, segment_value) rows,
+    candidates form inside ``groupby(segment_key)`` buckets (vectorized
+    XOR popcount per bucket), and a final grouped-min dedups pairs found
+    in several segments. Buckets over ``max_bucket`` docs are dropped (a
+    non-discriminative segment would emit O(m²) pairs) — the only
+    recall loss, and only under segment-key skew.
     """
+    layout = _segment_layout(max_hamming)
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         sh = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
         segs, keys, oid, osh = [], [], [], []
-        for seg in range(4):
-            key = ((sh >> np.uint64(16 * seg)) & np.uint64(0xFFFF)).astype(np.int64)
+        for seg, (shift, width) in enumerate(layout):
+            mask = np.uint64((1 << width) - 1)
+            key = ((sh >> np.uint64(shift)) & mask).astype(np.int64)
             segs.append(np.full(len(ids), seg, dtype=np.int64))
             keys.append(key)
             oid.append(ids)
@@ -341,16 +423,17 @@ def simhash_near_dup_pairs_ds(
 
 
 def simhash_near_dup_pairs(sigs_df: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
-    """Block by 4 × 16-bit segments (a pair within hamming<=3 must agree
-    on at least one segment — pigeonhole); verify hamming exactly.
-    Driver-side finisher over the collected (small) signature table; the
-    scale path runs the same blocking as a groupby over segment keys."""
+    """Block by ``max_hamming + 1`` segments (a pair within hamming<=k
+    must agree on at least one segment — pigeonhole); verify hamming
+    exactly. Driver-side finisher over the collected (small) signature
+    table; the scale path runs the same blocking as a groupby over
+    segment keys."""
     ids = sigs_df["doc_id"].to_numpy()
     sh = sigs_df["simhash"].to_numpy().astype(np.uint64)
     seen: set[tuple[int, int]] = set()
     out_a, out_b, out_d = [], [], []
-    for seg in range(4):
-        key = (sh >> np.uint64(16 * seg)) & np.uint64(0xFFFF)
+    for shift, width in _segment_layout(max_hamming):
+        key = (sh >> np.uint64(shift)) & np.uint64((1 << width) - 1)
         order = np.argsort(key, kind="stable")
         k_s, i_s = key[order], order
         start = 0

@@ -62,8 +62,15 @@ def shard_edges(
     """
     paths = [os.path.join(out_dir, f"shard-{p:05d}.parquet") for p in range(num_shards)]
     done = os.path.join(out_dir, "_SHARDS_OK")
+    # the sentinel records the partitioning parameters: reusing shards
+    # written for a different (num_shards, n_vertices, by) would hand out
+    # paths partitioned with stale range bounds (missing files / negative
+    # src-lo bincounts) — rebuild on any mismatch
+    stamp = f"{num_shards}:{n_vertices}:{by}\n"
     if not overwrite and os.path.exists(done):
-        return paths
+        with open(done) as f:
+            if f.read() == stamp:
+                return paths
     os.makedirs(out_dir, exist_ok=True)
     bounds = vertex_ranges(n_vertices, num_shards)
     other = "dst" if by == "src" else "src"
@@ -105,7 +112,7 @@ def shard_edges(
                 paths[p],
             )
     with open(done, "w") as f:
-        f.write("ok\n")
+        f.write(stamp)
     return paths
 
 
