@@ -420,15 +420,23 @@ def q_embedding_near_dups(sf_dir: str):
     return df[["a", "b"]]
 
 
+def _query_vectors(emb, n: int = 5) -> np.ndarray:
+    """First n query embeddings — Arrow-filtered BEFORE collection so
+    only n rows ever reach the driver (not the whole table)."""
+    import pyarrow.compute as pc
+
+    qdf = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n)),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    return np.stack(qdf["embedding"].to_numpy())
+
+
 def q_similarity_topk(sf_dir: str):
     from wikilinks_ray.ops.similarity import brute_force_top_k
 
     _quiet()
     emb = _read(sf_dir, "embeddings")
-    qdf = emb.to_pandas()
-    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
-    queries = np.stack(qdf["embedding"].to_numpy())
-    t = brute_force_top_k(emb, queries, k=5).to_pandas()
+    t = brute_force_top_k(emb, _query_vectors(emb), k=5).to_pandas()
     return t[["query_id", "vec_id"]]
 
 
@@ -438,10 +446,7 @@ def q_similarity_lsh(sf_dir: str):
 
     _quiet()
     emb = _read(sf_dir, "embeddings")
-    qdf = emb.to_pandas()
-    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
-    queries = np.stack(qdf["embedding"].to_numpy())
-    t = lsh_top_k(emb, queries, k=5).to_pandas()
+    t = lsh_top_k(emb, _query_vectors(emb), k=5).to_pandas()
     return t[["query_id", "vec_id"]]
 
 

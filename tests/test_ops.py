@@ -123,6 +123,44 @@ def test_embedding_near_dup_vs_bruteforce(ray_session):
     assert got == want
 
 
+def test_embedding_near_dup_lsh_path(ray_session):
+    """The LSH-bucketed scale path (forced via broadcast_limit=0): every
+    found pair is exact-verified (subset of brute force), and recall on
+    planted high-cosine near-dups is high at the defaults."""
+    import ray.data as rd
+
+    from wikilinks_ray.ops.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((200, 32))
+    # plant 40 near-dup copies: tiny perturbations of the first 40 rows
+    dup = base[:40] + 0.02 * rng.standard_normal((40, 32))
+    M = np.vstack([base, dup])
+    ids = np.arange(len(M))
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(M.astype(np.float64))),
+    })).repartition(4)
+
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    want = {(int(ids[i]), int(ids[j]))
+            for i, j in zip(*np.nonzero(S >= 0.95)) if ids[i] < ids[j]}
+    planted = {(i, 200 + i) for i in range(40)} & want
+    assert len(planted) >= 35  # perturbation keeps cosine >= .95
+
+    got_rows = embedding_near_dup_pairs(
+        emb, threshold=0.95, broadcast_limit=0).take_all()
+    got = {(r["a"], r["b"]) for r in got_rows}
+    assert got <= want  # no false positives (cosine verified in-bucket)
+    assert len(got & planted) / len(planted) >= 0.9  # recall
+    # cosines are the true values
+    for r in got_rows[:10]:
+        i = np.flatnonzero(ids == r["a"])[0]
+        j = np.flatnonzero(ids == r["b"])[0]
+        assert abs(r["cosine"] - S[i, j]) < 1e-9
+
+
 def test_brute_force_top_k_exact(ray_session):
     import ray.data as rd
 

@@ -139,6 +139,7 @@ def ngram_jaccard_pairs(
     num_partitions: int = 8,
     concurrency: int = 4,
     max_docs_per_shingle: int = 10_000,
+    size_broadcast_limit: int = 50_000_000,
 ) -> "ray.data.Dataset":
     """EXACT n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
 
@@ -155,51 +156,116 @@ def ngram_jaccard_pairs(
     above any co-occurrence seen at test scales, so the oracle-gated
     path stays exact.
     """
-    from ..stages.agg import grouped_agg
-    from ..stages.util import rename_cols
+    from ..stages.agg import _bucket_of, _rle_reduce, grouped_agg
+
+    n_buckets = max(num_partitions, 16)
 
     sh = docs.map_batches(ShingleSignatures(k), batch_format="pyarrow",
                           concurrency=concurrency).materialize()
-    sizes = grouped_agg(sh, ["doc_id"], None, "count",
-                        out_col="size").materialize()
 
-    # stop-shingle guard: one grouped count + broadcast-set filter (the
-    # hot-shingle list is tiny by construction — these are the most
-    # document-frequent shingles)
-    freq = grouped_agg(sh, ["shingle"], None, "count", out_col="df")
-    hot = freq.map_batches(
-        lambda t: t.filter(pc.greater(t["df"], max_docs_per_shingle)),
-        batch_format="pyarrow").select_columns(["shingle"]).take_all()
-    if hot:
-        hot_arr = pa.array(np.array([r["shingle"] for r in hot], np.uint64))
+    def batch_sizes(t: pa.Table) -> pa.Table:
+        # per-batch run-length doc sizes: a doc's shingles are contiguous
+        # within the extractor's output, but a block boundary may split a
+        # run, so these are PARTIAL counts merged by the consumer
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, cnt = _rle_reduce([d], np.ones(len(d), np.int64), "sum")
+        return pa.table({"doc_id": pa.array(keys[0] if len(cnt) else [], pa.int64()),
+                         "size": pa.array(cnt, pa.int64())})
 
-        def drop_hot(t: pa.Table, h=hot_arr) -> pa.Table:
-            return t.filter(pc.invert(pc.is_in(t["shingle"], value_set=h)))
+    size_parts = sh.map_batches(batch_sizes, batch_format="pyarrow")
 
-        sh = sh.map_batches(drop_hot, batch_format="pyarrow")
+    # Per-shingle doc pairs via ONE bucketed map_groups pass: shingles
+    # hash-bucket on their value, each bucket sorts its rows by shingle
+    # (runs = that shingle's posting list), the stop-shingle cap drops
+    # runs longer than ``max_docs_per_shingle`` right here (exact df —
+    # the whole posting list is in one bucket), and ordered (a, b)
+    # co-occurrence pairs generate vectorized with an in-bucket partial
+    # count. One shuffle where a self-join + separate df-count pass cost
+    # three.
+    def part_by_shingle(t: pa.Table) -> pa.Table:
+        s = t.column("shingle").to_numpy(zero_copy_only=False)
+        return t.append_column("__part", pa.array(
+            _bucket_of(s.astype(np.int64), num_buckets=n_buckets)))
 
-    # per-shingle doc pairs via a native hash self-join on the shingle
-    # (a per-group map_groups here costs a Python call per distinct
-    # shingle — tens of thousands of calls; the join is one shuffle of
-    # Arrow kernels)
-    paired = sh.join(rename_cols(sh, {"doc_id": "b"}), "inner",
-                     num_partitions, on=("shingle",))
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["shingle"].to_numpy().astype(np.uint64)
+        d = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, s))
+        s_s, d_s = s[order], d[order]
+        n = len(s_s)
+        empty = pd.DataFrame({"a": np.empty(0, np.int64),
+                              "b": np.empty(0, np.int64),
+                              "cnt": np.empty(0, np.int64)})
+        if n == 0:
+            return empty
+        run_start = np.flatnonzero(np.concatenate(([True], s_s[1:] != s_s[:-1])))
+        run_id = np.cumsum(np.concatenate(
+            ([False], s_s[1:] != s_s[:-1]))).astype(np.int64)
+        run_len = np.diff(np.concatenate((run_start, [n])))
+        # stop-shingle guard: drop whole posting lists over the cap
+        ok = run_len[run_id] <= max_docs_per_shingle
+        s_s, d_s = s_s[ok], d_s[ok]
+        n = len(s_s)
+        if n == 0:
+            return empty
+        run_start = np.flatnonzero(np.concatenate(([True], s_s[1:] != s_s[:-1])))
+        run_id = np.cumsum(np.concatenate(
+            ([False], s_s[1:] != s_s[:-1]))).astype(np.int64)
+        run_len = np.diff(np.concatenate((run_start, [n])))
+        run_end = (run_start + run_len)[run_id]
+        reps = run_end - np.arange(n) - 1
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), reps)
+        block_start = np.repeat(np.cumsum(reps) - reps, reps)
+        b_idx = a_idx + 1 + (np.arange(total) - block_start)
+        a, b = d_s[a_idx], d_s[b_idx]  # doc ids sorted within run => a < b
+        keys, cnt = _rle_reduce([a, b], np.ones(total, np.int64), "sum")
+        return pd.DataFrame({"a": keys[0], "b": keys[1], "cnt": cnt})
 
-    def ordered(t: pa.Table) -> pa.Table:
-        a = t.column("doc_id").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        keep = a < b
-        return pa.table({"a": pa.array(a[keep], pa.int64()),
-                         "b": pa.array(b[keep], pa.int64())})
+    inter = grouped_agg(
+        sh.map_batches(part_by_shingle, batch_format="pyarrow")
+        .groupby("__part").map_groups(bucket_pairs, batch_format="pandas"),
+        ["a", "b"], "cnt", "sum", out_col="inter")
 
-    inter = grouped_agg(paired.map_batches(ordered, batch_format="pyarrow"),
-                        ["a", "b"], None, "count", out_col="inter")
+    # denominator sizes: one int per doc — the partial counts stream to
+    # the driver, merge in pandas (trivial: ~one row per doc), and
+    # broadcast as sorted arrays (ray.put once, searchsorted lookup per
+    # batch; ~16 B/doc) up to the broadcast limit; two hash joins beyond
+    # it (a 10^9-doc size table no longer belongs in one worker's heap).
+    if docs.count() <= size_broadcast_limit:
+        sdf = (size_parts.to_pandas().groupby("doc_id", as_index=False)
+               ["size"].sum().sort_values("doc_id"))
+        size_ref = ray.put((sdf["doc_id"].to_numpy().astype(np.int64),
+                            sdf["size"].to_numpy().astype(np.int64)))
+
+        def score(t: pa.Table) -> pa.Table:
+            ids_sorted, sz = ray.get(size_ref)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            inter_ = t.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
+            sa = sz[np.searchsorted(ids_sorted, a)]
+            sb = sz[np.searchsorted(ids_sorted, b)]
+            jac = inter_ / (sa + sb - inter_)
+            keep = jac >= threshold
+            return pa.table({
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            })
+
+        return inter.map_batches(score, batch_format="pyarrow")
+
+    from ..stages.util import rename_cols
+
+    sizes = grouped_agg(size_parts, ["doc_id"], "size", "sum", out_col="size")
     j1 = inter.join(rename_cols(sizes, {"doc_id": "a_id", "size": "size_a"}),
                     "inner", num_partitions, on=("a",), right_on=("a_id",))
     j2 = j1.join(rename_cols(sizes, {"doc_id": "b_id", "size": "size_b"}),
                  "inner", num_partitions, on=("b",), right_on=("b_id",))
 
-    def score(t: pa.Table) -> pa.Table:
+    def score_joined(t: pa.Table) -> pa.Table:
         inter_ = t.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
         sa = t.column("size_a").to_numpy(zero_copy_only=False)
         sb = t.column("size_b").to_numpy(zero_copy_only=False)
@@ -211,7 +277,7 @@ def ngram_jaccard_pairs(
             "jaccard": pa.array(jac[keep], pa.float64()),
         })
 
-    return j2.map_batches(score, batch_format="pyarrow")
+    return j2.map_batches(score_joined, batch_format="pyarrow")
 
 
 class MinHasher:
@@ -464,15 +530,41 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_limit: int = 100_000,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    max_bucket: int = 5_000,
+    seed: int = 13,
 ) -> "ray.data.Dataset":
     """Cosine-similarity near-dup pairs (a < b, cos >= threshold).
 
-    The full (normalized) matrix is broadcast once via ``ray.put`` and
-    every batch matmuls against it — O(n·d) broadcast + O(batch·n)
-    compute, no shuffle. For corpora where the matrix exceeds worker
-    memory, pre-bucket with the LSH hyperplanes of ops/similarity.py."""
-    import pandas as _pd
+    Two plans, switched on corpus size:
 
+    - ``n <= broadcast_limit``: EXACT. The normalized matrix is
+      broadcast once via ``ray.put`` and every batch matmuls against it
+      — O(n·d) broadcast + O(batch·n) compute, no shuffle. At the
+      default limit the broadcast is ~100 MB of float32-equivalent
+      doubles — a deliberate small-corpus fast path, never the default
+      at scale.
+    - larger: LSH-bucketed (the 100 TB plan). Rows are assigned
+      random-hyperplane bucket keys in ``n_tables`` independent tables
+      (same family as ops/similarity._HyperplaneLSH), candidates verify
+      exact cosine INSIDE each ``groupby(table, bucket)`` group, and a
+      grouped-max dedups pairs found in several tables. No driver
+      materialization, no all-pairs: work is bounded by bucket
+      co-occurrence, with ``max_bucket`` guarding degenerate buckets.
+      Found pairs are exact (cosine verified); recall is probabilistic —
+      1-(1-p^planes)^tables, p = 1 - angle/π — e.g. ≈0.99 for
+      cos ≥ 0.95 at the defaults; raise ``n_tables`` for more.
+    """
+    n = emb.count()
+    if n <= broadcast_limit:
+        return _near_dup_pairs_broadcast(emb, threshold, id_col, vec_col)
+    return _near_dup_pairs_lsh(emb, threshold, id_col, vec_col,
+                               n_planes, n_tables, max_bucket, seed)
+
+
+def _near_dup_pairs_broadcast(emb, threshold, id_col, vec_col):
     all_df = emb.select_columns([id_col, vec_col]).to_pandas()
     ids = all_df[id_col].to_numpy().astype(np.int64)
     M = np.stack(all_df[vec_col].to_numpy()).astype(np.float64)
@@ -496,3 +588,50 @@ def embedding_near_dup_pairs(
         })
 
     return emb.map_batches(block, batch_format="pyarrow")
+
+
+def _near_dup_pairs_lsh(emb, threshold, id_col, vec_col,
+                        n_planes, n_tables, max_bucket, seed):
+    from ..stages.agg import grouped_agg
+    from .similarity import _HyperplaneLSH
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        M = np.stack(t.column(vec_col).to_pylist()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        # planes are seeded + tiny: rebuild per task beats shipping refs
+        lsh = _HyperplaneLSH(M.shape[1], n_planes, n_tables, seed)
+        tables, buckets, oid, vecs = [], [], [], []
+        for ti, b in enumerate(lsh.buckets(M)):
+            tables.append(np.full(len(ids), ti, dtype=np.int64))
+            buckets.append(b.astype(np.int64))
+            oid.append(ids)
+            vecs.append(M)
+        return pa.table({
+            "table": pa.array(np.concatenate(tables)),
+            "bucket": pa.array(np.concatenate(buckets)),
+            id_col: pa.array(np.concatenate(oid)),
+            "__nvec": pa.array(list(np.concatenate(vecs, axis=0))),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        empty = pd.DataFrame({"a": np.empty(0, np.int64),
+                              "b": np.empty(0, np.int64),
+                              "cosine": np.empty(0, np.float64)})
+        m = len(ids)
+        if m < 2 or m > max_bucket:
+            return empty
+        M = np.stack(g["__nvec"].to_numpy())
+        S = M @ M.T
+        ai, bi = np.nonzero(S >= threshold)
+        keep = ids[ai] < ids[bi]
+        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
+                             "cosine": S[ai, bi][keep]})
+
+    cand = (emb.map_batches(assign, batch_format="pyarrow")
+            .groupby(["table", "bucket"])
+            .map_groups(bucket_pairs, batch_format="pandas"))
+    # a pair can collide in several tables — grouped-max dedups (cosine
+    # is identical each time; max is just the dedup reducer)
+    return grouped_agg(cand, ["a", "b"], "cosine", "max", out_col="cosine")

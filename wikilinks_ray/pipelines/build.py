@@ -159,23 +159,54 @@ def find_unknown_exit_titles(redirects: "ray.data.Dataset",
     # targets that are not page titles (usually a handful)
     miss = tgt.join(meta.select_columns(["title"]), "left_anti", p,
                     on=("redirect_target",), right_on=("title",)).materialize()
-    if miss.count() == 0:
+    n_miss = miss.count()
+    if n_miss == 0:
         return frozenset()
-    # ... of those, the ones no article links to
+    # ... of those, the ones no article links to. miss is typically a
+    # handful of rows — shrink the partition count with it, or Ray's
+    # hash join emits schema-less empty blocks that crash pyarrow
+    p2 = max(1, min(p, n_miss // 50))
     art_dst = _filter_expr(links.select_columns(["dst_title", "src_is_redirect"]),
                            "src_is_redirect", False).select_columns(["dst_title"])
-    unknown = miss.join(art_dst, "left_anti", p,
+    unknown = miss.join(art_dst, "left_anti", p2,
                         on=("redirect_target",), right_on=("dst_title",))
     return frozenset(r["redirect_target"] for r in unknown.take_all())
+
+
+def _known_subset(cands: set[str], meta: "ray.data.Dataset",
+                  links: "ray.data.Dataset") -> set[str]:
+    """Which of ``cands`` hold a PagePointer: page titles or article link
+    targets. One broadcast-filter pass over meta ∪ article-links (no
+    shuffle; the candidate set is small by construction)."""
+    if not cands:
+        return set()
+    arr = pa.array(sorted(cands), pa.string())
+    art = _filter_expr(
+        links.select_columns(["dst_title", "src_is_redirect"]),
+        "src_is_redirect", False,
+    ).map_batches(lambda t: pa.table({"title": t["dst_title"]}),
+                  batch_format="pyarrow")
+    uni = meta.select_columns(["title"]).union(art)
+    found = uni.map_batches(
+        lambda t, a=arr: t.filter(pc.is_in(t["title"], value_set=a)),
+        batch_format="pyarrow").take_all()
+    return {r["title"] for r in found}
 
 
 def find_redirect_loop_members(redirects: "ray.data.Dataset",
                                num_partitions: int = 8,
                                driver_side_limit: int = 200_000,
-                               unknown_exits: frozenset[str] = frozenset(),
+                               unknown_exits: frozenset[str] | None = None,
+                               meta: "ray.data.Dataset | None" = None,
+                               links: "ray.data.Dataset | None" = None,
                                ) -> "ray.data.Dataset":
     """Titles of redirects to drop: chains that cycle, plus chains whose
-    exit title is in ``unknown_exits`` (see find_unknown_exit_titles).
+    exit title has no PagePointer (see find_unknown_exit_titles).
+
+    ``unknown_exits``: pass explicitly to override; with ``meta`` +
+    ``links`` given it is derived — on the driver-side fast path from
+    the collected pairs (one broadcast-filter scan, no joins), on the
+    distributed path via find_unknown_exit_titles' anti-joins.
 
     Pointer-doubling over J(src, cur): after round k, ``cur`` is the
     title reached after up to 2^k redirect hops (frozen early once it
@@ -201,10 +232,23 @@ def find_redirect_loop_members(redirects: "ray.data.Dataset",
         # fast path: collect the redirect pairs, resolve exactly on the
         # driver (one pass), return as a tiny dataset.
         pairs = [(row["src"], row["cur"]) for row in r.take_all()]
+        if unknown_exits is None:
+            if meta is not None and links is not None:
+                nxt = dict(pairs)
+                exits = {cur for cur in nxt.values() if cur not in nxt}
+                unknown_exits = frozenset(
+                    exits - _known_subset(exits, meta, links))
+            else:
+                unknown_exits = frozenset()
         dropped = sorted(_loop_members_local(pairs, unknown_exits))
         if not dropped:
             return r.select_columns(["src"]).limit(0)
         return ray.data.from_arrow(pa.table({"src": pa.array(dropped, pa.string())}))
+    if unknown_exits is None:
+        unknown_exits = (find_unknown_exit_titles(redirects, meta, links,
+                                                  num_partitions)
+                         if meta is not None and links is not None
+                         else frozenset())
     num_partitions = max(1, min(num_partitions, n // 50))
     rounds = max(1, math.ceil(math.log2(max(2, n))) + 1)
 
@@ -272,10 +316,8 @@ def build_graph(
     links = links.materialize()
 
     redirects = _filter_expr(meta, "is_redirect", True)
-    unknown_exits = find_unknown_exit_titles(redirects, meta, links,
-                                             num_partitions)
     dropped = find_redirect_loop_members(
-        redirects, num_partitions, unknown_exits=unknown_exits).materialize()
+        redirects, num_partitions, meta=meta, links=links).materialize()
     n_dropped = dropped.count()
 
     # vertices = all pages minus dropped redirects; id = sorted-title rank.

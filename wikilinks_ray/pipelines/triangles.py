@@ -77,7 +77,9 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8,
             "vdeg": pa.array(np.where(lo_first, hd, ld), pa.int64()),
         })
 
-    if deg.count() <= broadcast_degree_limit:
+    deg_is_broadcast = deg.count() <= broadcast_degree_limit
+    dense = None
+    if deg_is_broadcast:
         ddf = deg.to_pandas()
         dense = np.zeros((int(ddf["v"].max()) + 1) if len(ddf) else 1,
                          dtype=np.int64)
@@ -107,26 +109,119 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8,
         oriented = e2.map_batches(orient_joined,
                                   batch_format="pyarrow").materialize()
 
-    # wedges via a native hash self-join on the apex u (a per-group
-    # map_groups costs a Python call per vertex); the closing edge
-    # (a, b) exists in E' iff (adeg, a) < (bdeg, b), which the wedge
-    # filter already enforces, so orientation and closure agree.
-    w = oriented.join(
-        rename_cols(oriented, {"v": "w", "vdeg": "wdeg"}),
-        "inner", num_partitions, on=("u",))
+    # Wedges + closure via the hash-bucket plan (same pattern as
+    # stages/agg.grouped_agg, which measured ~2.7x faster than the
+    # equivalent Dataset.join shuffles): bucket oriented edges by
+    # hash(u), generate each apex's ordered neighbor pairs VECTORIZED
+    # per bucket, then co-bucket wedges with edges by hash(a, b) and
+    # count matches with one C-speed pandas merge per bucket. The
+    # closing edge (a, b) exists in E' iff (adeg, a) < (bdeg, b), which
+    # the within-run sort order already enforces, so orientation and
+    # closure agree.
+    from ..stages.agg import _bucket_of
 
-    def ordered_wedges(t: pa.Table) -> pa.Table:
-        v = t.column("v").to_numpy(zero_copy_only=False)
-        vd = t.column("vdeg").to_numpy(zero_copy_only=False)
-        ww = t.column("w").to_numpy(zero_copy_only=False)
-        wd = t.column("wdeg").to_numpy(zero_copy_only=False)
-        keep = (vd < wd) | ((vd == wd) & (v < ww))
-        return pa.table({"a": pa.array(v[keep], pa.int64()),
-                         "b": pa.array(ww[keep], pa.int64())})
+    # more buckets than partitions: wedge work is the dominant compute
+    # and parallelizes per bucket (each bucket is one map_groups task)
+    n_buckets = max(num_partitions, 32)
 
-    wed = w.map_batches(ordered_wedges, batch_format="pyarrow")
-    closed = wed.join(
-        rename_cols(oriented.select_columns(["u", "v"]), {"u": "eu", "v": "ev"}),
-        "inner", num_partitions, on=("a", "b"), right_on=("eu", "ev"),
-    )
-    return closed.count()
+    def part_by_u(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        return t.append_column("__part", pa.array(
+            _bucket_of(u.astype(np.int64), num_buckets=n_buckets)))
+
+    def _wedge_arrays(g: pd.DataFrame):
+        """Vectorized ordered-wedge endpoints (a, b) for one apex
+        bucket, or None when the bucket yields no wedges."""
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        vd = g["vdeg"].to_numpy()
+        # sort neighbors by (u, (deg, id)): within an apex run, any
+        # (earlier, later) pair is an ordered wedge
+        order = np.lexsort((v, vd, u))
+        u_s, v_s = u[order], v[order]
+        n = len(u_s)
+        if n == 0:
+            return None
+        run_start = np.flatnonzero(np.concatenate(([True], u_s[1:] != u_s[:-1])))
+        run_id = np.cumsum(np.concatenate(
+            ([False], u_s[1:] != u_s[:-1]))).astype(np.int64)
+        run_len = np.diff(np.concatenate((run_start, [n])))
+        run_end = (run_start + run_len)[run_id]  # end of each pos's run
+        reps = run_end - np.arange(n) - 1  # later-neighbor count per pos
+        total = int(reps.sum())
+        if total == 0:
+            return None
+        a_idx = np.repeat(np.arange(n), reps)
+        block_start = np.repeat(np.cumsum(reps) - reps, reps)
+        b_idx = a_idx + 1 + (np.arange(total) - block_start)
+        return v_s[a_idx].astype(np.int64), v_s[b_idx].astype(np.int64)
+
+    # Fast path: when ids fit 32 bits (dense ids hold to 4e9 vertices)
+    # and the oriented edge list fits the broadcast budget, pack each
+    # edge into one uint64, ray.put the SORTED key array once
+    # (plasma-shared per node, ~8 B/edge), and FUSE closure into wedge
+    # generation: each apex bucket counts its closed wedges with one
+    # searchsorted and emits a single int — the wedge table, by far the
+    # biggest intermediate, never materializes anywhere. Beyond the
+    # budget: materialized wedges + bucketed merge (second shuffle).
+    n_edges = oriented.count()
+    max_id = int(dense.shape[0]) if deg_is_broadcast else None
+    if (deg_is_broadcast and max_id < (1 << 32)
+            and n_edges <= broadcast_degree_limit):
+        odf = oriented.select_columns(["u", "v"]).to_pandas()
+        keys = np.sort((odf["u"].to_numpy().astype(np.uint64) << np.uint64(32))
+                       | odf["v"].to_numpy().astype(np.uint64))
+        keys_ref = _ray.put(keys)
+
+        def wedge_close_count(g: pd.DataFrame) -> pd.DataFrame:
+            w = _wedge_arrays(g)
+            if w is None:
+                return pd.DataFrame({"n": [0]})
+            a, b = w
+            ks = _ray.get(keys_ref)
+            packed = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+            idx = np.searchsorted(ks, packed)
+            found = (idx < len(ks)) & (ks[np.minimum(idx, len(ks) - 1)] == packed)
+            return pd.DataFrame({"n": [int(found.sum())]})
+
+        parts = (oriented.map_batches(part_by_u, batch_format="pyarrow")
+                 .groupby("__part")
+                 .map_groups(wedge_close_count, batch_format="pandas"))
+        return int(sum(r["n"] for r in parts.take_all()))
+
+    def gen_wedges(g: pd.DataFrame) -> pd.DataFrame:
+        w = _wedge_arrays(g)
+        if w is None:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        return pd.DataFrame({"a": w[0], "b": w[1]})
+
+    wed = (oriented.map_batches(part_by_u, batch_format="pyarrow")
+           .groupby("__part").map_groups(gen_wedges, batch_format="pandas"))
+
+    def tag(is_edge: int):
+        def fn(t: pa.Table) -> pa.Table:
+            a = t.column("a" if is_edge == 0 else "u").to_numpy(zero_copy_only=False)
+            b = t.column("b" if is_edge == 0 else "v").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "__e": pa.array(np.full(len(a), is_edge, np.int8)),
+                "__part": pa.array(_bucket_of(a.astype(np.int64),
+                                              b.astype(np.int64),
+                                              num_buckets=n_buckets)),
+            })
+        return fn
+
+    both = (wed.map_batches(tag(0), batch_format="pyarrow")
+            .union(oriented.select_columns(["u", "v"])
+                   .map_batches(tag(1), batch_format="pyarrow")))
+
+    def close_count(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["__e"] == 1]
+        w = g[g["__e"] == 0]
+        c = len(w.merge(e, on=["a", "b"])) if len(e) and len(w) else 0
+        return pd.DataFrame({"n": [c]})
+
+    parts = both.groupby("__part").map_groups(close_count, batch_format="pandas")
+    return int(sum(r["n"] for r in parts.take_all()))

@@ -1,20 +1,34 @@
-"""Wikimedia-export XML source (reference S1 parity).
+"""Wikimedia-export XML source (reference S1-S5 parity).
 
 The reference ingests Wikimedia XML dumps through a SAX push parser
 (WikiProcessor.kt:43-71 over bliki's WikiXMLParser) with bz2
 multistream splitting (WikiReader.kt). Our engine's native input is the
 Parquet pages table (BASELINE.json input_hint), but for dump parity this
-source reads export XML files into that same schema:
+source reads export XML files into that same schema
+``(url, warc_ts, html, text, lang)``.
 
-    ray.data.read_binary_files(paths) -> map_batches(parse_xml_dump)
-      -> (url, warc_ts, html, text, lang)
+Multistream ``.bz2`` dumps split into parallel Ray tasks (S3-S5):
 
-- one file = one parse task (Ray Data's file splitting replaces the
-  reference's bz2 substream scanner, WikiReader.kt:175-224; for
-  .bz2 inputs the payload is decompressed in-task);
+- **Sidecar index** (S3): ``<dump>-index.txt.bz2`` next to the dump,
+  lines ``offset:pageid:title`` — distinct increasing offsets become
+  substream ranges, 0 prepended and file size appended
+  (WikiReader.kt:105-163 ``parseIndexRanges`` semantics, including its
+  validation rules).
+- **Magic scan fallback** (S4): offsets of the 10-byte stream header
+  ``BZh[1-9]1AY&SY`` found with a vectorized numpy scan (the reference
+  rolls a byte window, WikiReader.kt:178-224); interior block headers
+  lack the ``BZh`` prefix, so only true stream starts match.
+- **Parallel range decompression** (S5): one Ray task per (path, start,
+  end) range — seek + read + ``bz2.decompress`` + parse, streaming
+  through the Dataset instead of the reference's bounded in-order
+  reassembly queue (WikiReader.kt:340-468): downstream stages are
+  order-independent here, so no reassembly is needed at all.
+
+Other semantics:
+
 - only main-namespace pages are kept (``<ns> == 0`` when present —
   M1, WikiProcessor.kt:44);
-- ``warc_ts`` is a fixed epoch +  hash(title)-derived offset, NOT a
+- ``warc_ts`` is a fixed epoch + hash(title)-derived offset, NOT a
   parse-order counter: ids and timestamps must be content-derived so
   block order never matters (SURVEY.md §2.10).
 """
@@ -23,8 +37,10 @@ from __future__ import annotations
 
 import bz2
 import hashlib
+import os
 import xml.etree.ElementTree as ET
 
+import numpy as np
 import pyarrow as pa
 
 from .corpus import EPOCH_US, page_url
@@ -78,6 +94,174 @@ class _BytesReader:
         return chunk
 
 
+def parse_page_fragment(payload: bytes) -> list[tuple[str, str]]:
+    """A decompressed multistream substream -> [(title, wikitext)].
+
+    A substream is a bare ``<page>...</page>`` sequence (no root, no
+    xmlns); the dump's first stream holds the header/siteinfo and the
+    last holds the closing tag — both carry no complete page and yield
+    nothing. Slicing first-``<page`` .. last-``</page>`` and wrapping in
+    a synthetic root handles all three shapes.
+    """
+    start = payload.find(b"<page")
+    end = payload.rfind(b"</page>")
+    if start < 0 or end < 0:
+        return []
+    wrapped = b"<pages>" + payload[start:end + len(b"</page>")] + b"</pages>"
+    return parse_export_xml(wrapped)
+
+
+# --------------------------------------------------------------------------
+# multistream bz2 splitting (S3-S5)
+# --------------------------------------------------------------------------
+
+def sidecar_index_path(dump_path: str) -> str:
+    """``x.xml.bz2`` -> ``x-index.txt.bz2`` (WikiReader.kt:165-173)."""
+    name = os.path.basename(dump_path)
+    if name.endswith(".xml.bz2"):
+        idx = name[: -len(".xml.bz2")] + "-index.txt.bz2"
+    elif name.endswith(".bz2"):
+        idx = name[: -len(".bz2")] + "-index.txt.bz2"
+    else:
+        idx = name + "-index.txt.bz2"
+    return os.path.join(os.path.dirname(dump_path), idx)
+
+
+def parse_index_ranges(index_text: str, compressed_size: int) -> list[tuple[int, int]]:
+    """``offset:pageid:title`` lines -> substream (start, end) ranges.
+
+    Mirrors the reference's validation (WikiReader.kt:117-163): blank
+    lines skipped, consecutive duplicate offsets collapsed, offsets must
+    be strictly increasing and inside [0, size); 0 is prepended and the
+    file size closes the last range.
+    """
+    if compressed_size <= 0:
+        raise ValueError("Compressed source must not be empty")
+    offsets: list[int] = []
+    previous: int | None = None
+    for lineno, line in enumerate(index_text.splitlines(), start=1):
+        if not line.strip():
+            continue
+        sep = line.find(":")
+        if sep <= 0:
+            raise ValueError(f"Malformed index line {lineno}: missing ':'")
+        try:
+            offset = int(line[:sep])
+        except ValueError:
+            raise ValueError(f"Malformed index line {lineno}: invalid offset")
+        if not 0 <= offset < compressed_size:
+            raise ValueError(
+                f"Index offset out of bounds on line {lineno}: "
+                f"{offset} not in [0, {compressed_size})")
+        if previous is None or previous != offset:
+            if previous is not None and offset <= previous:
+                raise ValueError(
+                    f"Index offsets must be strictly increasing: "
+                    f"{offset} after {previous}")
+            offsets.append(offset)
+            previous = offset
+    if not offsets:
+        return []
+    if offsets[0] != 0:
+        offsets.insert(0, 0)
+    offsets.append(compressed_size)
+    return [(offsets[i], offsets[i + 1]) for i in range(len(offsets) - 1)]
+
+
+_BZ2_STREAM_MAGIC = b"BZh"
+_BZ2_BLOCK_MAGIC = b"1AY&SY"
+
+
+def scan_bz2_stream_offsets(data: bytes | memoryview) -> np.ndarray:
+    """Byte offsets of every ``BZh[1-9]1AY&SY`` stream header — the S4
+    substream scanner (WikiReader.kt:178-224), vectorized: ten shifted
+    equality masks instead of a per-byte rolling window."""
+    a = np.frombuffer(data, dtype=np.uint8)
+    n = len(a)
+    if n < 10:
+        return np.empty(0, np.int64)
+    pattern = _BZ2_STREAM_MAGIC + b"\x00" + _BZ2_BLOCK_MAGIC  # \x00 = level slot
+    m = np.ones(n - 9, dtype=bool)
+    for i, byte in enumerate(pattern):
+        window = a[i:n - 9 + i]
+        if i == 3:  # compression level '1'..'9'
+            m &= (window >= ord("1")) & (window <= ord("9"))
+        else:
+            m &= window == byte
+    return np.flatnonzero(m).astype(np.int64)
+
+
+def multistream_ranges(dump_path: str) -> list[tuple[int, int]]:
+    """Substream (start, end) ranges of a ``.bz2`` dump: sidecar index
+    when present (no scan needed), else a magic scan of the file.
+
+    The scan reads the compressed file once on the driver (like the
+    reference's sequential pre-pass); index-carrying dumps skip it
+    entirely, which is the recommended path for 100 GB dumps.
+    """
+    size = os.path.getsize(dump_path)
+    idx = sidecar_index_path(dump_path)
+    if os.path.exists(idx):
+        with open(idx, "rb") as f:
+            text = bz2.decompress(f.read()).decode("utf-8")
+        ranges = parse_index_ranges(text, size)
+        if ranges:
+            return ranges
+    with open(dump_path, "rb") as f:
+        data = f.read()
+    offs = scan_bz2_stream_offsets(data)
+    if len(offs) == 0:
+        return [(0, size)]
+    bounds = np.concatenate((offs, [size]))
+    return [(int(bounds[i]), int(bounds[i + 1])) for i in range(len(offs))]
+
+
+def _decompress_ranges(batch: pa.Table) -> pa.Table:
+    """(path, start, end) rows -> pages-schema rows (S5: one range = one
+    independent bz2 stream, decompressed and parsed in-task)."""
+    out_rows: list[tuple[str, str]] = []
+    for path, start, end in zip(batch.column("path").to_pylist(),
+                                batch.column("start").to_pylist(),
+                                batch.column("end").to_pylist()):
+        with open(path, "rb") as f:
+            f.seek(start)
+            payload = bz2.decompress(f.read(end - start))
+        out_rows.extend(parse_page_fragment(payload))
+    return _pages_table(out_rows)
+
+
+def _pages_table(rows: list[tuple[str, str]]) -> pa.Table:
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for title, text in rows:
+        h = int.from_bytes(
+            hashlib.md5(title.encode("utf-8")).digest()[:4], "little")
+        urls.append(page_url(title))
+        tss.append(EPOCH_US + h)  # content-derived, order-independent
+        htmls.append(b"")
+        texts.append(text)
+        langs.append("en")
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+
+
+def read_multistream_dump(dump_path: str, *, ranges: list[tuple[int, int]] | None = None):
+    """One multistream ``.bz2`` dump -> pages Dataset with one parallel
+    task per substream (instead of one task for the whole file)."""
+    import ray.data
+
+    if ranges is None:
+        ranges = multistream_ranges(dump_path)
+    items = [{"path": dump_path, "start": s, "end": e} for s, e in ranges]
+    return (ray.data.from_items(items)
+            .repartition(len(items))  # one decompression task per range
+            .map_batches(_decompress_ranges, batch_format="pyarrow"))
+
+
 def parse_xml_dump(batch: pa.Table) -> pa.Table:
     """read_binary_files batch (bytes [+ path]) -> pages-schema rows."""
     urls, tss, htmls, texts, langs = [], [], [], [], []
@@ -100,8 +284,15 @@ def parse_xml_dump(batch: pa.Table) -> pa.Table:
 
 
 def read_xml_dump(paths: str | list[str]):
-    """Dump file(s)/dir -> pages Dataset (lazy)."""
+    """Dump file(s)/dir -> pages Dataset (lazy).
+
+    A single multistream ``.bz2`` file splits into one task per
+    substream (S3-S5); anything else parses one file per task."""
     import ray.data
 
+    if isinstance(paths, str) and paths.endswith(".bz2") and os.path.isfile(paths):
+        ranges = multistream_ranges(paths)
+        if len(ranges) > 1:
+            return read_multistream_dump(paths, ranges=ranges)
     files = ray.data.read_binary_files(paths)
     return files.map_batches(parse_xml_dump, batch_format="pyarrow")

@@ -42,7 +42,7 @@ def _bucket_of(*cols: np.ndarray, num_buckets: int) -> np.ndarray:
 
 
 def _rle_reduce(keys: list[np.ndarray], vals: np.ndarray, op: str):
-    """Sort rows by key tuple, reduce ``vals`` per run. op: sum|min|count."""
+    """Sort rows by key tuple, reduce ``vals`` per run. op: sum|min|max|count."""
     order = np.lexsort(tuple(reversed(keys)))
     ks = [k[order] for k in keys]
     v = vals[order]
@@ -59,6 +59,8 @@ def _rle_reduce(keys: list[np.ndarray], vals: np.ndarray, op: str):
         out = np.add.reduceat(v, idx)
     elif op == "min":
         out = np.minimum.reduceat(v, idx)
+    elif op == "max":
+        out = np.maximum.reduceat(v, idx)
     else:
         raise ValueError(op)
     return out_keys, out
