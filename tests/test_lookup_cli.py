@@ -53,6 +53,31 @@ def test_title_of_and_random(index):
     assert idx.random_vertex(rng2) == (vid, title)
 
 
+def test_route_benchmark_pinned_corpus(ray_session, index, tmp_path):
+    """runBenchmarksAndTest analog (Benchmarking.java:87-138): the
+    pinned 50-pair corpus (networkx-oracled shortest-path lengths over
+    the seeded 300-page corpus) must reproduce exactly — the benchmark
+    doubles as a correctness gate, for BOTH route finders."""
+    import os
+
+    from wikilinks_ray.cli import route_benchmark
+    from wikilinks_ray.state.csr import create_shard_actors, shard_edges
+
+    idx, res = index
+    n = res.stats.n_vertices
+    corpus = os.path.join(os.path.dirname(__file__), "fixtures",
+                          "route_corpus.json")
+    fwd, _ = create_shard_actors(
+        shard_edges(res.edges(), n, 3, str(tmp_path / "pf"), by="src"), n)
+    rev, _ = create_shard_actors(
+        shard_edges(res.edges(), n, 3, str(tmp_path / "pr"), by="dst"), n,
+        key="dst")
+    uni = route_benchmark(fwd, n, idx, check_corpus=corpus)
+    assert uni["pairs"] == 50 and uni["wrong"] == 0, uni["mismatches"]
+    bidi = route_benchmark(fwd, n, idx, rev_actors=rev, check_corpus=corpus)
+    assert bidi["pairs"] == 50 and bidi["wrong"] == 0, bidi["mismatches"]
+
+
 def test_route_benchmark_welford(ray_session, small_corpus, index, tmp_path):
     from wikilinks_ray.cli import route_benchmark
     from wikilinks_ray.state.csr import create_shard_actors, shard_edges

@@ -61,3 +61,45 @@ def test_extracted_text_bytes_canonical():
     assert extracted_text_bytes(False, None, ["A", "Bé"]) == b"A\nB\xc3\xa9"
     assert extracted_text_bytes(True, "Tgt", ["Tgt"]) == b"#REDIRECT\tTgt"
     assert extracted_text_bytes(False, None, []) == b""
+
+
+def test_markup_stripping_robustness():
+    """bliki-parity semantics: comments / nowiki / templates contribute
+    no links (the reference feeds bliki's parsed links at
+    WikiProcessor.kt:55, never raw regex matches)."""
+    from wikilinks_ray.functions.wikitext import parse_wikitext
+
+    text = (
+        "see [[Alpha]] <!-- [[Hidden]] --> and "
+        "<nowiki>[[Also Hidden]]</nowiki> "
+        "{{infobox|link=[[Template Hidden]]|nested={{x|[[Deep]]}}}} "
+        "then [[beta]]"
+    )
+    is_r, tgt, links = parse_wikitext(text)
+    assert (is_r, tgt) == (False, None)
+    assert links == ["Alpha", "Beta"]
+
+
+def test_nested_file_link_yields_outer_and_inner():
+    """[[File:x|caption [[Y]]]] links BOTH File:x (a non-main target
+    that later resolves to nothing, like any null link) and Y."""
+    from wikilinks_ray.functions.wikitext import parse_wikitext
+
+    is_r, _t, links = parse_wikitext(
+        "[[File:Map.png|thumb|the city of [[Gdańsk]] at night]] and [[Polska]]")
+    assert not is_r
+    assert links == ["File:Map.png", "Gdańsk", "Polska"]
+
+
+def test_unbalanced_brackets_are_literal():
+    from wikilinks_ray.functions.wikitext import parse_wikitext
+
+    assert parse_wikitext("a [[Open and never closed")[2] == []
+    assert parse_wikitext("[[Ok]] then [[broken")[2] == ["Ok"]
+
+
+def test_template_nesting_depth_bounded():
+    from wikilinks_ray.functions.wikitext import strip_markup
+
+    deep = "{{" * 40 + "x" + "}}" * 40 + " [[Kept]]"
+    assert "[[Kept]]" in strip_markup(deep)

@@ -87,26 +87,61 @@ class _Welford:
 
 
 def route_benchmark(actors, n, index, n_pairs: int = 50,
-                    seed: int = 0xCAFEBABE, rev_actors=None) -> dict:
+                    seed: int = 0xCAFEBABE, rev_actors=None,
+                    check_corpus: str | None = None) -> dict:
     """Seeded-random route benchmark (Q5, Benchmarking.java:14-34).
     With ``rev_actors`` the bidirectional finder runs (RouteFinder
-    analog); otherwise plain level-synchronous BFS."""
+    analog); otherwise plain level-synchronous BFS.
+
+    ``check_corpus``: path to a pinned-pair corpus
+    (``tests/fixtures/route_corpus.json``: 50 (src, dst, expected_len)
+    title pairs with networkx-oracled lengths) — the benchmark then
+    doubles as a correctness gate, the ``runBenchmarksAndTest`` analog
+    (Benchmarking.java:87-138). Mismatched lengths are counted in
+    ``wrong`` and listed in ``mismatches``."""
     import numpy as np
 
     from .pipelines.bfs import shortest_route
     from .pipelines.bidirectional import bidirectional_route
 
-    rng = np.random.default_rng(seed)
+    def find(s: int, t: int):
+        if rev_actors is not None:
+            return bidirectional_route(actors, rev_actors, n, s, t)
+        return shortest_route(actors, n, s, t)
+
     w = _Welford()
+    if check_corpus is not None:
+        import json as _json
+
+        with open(check_corpus) as f:
+            corpus = _json.load(f)
+        found = 0
+        wrong = []
+        for p in corpus["pairs"]:
+            s = index.lookup(p["src"])
+            t = index.lookup(p["dst"])
+            t0 = time.perf_counter()
+            route = find(s, t)
+            w.add((time.perf_counter() - t0) * 1000.0)
+            got = len(route) - 1 if route is not None else -1
+            if route is not None:
+                found += 1
+            if got != p["len"]:
+                wrong.append({"src": p["src"], "dst": p["dst"],
+                              "expected": p["len"], "got": got})
+        return {"pairs": len(corpus["pairs"]), "found": found,
+                "wrong": len(wrong), "mismatches": wrong[:10],
+                "mean_ms": round(w.mean, 2), "stddev_ms": round(w.stddev(), 2),
+                "min_ms": round(w.min, 2), "max_ms": round(w.max, 2),
+                "sum_ms": round(w.sum, 2)}
+
+    rng = np.random.default_rng(seed)
     found = 0
     for _ in range(n_pairs):
         s, _st = index.random_vertex(rng)
         t, _tt = index.random_vertex(rng)
         t0 = time.perf_counter()
-        if rev_actors is not None:
-            route = bidirectional_route(actors, rev_actors, n, s, t)
-        else:
-            route = shortest_route(actors, n, s, t)
+        route = find(s, t)
         w.add((time.perf_counter() - t0) * 1000.0)
         if route is not None:
             found += 1
@@ -158,8 +193,9 @@ def cmd_query(args) -> int:
             return bidirectional_route(actors, rev, n, s, t)
         return shortest_route(actors, n, s, t)
 
-    if args.benchmark:
-        print(json.dumps(route_benchmark(actors, n, index, rev_actors=rev)))
+    if args.benchmark or args.benchmark_corpus:
+        print(json.dumps(route_benchmark(actors, n, index, rev_actors=rev,
+                                         check_corpus=args.benchmark_corpus)))
         ray.shutdown()
         return 0
 
@@ -231,6 +267,8 @@ def main(argv=None) -> int:
     q.add_argument("--graph", required=True)
     q.add_argument("--shards", type=int, default=4)
     q.add_argument("--benchmark", action="store_true")
+    q.add_argument("--benchmark-corpus", default=None,
+                   help="pinned (src,dst,len) corpus json: benchmark + assert")
     q.add_argument("--bidirectional", action="store_true",
                    help="use the bidirectional finder (builds reverse CSR)")
     q.set_defaults(fn=cmd_query)

@@ -16,7 +16,12 @@ These pin down the reference's per-page extraction contract so the
 - per-page dedup preserving first-occurrence order (``.distinct()``,
   WikiProcessor.kt:55);
 - underscores in targets are equivalent to spaces; surrounding whitespace
-  stripped; empty targets dropped.
+  stripped; empty targets dropped;
+- markup robustness (bliki-parity semantics, frozen here): HTML comments,
+  ``<nowiki>`` spans and ``{{templates}}`` (nested) contribute no links;
+  ``[[File:x|caption with [[Y]]]]`` yields BOTH the outer ``File:x``
+  target (which resolves to nothing in the main namespace and is dropped
+  + counted like any null link) and the nested ``Y``.
 
 ``extracted_text_bytes`` defines the canonical byte serialization of a
 page's extraction result used by the golden fixtures.
@@ -28,6 +33,67 @@ import re
 
 _LINK_RE = re.compile(r"\[\[(.*?)\]\]", re.DOTALL)
 _REDIRECT_RE = re.compile(r"^\s*#REDIRECT\s*:?\s*\[\[(.*?)\]\]", re.IGNORECASE | re.DOTALL)
+
+# markup that must not contribute links (bliki strips these before its
+# link walk, WikiPatternMatcher; the reference consumes matcher.links at
+# WikiProcessor.kt:55): HTML comments, <nowiki> spans, and {{templates}}
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_NOWIKI_RE = re.compile(r"<nowiki>.*?</nowiki>", re.DOTALL | re.IGNORECASE)
+_TEMPLATE_RE = re.compile(r"\{\{[^{}]*\}\}", re.DOTALL)
+# one C-speed scan deciding whether strip_markup must run at all — the
+# overwhelmingly common markup-free page stays on the regex fast path
+_MARKUP_TRIGGER_RE = re.compile(r"\{\{|<!--|<nowiki", re.IGNORECASE)
+
+
+def strip_markup(text: str) -> str:
+    """Remove comment / nowiki / template markup so their contents never
+    produce links. Templates strip innermost-first so nesting unwinds;
+    bounded iterations guard pathological inputs."""
+    text = _COMMENT_RE.sub(" ", text)
+    text = _NOWIKI_RE.sub(" ", text)
+    for _ in range(16):  # nesting depth bound
+        text, n = _TEMPLATE_RE.subn(" ", text)
+        if not n:
+            break
+    return text
+
+
+def iter_link_targets(text: str):
+    """Yield raw ``[[...]]`` inner texts, handling NESTED links (a
+    ``[[File:x|caption with [[Y]]]]`` image link): the non-greedy regex
+    stops at the first ``]]`` and would both truncate the outer link and
+    swallow the nested one. Bracket-aware scan: outer links yield first
+    (document order of their ``[[``), then their caption's nested links
+    are scanned recursively. Unbalanced trailing ``[[`` is ignored, like
+    MediaWiki renders it as literal text."""
+    pos = 0
+    n = len(text)
+    while True:
+        start = text.find("[[", pos)
+        if start < 0:
+            return
+        depth = 1
+        i = start + 2
+        while i < n and depth:
+            if text.startswith("[[", i):
+                depth += 1
+                i += 2
+            elif text.startswith("]]", i):
+                depth -= 1
+                i += 2
+            else:
+                i += 1
+        if depth:  # unbalanced — treat the rest as literal text
+            return
+        inner = text[start + 2:i - 2]
+        head = inner.split("|", 1)[0]
+        if "[[" in head:  # nested link before any pipe — truncate
+            head = head[:head.find("[[")]
+        yield head
+        # nested links live in the caption (after the first |)
+        if "[[" in inner:
+            yield from iter_link_targets(inner)
+        pos = i
 
 
 def capitalize_first(name: str) -> str:
@@ -65,9 +131,17 @@ def parse_wikitext(text: str) -> tuple[bool, str | None, list[str]]:
     if m:
         target = normalize_link_target(m.group(1))
         return True, target, ([target] if target is not None else [])
+    if _MARKUP_TRIGGER_RE.search(text):
+        text = strip_markup(text)
+    # fast path: the C-speed regex — correct unless a link NESTS another
+    # ([[File:x|cap [[Y]]]]), which always leaves a stray '[[' inside a
+    # match; only then run the bracket-aware Python scanner
+    raws = _LINK_RE.findall(text)
+    if any("[[" in r for r in raws):
+        raws = iter_link_targets(text)
     seen: set[str] = set()
     links: list[str] = []
-    for raw in _LINK_RE.findall(text):
+    for raw in raws:
         t = normalize_link_target(raw)
         if t is not None and t not in seen:
             seen.add(t)

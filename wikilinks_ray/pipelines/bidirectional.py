@@ -1,10 +1,13 @@
 """Bidirectional BFS shortest-path queries (the reference's signature
 operator, RouteFinder.kt:9-177).
 
-Two frontiers expand alternately: forward over the out-edge CSR shards,
-backward over the transpose (in-edge) shards — the same paired
-forward/reverse adjacency the reference materializes
-(outEdges/inEdges sections, SegmentWikiGraphStore.kt:100-114). Policy
+Two frontiers expand — forward over the out-edge CSR shards, backward
+over the transpose (in-edge) shards — the same paired forward/reverse
+adjacency the reference materializes (outEdges/inEdges sections,
+SegmentWikiGraphStore.kt:100-114). While both frontiers are small the
+two directions expand CONCURRENTLY on their disjoint actor pools (one
+synchronization round covers two levels — route queries are bound by
+round latency, not compute); past ``dual_expand_limit`` the policy
 mirrors the reference:
 
 - expand the cheaper side each step; the reference yields when a parent
@@ -32,18 +35,24 @@ import ray
 from ..state.csr import vertex_ranges
 
 
-@ray.remote
-def _bd_reduce(lo: int, level: int, dist: np.ndarray, parent: np.ndarray,
-               other_dist: np.ndarray, *candidates):
+def _bd_reduce_impl(lo: int, level: int, dist: np.ndarray, parent: np.ndarray,
+                    other_dist: np.ndarray, *candidates):
     """Like bfs._bfs_reduce (single source) + reports meeting vertices:
     newly discovered vertices already reached by the opposite search.
     Candidates are ``bfs_expand`` outputs (dst, parent, sid); sid is a
-    single-source placeholder and ignored."""
+    single-source placeholder and ignored.
+
+    Plain function: route queries are LATENCY-bound, so this runs as a
+    CSRShardActor method (warm actor dispatch) rather than a spawned
+    task per range per level — see CSRShardActor.bd_reduce."""
     ds = [c[0] for c in candidates if c is not None and len(c[0])]
     ps = [c[1] for c in candidates if c is not None and len(c[0])]
     empty = np.empty(0, np.int64)
+    # None in the dist/parent slots = "unchanged, keep your old refs":
+    # re-returning an untouched 600 KB chunk would re-serialize it into
+    # the object store every level for every quiet range
     if not ds:
-        return dist, parent, empty, 0, empty, empty
+        return None, None, empty, 0, empty, empty
     d = np.concatenate(ds) - lo
     p = np.concatenate(ps)
     uniq, first_idx = np.unique(d, return_index=True)
@@ -51,7 +60,7 @@ def _bd_reduce(lo: int, level: int, dist: np.ndarray, parent: np.ndarray,
     unvisited = dist[d] < 0
     d, p = d[unvisited], p[unvisited]
     if len(d) == 0:
-        return dist, parent, empty, 0, empty, empty
+        return None, None, empty, 0, empty, empty
     dist = dist.copy()
     parent = parent.copy()
     dist[d] = level
@@ -86,8 +95,11 @@ class _Side:
     def frontier_size(self) -> int:
         return sum(self.counts)
 
-    def expand(self, other: "_Side"):
-        """One level; returns (meet_vertices, total_lengths)."""
+    def start(self, other: "_Side") -> list:
+        """Launch one level's expand + reduce WITHOUT blocking, so both
+        search directions can run their level concurrently (disjoint
+        actor pools — forward expands on the out-edge shards while
+        backward expands on the transpose shards)."""
         P = len(self.actors)
         self.depth += 1
         active = [p for p in range(P) if self.counts[p]]
@@ -98,21 +110,58 @@ class _Side:
             ex = {p: [self.actors[p].bfs_expand_mono.remote(self.frontier[p])]
                   for p in active}
 
-        out = [
-            _bd_reduce.options(num_returns=6).remote(
+        # reduce runs on the OPPOSITE side's shard actors (idle while
+        # this side expands — running it on the expanding pool would
+        # serialize behind the expansion on each actor; spawning fresh
+        # tasks per level pays worker-lease latency every level).
+        # other.dist refs are read BEFORE the opposite side's concurrent
+        # reduce swaps them, so meets are judged against the pre-round
+        # state of the other search — same-round double discoveries are
+        # caught by the caller's frontier intersection.
+        return [
+            other.actors[q].bd_reduce.options(num_returns=6).remote(
                 int(self.bounds[q]), self.depth, self.dist[q], self.parent[q],
                 other.dist[q],
                 *[ex[p][q] for p in active])
             for q in range(P)
         ]
-        self.dist = [o[0] for o in out]
-        self.parent = [o[1] for o in out]
-        self.frontier = [o[2] for o in out]
-        self.counts = list(ray.get([o[3] for o in out]))
-        meets = ray.get([o[4] for o in out])
-        totals = ray.get([o[5] for o in out])
+
+    def finish(self, out: list, fetch_frontier: bool = False):
+        """Collect one level: returns (meet_vertices, total_lengths,
+        newly_discovered_vertices). ONE driver round-trip.
+        ``fetch_frontier`` additionally pulls the new frontier arrays
+        (needed only for the dual-expansion cross-meet check — skipped
+        otherwise: a large frontier would cost a driver transfer)."""
+        P = len(self.actors)
+        refs = ([o[3] for o in out] + [o[4] for o in out]
+                + [o[5] for o in out])
+        if fetch_frontier:
+            refs += [o[2] for o in out]
+        flat = ray.get(refs)
+        counts = list(flat[:P])
+        meets, totals = flat[P:2 * P], flat[2 * P:3 * P]
+        fronts = flat[3 * P:] if fetch_frontier else None
+        # ranges with no discoveries returned None chunks — keep the old
+        # dist/parent refs instead of swapping in the placeholder
+        for q in range(P):
+            if counts[q]:
+                self.dist[q] = out[q][0]
+                self.parent[q] = out[q][1]
+                self.frontier[q] = out[q][2]
+            else:
+                self.frontier[q] = np.empty(0, np.int64)
+        self.counts = counts
         mv = np.concatenate(meets) if meets else np.empty(0, np.int64)
         mt = np.concatenate(totals) if totals else np.empty(0, np.int64)
+        newly = np.empty(0, np.int64)
+        if fronts is not None and any(counts):
+            newly = np.concatenate(
+                [fr for q, fr in enumerate(fronts) if counts[q]])
+        return mv, mt, newly
+
+    def expand(self, other: "_Side"):
+        """One level; returns (meet_vertices, total_lengths)."""
+        mv, mt, _ = self.finish(self.start(other))
         return mv, mt
 
     def dist_of(self, v: int) -> int:
@@ -120,18 +169,34 @@ class _Side:
         return int(ray.get(self.dist[q])[v - int(self.bounds[q])])
 
     def parent_of(self, v: int) -> int:
+        # the whole chunk transfers once and is cached: the splice walk
+        # calls this per path hop
         q = int(np.searchsorted(self.bounds, v, side="right") - 1)
-        return int(ray.get(self.parent[q])[v - int(self.bounds[q])])
+        if not hasattr(self, "_pcache"):
+            self._pcache = {}
+        if q not in self._pcache:
+            self._pcache[q] = ray.get(self.parent[q])
+        return int(self._pcache[q][v - int(self.bounds[q])])
 
 
 def bidirectional_route(fwd_actors, rev_actors, n_vertices: int,
                         src: int, dst: int,
-                        max_levels: int = 10_000) -> list[int] | None:
+                        max_levels: int = 10_000,
+                        dual_expand_limit: int = 65536) -> list[int] | None:
     """Shortest src->dst path using forward + reverse CSR shard pools.
 
     ``rev_actors`` must be built over the transposed edge table
     (``shard_edges(..., by="dst")`` loads (dst, src) shards whose
     adjacency IS the reverse graph).
+
+    While both frontiers are small (≤ ``dual_expand_limit`` combined),
+    BOTH directions expand in the same round on their disjoint actor
+    pools — halving the number of latency-bound synchronization rounds.
+    Meets against the opposite side's pre-round state come from the
+    reduces; vertices discovered by BOTH sides in the same round are
+    caught by intersecting the two new frontiers (total = depth_f +
+    depth_b). Past the limit the reference's policy applies: expand the
+    cheaper side only (TOO_BIG intent, RouteFinder.kt:26-39,72).
     """
     if src == dst:
         return [src]
@@ -143,18 +208,35 @@ def bidirectional_route(fwd_actors, rev_actors, n_vertices: int,
 
     best_total = None
     best_meet = None
+
+    def consider(mv, mt):
+        nonlocal best_total, best_meet
+        for v, t in zip(mv.tolist(), mt.tolist()):
+            if best_total is None or t < best_total or (t == best_total and v < best_meet):
+                best_total, best_meet = int(t), int(v)
+
     for _ in range(max_levels):
-        if f.frontier_size() == 0 and b.frontier_size() == 0:
+        sf, sb = f.frontier_size(), b.frontier_size()
+        if sf == 0 and sb == 0:
             break
         # optimality guard: any undiscovered path costs >= depth_f+depth_b+1
         if best_total is not None and f.depth + b.depth + 1 >= best_total:
             break
-        side = f if (0 < f.frontier_size() <= b.frontier_size()
-                     or b.frontier_size() == 0) else b
-        mv, mt = side.expand(b if side is f else f)
-        for v, t in zip(mv.tolist(), mt.tolist()):
-            if best_total is None or t < best_total or (t == best_total and v < best_meet):
-                best_total, best_meet = int(t), int(v)
+        if sf and sb and sf + sb <= dual_expand_limit:
+            hf = f.start(b)
+            hb = b.start(f)
+            mvf, mtf, new_f = f.finish(hf, fetch_frontier=True)
+            mvb, mtb, new_b = b.finish(hb, fetch_frontier=True)
+            consider(mvf, mtf)
+            consider(mvb, mtb)
+            cross = np.intersect1d(new_f, new_b)
+            if len(cross):
+                consider(cross, np.full(len(cross), f.depth + b.depth,
+                                        dtype=np.int64))
+        else:
+            side = f if (0 < sf <= sb or sb == 0) else b
+            mv, mt = side.expand(b if side is f else f)
+            consider(mv, mt)
 
     if best_meet is None:
         return None

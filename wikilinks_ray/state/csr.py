@@ -263,6 +263,17 @@ class CSRShardActor:
             out.append((csr.dst_sorted_dst[a:b], edge_vals[a:b]))
         return out if len(out) > 1 else out[0]
 
+    def bd_reduce(self, lo: int, level: int, dist, parent, other_dist,
+                  *candidates):
+        """Bidirectional-BFS per-range reduce, co-located on the shard
+        pool: route queries are latency-bound and a warm actor call
+        beats spawning a task per range per level. Pure function of its
+        arguments (no actor state) — lives here only for dispatch."""
+        from ..pipelines.bidirectional import _bd_reduce_impl
+
+        return _bd_reduce_impl(lo, level, dist, parent, other_dist,
+                               *candidates)
+
     def bfs_expand_mono(self, frontier_v: np.ndarray):
         """Single-source expansion: like bfs_expand with sid=0 for all
         frontier vertices (callers holding the frontier only as an
