@@ -204,6 +204,55 @@ def q_wiki_stats(sf_dir: str):
     return pd.DataFrame([asdict(res.stats)]).astype("int64")
 
 
+def q_wiki_bfs(sf_dir: str):
+    """Directed BFS distances from vertex 0 over the FLAGSHIP graph
+    (CSR shard actors on the built wiki edges) — puts the engine's own
+    graph runtime, not just the TPC-H-derived one, under the oracle."""
+    from wikilinks_ray.pipelines.bfs import multi_source_bfs
+    from wikilinks_ray.pipelines.flagship import ORACLE_BUILD_DIR, oracle_build
+    from wikilinks_ray.state.csr import create_shard_actors, shard_edges
+
+    import ray as _ray
+
+    _quiet()
+    res = oracle_build()
+    n = res.stats.n_vertices
+    # source = max-out-degree vertex (min id tie-break) — reaches most
+    # of the graph, making the gate meaningful; the oracle derives the
+    # same source in SQL
+    ep = res.edges().to_pandas()
+    counts = ep.groupby("src").size().sort_values(ascending=False)
+    top = counts[counts == counts.iloc[0]].index.min()
+    paths = shard_edges(res.edges(), n, 4, f"{ORACLE_BUILD_DIR}/csr_fwd",
+                        by="src")
+    actors, _ = create_shard_actors(paths, n)
+    try:
+        out = multi_source_bfs(actors, n, [int(top)])
+        dist = out.distances()[:, 0]
+    finally:
+        for a in actors:
+            _ray.kill(a)
+    reach = np.flatnonzero(dist >= 0)
+    return pd.DataFrame({"vertex": reach.astype(np.int64),
+                         "dist": dist[reach].astype(np.int64)})
+
+
+def q_wiki_prefix(sf_dir: str):
+    """Bounded prefix lookup (J4) over the flagship vertex index."""
+    from wikilinks_ray.pipelines.flagship import oracle_build
+    from wikilinks_ray.state.lookup import VertexIndex
+
+    _quiet()
+    res = oracle_build()
+    idx = VertexIndex(res.vertices_path, res.stats.n_vertices, num_shards=4)
+    try:
+        rows = idx.prefix_search("Page 001", 10)
+    finally:
+        idx.close()
+    return pd.DataFrame({"id": [int(i) for i, _ in rows],
+                         "title": [t for _, t in rows]})
+
+
 # ---- relational family (classic operators over TPC-H-ish tables) ---------
 
 def q_pricing_summary(sf_dir: str):
@@ -487,6 +536,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wiki_vertices": q_wiki_vertices,
         "wiki_edges": q_wiki_edges,
         "wiki_stats": q_wiki_stats,
+        "wiki_bfs": q_wiki_bfs,
+        "wiki_prefix": q_wiki_prefix,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_windowed": q_events_windowed,

@@ -151,6 +151,23 @@ def wiki_oracle_sql() -> dict[str, str]:
     return {
         "wiki_vertices": p + "SELECT id, title, is_redirect FROM ids",
         "wiki_edges": p + "SELECT src, dst FROM edges",
+        "wiki_bfs": p + """
+            , walk(v, dist) AS (
+                -- source: max-out-degree vertex, min-id tie-break
+                SELECT (SELECT src FROM edges GROUP BY src
+                        ORDER BY count(*) DESC, src LIMIT 1), 0
+                UNION
+                -- dist cap terminates the recursion on cycles (see
+                -- graph_bfs); wiki-graph eccentricity is far below 256
+                SELECT e.dst, w.dist + 1 FROM walk w
+                JOIN edges e ON e.src = w.v WHERE w.dist < 256
+            )
+            SELECT v AS vertex, min(dist) AS dist FROM walk GROUP BY v
+        """,
+        "wiki_prefix": p + """
+            SELECT id, title FROM ids
+            WHERE title LIKE 'Page 001%' ORDER BY title LIMIT 10
+        """,
         "wiki_stats": p + """
             SELECT
               (SELECT count(*) FROM parsed WHERE NOT is_redirect)::BIGINT AS n_articles,

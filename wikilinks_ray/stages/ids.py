@@ -12,11 +12,12 @@ Implementation = a manual range-partitioned sort-rank, scalable to any
 input size:
 
 1. sample the key column (driver-side, small) -> P-1 range boundaries;
-2. tag every row with its range partition (vectorized searchsorted) —
-   note UTF-8 byte order == code-point order, so numpy/pandas string
-   comparisons agree with Arrow's unsigned-lex binary order
+2. tag every row with its range partition (one Arrow byte-lex compare
+   kernel per boundary) — UTF-8 byte order == code-point order, so
+   pandas string sorts agree with Arrow's unsigned-lex binary order
    (BufferWikiPage.java:134-154 semantics);
-3. per-partition row counts -> driver-side prefix sums (P numbers);
+3. per-partition row counts (per-batch bincount partials + driver sum,
+   no shuffle) -> driver-side prefix sums (P numbers);
 4. ``groupby(part).map_groups``: local sort + ``offset + arange``.
 
 Only steps 3-4 shuffle, keyed by the P-way range partition; boundary
@@ -54,21 +55,39 @@ def assign_dense_ids(
         1.0, seed=0x5EED).limit(sample_limit).take_all()]
     boundaries = _boundaries_from_sample(sample, num_partitions)
 
+    import pyarrow.compute as pc
+
+    num_parts = len(boundaries) + 1
+
     def tag(batch: pa.Table) -> pa.Table:
-        keys = np.array(batch.column(key).to_pylist(), dtype=object)
-        part = np.searchsorted(boundaries, keys, side="left") if len(boundaries) else np.zeros(len(keys), dtype=np.int64)
-        return batch.append_column("__part", pa.array(part.astype(np.int64)))
+        # partition = #(boundaries <= key): one Arrow byte-lex compare
+        # kernel per boundary (P-1 of them), fully vectorized — Arrow's
+        # utf8 comparison is unsigned byte order, the same order the
+        # rank is defined over. (A Python-object searchsorted here was
+        # one interpreter compare per row per probe.)
+        part = np.zeros(batch.num_rows, dtype=np.int64)
+        col = batch.column(key)
+        for b in boundaries:
+            part += pc.greater_equal(col, pa.scalar(str(b))).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        return batch.append_column("__part", pa.array(part))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
 
-    counts = tagged.groupby("__part").count().to_pandas()
-    counts = counts.sort_values("__part")
-    offsets = dict(
-        zip(
-            counts["__part"].tolist(),
-            np.concatenate([[0], np.cumsum(counts["count()"].to_numpy())[:-1]]).tolist(),
-        )
-    )
+    # per-partition counts via per-batch bincount partials + driver sum
+    # (a groupby shuffle for P numbers is pure overhead)
+    def part_counts(t: pa.Table) -> pa.Table:
+        c = np.bincount(t.column("__part").to_numpy(zero_copy_only=False),
+                        minlength=num_parts)
+        return pa.table({"p": pa.array(np.arange(num_parts, dtype=np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    totals = np.zeros(num_parts, dtype=np.int64)
+    for r in tagged.select_columns(["__part"]).map_batches(
+            part_counts, batch_format="pyarrow").take_all():
+        totals[r["p"]] += r["c"]
+    offs = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    offsets = {p: int(offs[p]) for p in range(num_parts)}
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
         part = int(g["__part"].iloc[0])
