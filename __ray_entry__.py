@@ -499,6 +499,19 @@ def q_similarity_lsh(sf_dir: str):
     return t[["query_id", "vec_id"]]
 
 
+def q_curate_docs(sf_dir: str):
+    """End-to-end curation: quality gate ∩ exact-dedup winners −
+    near-dup losers. Every leg is SQL-expressible, so the full composed
+    pipeline is oracle-gated."""
+    from wikilinks_ray.ops.curate import curate_documents
+
+    _quiet()
+    kept = curate_documents(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            min_tokens=50, min_quality=0.3,
+                            jaccard_threshold=0.5, num_partitions=4)
+    return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_text_token_counts(sf_dir: str):
     from wikilinks_ray.ops.text import TextAnalyzer
 
@@ -552,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
+        "curate_docs": q_curate_docs,
         "text_token_counts": q_text_token_counts,
         "text_langid": q_text_langid,
     }
@@ -763,6 +777,61 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY cos DESC, vec_id) AS rn
                   FROM s)
             SELECT query_id, vec_id FROM r WHERE rn <= 5
+        """,
+        "curate_docs": r"""
+            WITH t0 AS (
+                SELECT doc_id, text,
+                       regexp_extract_all(text, '\w+') AS ts,
+                       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+                FROM documents
+            ),
+            q AS (
+                SELECT doc_id, len(ts) AS n_tok, n_punct,
+                       CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+                            len(list_filter(ts, x -> lower(x) IN
+                                ('the','a','an','and','or','of','to','in',
+                                 'is','are','was','were','be','been','it',
+                                 'this','that'))) * 1.0 / len(ts) END AS sr
+                FROM t0
+            ),
+            quality AS (  -- frozen TextAnalyzer formula, same op order
+                SELECT doc_id, n_tok,
+                       greatest(0.0, least(1.0,
+                           0.5 * least(1.0, n_tok / 100.0)
+                           + 0.5 * least(1.0, 4.0 * sr)
+                           - 0.25 * least(1.0, n_punct * 1.0 / greatest(1, n_tok))
+                       )) AS qs
+                FROM q
+            ),
+            winners AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+            words AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\w+')) AS w,
+                       generate_subscripts(regexp_extract_all(lower(text), '\w+'), 1) AS pos
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT w1.doc_id, w1.w || ' ' || w2.w || ' ' || w3.w AS g
+                FROM words w1
+                JOIN words w2 ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
+                JOIN words w3 ON w3.doc_id = w1.doc_id AND w3.pos = w1.pos + 2
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
+                FROM sh s1 JOIN sh s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
+                GROUP BY s1.doc_id, s2.doc_id
+            ),
+            losers AS (
+                SELECT DISTINCT b FROM inter
+                JOIN sizes sa ON sa.doc_id = a
+                JOIN sizes sb ON sb.doc_id = b
+                WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+            )
+            SELECT doc_id FROM quality
+            WHERE n_tok >= 50 AND qs >= 0.3
+              AND doc_id IN (SELECT doc_id FROM winners)
+              AND doc_id NOT IN (SELECT b FROM losers)
         """,
         "text_langid": r"""
             SELECT doc_id,

@@ -325,3 +325,39 @@ def test_simhash_distributed_matches_driver_finisher(docs_with_dups):
     g = set(zip(got["a"], got["b"], got["hamming"]))
     assert g == w
     assert (0, base + 0, 0) in g  # identical docs, hamming 0
+
+
+def test_curate_documents_pipeline(ray_session, tmp_path):
+    """Curation = quality gate ∩ exact winners − near-dup losers, plus
+    the partitioned (resumable) parquet write of kept rows."""
+    import os
+
+    import ray.data as rd
+
+    from wikilinks_ray.ops.curate import curate_documents
+
+    long_good = ("the quick brown fox jumps over the lazy dog and it "
+                 "runs through the field of data " * 5)
+    docs = [
+        (1, long_good),                       # keeps
+        (2, long_good),                       # exact dup of 1 -> dropped
+        (3, long_good + " extra trailing words here"),  # near-dup -> b-loser
+        (4, "short junk"),                    # fails quality/token gate
+        (5, ("completely different content about graphs and rays and "
+             "arrows flowing in the big stream of blocks " * 5)),  # keeps
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    })).repartition(2)
+    out = str(tmp_path / "curated")
+    kept = curate_documents(ds, min_tokens=20, min_quality=0.3,
+                            jaccard_threshold=0.5, num_partitions=2,
+                            out_dir=out)
+    ids = sorted(r["doc_id"] for r in kept.take_all())
+    assert ids == [1, 5]
+    # partitioned layout: bucket=K dirs, only kept rows inside
+    buckets = [d for d in os.listdir(out) if d.startswith("bucket=")]
+    assert buckets
+    back = rd.read_parquet(out).to_pandas()
+    assert sorted(back["doc_id"].tolist()) == [1, 5]

@@ -1,0 +1,88 @@
+"""End-to-end corpus curation: the composition of the training-data
+operators into one pipeline a 100 TB pretraining-data job would run.
+
+    documents ──┬─ quality gate (TextAnalyzer: token count + quality score)
+                ├─ exact dedup (content-hash, min-id winner)
+                └─ near-dup drop (n-gram Jaccard pairs: the larger id of
+                   every pair ≥ threshold loses — frozen, per-pair rule,
+                   deliberately NOT transitive closure so the result is
+                   order-independent and SQL-reproducible)
+    kept = quality ∩ exact-winners − near-dup-losers
+
+All three legs are Datasets of (doc_id) combined with int-keyed
+semi/anti joins — no driver materialization of anything
+document-sized. The final set streams to partitioned parquet when
+``out_dir`` is given (one file per hash bucket — a rerun can skip
+finished buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def curate_documents(
+    docs: "ray.data.Dataset",
+    *,
+    min_tokens: int = 50,
+    min_quality: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    num_partitions: int = 8,
+    concurrency: int = 4,
+    out_dir: str | None = None,
+) -> "ray.data.Dataset":
+    """Returns the kept (doc_id) Dataset; optionally writes the kept
+    documents (full rows) as partitioned parquet."""
+    from ..stages.agg import grouped_agg
+    from .dedup import exact_dedup_keep_min, ngram_jaccard_pairs
+    from .text import TextAnalyzer
+
+    ids_only = docs.select_columns(["doc_id", "text"])
+
+    # leg 1: quality gate
+    def quality_ids(t: pa.Table) -> pa.Table:
+        out = TextAnalyzer()(t)
+        keep = pc.and_(
+            pc.greater_equal(out["token_count"], pa.scalar(min_tokens)),
+            pc.greater_equal(out["quality_score"], pa.scalar(float(min_quality))))
+        return pa.table({"doc_id": out.column("doc_id").filter(keep)})
+
+    good = ids_only.map_batches(quality_ids, batch_format="pyarrow")
+
+    # leg 2: exact-dup winners
+    winners = exact_dedup_keep_min(ids_only)
+
+    # leg 3: near-dup losers (larger id of each pair)
+    losers = (ngram_jaccard_pairs(ids_only, threshold=jaccard_threshold,
+                                  num_partitions=num_partitions,
+                                  concurrency=concurrency)
+              .select_columns(["b"]).materialize())
+
+    kept = good.join(winners, "left_semi", num_partitions, on=("doc_id",))
+    n_losers = losers.count()
+    if n_losers:
+        # losers is tiny by construction (near-dup pairs) — partition
+        # count must shrink with it (empty hash partitions crash pyarrow)
+        p = max(1, min(num_partitions, n_losers // 50 + 1))
+        kept = kept.join(losers.rename_columns({"b": "doc_id"}), "left_anti",
+                         p, on=("doc_id",))
+
+    if out_dir is not None:
+        kept = kept.materialize()
+        # full kept rows via an int-keyed semi-join (no driver collect —
+        # the kept set can be corpus-sized), bucketed for resumability
+        full = docs.join(kept, "left_semi", num_partitions, on=("doc_id",))
+
+        def mark(t: pa.Table) -> pa.Table:
+            h = (t.column("doc_id").to_numpy(zero_copy_only=False)
+                 .astype(np.uint64) % np.uint64(16)).astype(np.int64)
+            return t.append_column("bucket", pa.array(h))
+
+        full.map_batches(mark, batch_format="pyarrow").write_parquet(
+            out_dir, partition_cols=["bucket"])
+    return kept
