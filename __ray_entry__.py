@@ -402,6 +402,16 @@ def q_events_sessions(sf_dir: str):
     return session_windows(ev, gap_s=3600)
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding windows (size 1h, hop 15m): every event contributes to
+    the k=4 overlapping windows covering it."""
+    from wikilinks_ray.ops.windows import sliding_windows
+
+    _quiet()
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return sliding_windows(ev, size_s=3600, hop_s=900)
+
+
 def q_dedup_exact(sf_dir: str):
     from wikilinks_ray.ops.dedup import exact_dedup_keep_min
 
@@ -555,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": q_top_customers,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
+        "events_sliding": q_events_sliding,
         "doc_source_stats": q_doc_source_stats,
         "top_parts": q_top_parts,
         "dedup_exact": q_dedup_exact,
@@ -722,6 +733,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    max(us) - min(us) AS duration_us
             FROM s GROUP BY user_id, session_id
+        """,
+        "events_sliding": """
+            WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec
+                       FROM events),
+            w AS (SELECT user_id,
+                         unnest(generate_series((sec // 900) - 3, sec // 900)) AS win
+                  FROM e)
+            SELECT user_id, (win * 900)::BIGINT AS window_start,
+                   count(*) AS n_events
+            FROM w WHERE win >= 0
+            GROUP BY user_id, win
         """,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "dedup_simhash": _SIMHASH_SIGS + "SELECT doc_id, simhash FROM sigs",

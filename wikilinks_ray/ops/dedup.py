@@ -311,23 +311,32 @@ class MinHasher:
             np.minimum(sig, prods.min(axis=1), out=sig)
         return sig
 
+    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """(bands,) uint64 bucket keys: rolling polynomial over each
+        band's rows — vectorized across bands (replaces one md5 call per
+        band per document)."""
+        m = sig.reshape(self.bands, self.rows)
+        h = np.zeros(self.bands, dtype=np.uint64)
+        for j in range(self.rows):
+            h = h * _POLY + m[:, j]
+        return h
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         out_id, out_band, out_hash = [], [], []
+        band_idx = np.arange(self.bands, dtype=np.int32)
         for i, text in zip(ids, texts):
             sh = self.hasher.shingles(_WORD_RE.findall((text or "").lower()), self.k)
             sig = self.signature(sh)
-            for band in range(self.bands):
-                seg = sig[band * self.rows:(band + 1) * self.rows]
-                h = hashlib.md5(seg.tobytes()).hexdigest()[:16]
-                out_id.append(i)
-                out_band.append(band)
-                out_hash.append(h)
+            out_id.append(np.full(self.bands, i, dtype=np.int64))
+            out_band.append(band_idx)
+            out_hash.append(self.band_hashes(sig))
+        empty = not out_id
         return pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.string()),
+            "doc_id": pa.array(np.concatenate(out_id) if not empty else [], pa.int64()),
+            "band": pa.array(np.concatenate(out_band) if not empty else [], pa.int32()),
+            "band_hash": pa.array(np.concatenate(out_hash) if not empty else [], pa.uint64()),
         })
 
 
@@ -345,23 +354,68 @@ def minhash_lsh_candidates(
     Buckets larger than ``max_docs_per_bucket`` are dropped (skew guard:
     a degenerate bucket of m docs would emit O(m²) pairs; such buckets
     mean the band is non-discriminative anyway). Verify candidates with
-    ``ngram_jaccard_pairs`` semantics downstream."""
+    ``ngram_jaccard_pairs`` semantics downstream.
+
+    One hash-bucketed ``map_groups`` pass generates pairs for ALL
+    (band, band_hash) buckets in its partition vectorized — a
+    ``groupby((band, band_hash))`` here would pay one Python call per
+    distinct bucket (tens of thousands)."""
+    from ..stages.agg import _bucket_of, _rle_reduce, distinct_pairs
+
+    n_buckets = 32
     mh = docs.map_batches(MinHasher(k, num_perm, bands), batch_format="pyarrow",
                           concurrency=concurrency)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2 or len(ids) > max_docs_per_bucket:
-            return pd.DataFrame({"a": np.empty(0, np.int64),
-                                 "b": np.empty(0, np.int64)})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+    def part(t: pa.Table) -> pa.Table:
+        b = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__part", pa.array(
+            _bucket_of(b, h, num_buckets=n_buckets)))
 
-    from ..stages.agg import distinct_pairs
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        b = g["band"].to_numpy().astype(np.int64)
+        h = g["band_hash"].to_numpy().astype(np.uint64)
+        d = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, h, b))
+        b_s, h_s, d_s = b[order], h[order], d[order]
+        n = len(d_s)
+        empty = pd.DataFrame({"a": np.empty(0, np.int64),
+                              "b": np.empty(0, np.int64),
+                              "cnt": np.empty(0, np.int64)})
+        if n == 0:
+            return empty
+        new = np.concatenate(([True], (b_s[1:] != b_s[:-1]) | (h_s[1:] != h_s[:-1])))
+        run_start = np.flatnonzero(new)
+        run_id = np.cumsum(new).astype(np.int64) - 1
+        run_len = np.diff(np.concatenate((run_start, [n])))
+        ok = run_len[run_id] <= max_docs_per_bucket
+        b_s, h_s, d_s = b_s[ok], h_s[ok], d_s[ok]
+        n = len(d_s)
+        if n == 0:
+            return empty
+        new = np.concatenate(([True], (b_s[1:] != b_s[:-1]) | (h_s[1:] != h_s[:-1])))
+        run_start = np.flatnonzero(new)
+        run_id = np.cumsum(new).astype(np.int64) - 1
+        run_len = np.diff(np.concatenate((run_start, [n])))
+        run_end = (run_start + run_len)[run_id]
+        reps = run_end - np.arange(n) - 1
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), reps)
+        block_start = np.repeat(np.cumsum(reps) - reps, reps)
+        b_idx = a_idx + 1 + (np.arange(total) - block_start)
+        a, bb = d_s[a_idx], d_s[b_idx]
+        lo, hi = np.minimum(a, bb), np.maximum(a, bb)
+        keep = lo < hi  # same doc colliding twice in a bucket is no pair
+        keys, cnt = _rle_reduce([lo[keep], hi[keep]],
+                                np.ones(int(keep.sum()), np.int64), "sum")
+        return pd.DataFrame({"a": keys[0], "b": keys[1], "cnt": cnt})
 
-    cand = mh.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    cand = (mh.map_batches(part, batch_format="pyarrow")
+            .groupby("__part").map_groups(bucket_pairs, batch_format="pandas"))
     # distinct pairs (a doc pair can collide in many bands)
-    return distinct_pairs(cand, "a", "b")
+    return distinct_pairs(cand.select_columns(["a", "b"]), "a", "b")
 
 
 class SimHasher:
