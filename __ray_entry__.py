@@ -509,6 +509,47 @@ def q_similarity_lsh(sf_dir: str):
     return t[["query_id", "vec_id"]]
 
 
+def q_media_decode(sf_dir: str):
+    """Rows-only: REAL dependency-free codecs (binary PGM via numpy,
+    WAV via stdlib wave) over a deterministic synthetic media table —
+    the multimodal actor-pool plumbing exercised through the driver
+    gate. JPEG/PNG/MP3 remain honest NotImplementedError stubs."""
+    import ray.data
+
+    from wikilinks_ray.ops.multimodal import (
+        DecodeAudio,
+        DecodeImage,
+        encode_pgm,
+        encode_wav,
+    )
+
+    _quiet()
+    rng = np.random.default_rng(1234)
+    img_rows = [(i, encode_pgm(rng.integers(0, 256, size=(32, 48),
+                                            dtype=np.uint8)))
+                for i in range(40)]
+    wav_rows = [(100 + i, encode_wav(
+        (np.sin(2 * np.pi * 220 * (i + 1) * np.arange(4000) / 16000)
+         * 9000).astype(np.int16))) for i in range(10)]
+
+    def tbl(rows):
+        return ray.data.from_arrow(pa.table({
+            "media_id": pa.array([m for m, _ in rows], pa.int64()),
+            "payload": pa.array([p for _, p in rows], pa.binary()),
+        }))
+
+    imgs = tbl(img_rows).map_batches(DecodeImage, batch_format="pyarrow",
+                                     batch_size=8, concurrency=2).to_pandas()
+    wavs = tbl(wav_rows).map_batches(DecodeAudio, batch_format="pyarrow",
+                                     batch_size=4, concurrency=2).to_pandas()
+    imgs["rms"] = np.nan
+    out = pd.concat([imgs[["media_id", "width", "height"]].assign(kind="image"),
+                     wavs[["media_id", "duration_ms"]].assign(kind="audio")],
+                    ignore_index=True)
+    return out.fillna(-1).astype({"width": "int64", "height": "int64",
+                                  "duration_ms": "int64"})
+
+
 def q_curate_docs(sf_dir: str):
     """End-to-end curation: quality gate ∩ exact-dedup winners −
     near-dup losers. Every leg is SQL-expressible, so the full composed
@@ -577,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
         "curate_docs": q_curate_docs,
+        "media_decode": q_media_decode,
         "text_token_counts": q_text_token_counts,
         "text_langid": q_text_langid,
     }

@@ -1,15 +1,21 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
-metadata struct alongside. The Ray-side plumbing — schemas, actor-pool
-stage shape, small-batch sizing for large payloads, output layout — is
-real and tested; the actual codec work is STUBBED (the decode libraries
-are not in this container): ``DecodeImage``/``DecodeAudio`` raise
-``NotImplementedError`` unless constructed with ``fake=True``, in which
-case a deterministic fake decoder (parses our own 16-byte fake header)
-stands in so pipelines and tests exercise the full path.
+metadata struct alongside. Codec status, honestly:
 
-Batch sizing rule for binary payloads: pick ``batch_size`` so
+- **REAL, dependency-free codecs**: binary PGM (``P5``) images decode
+  and re-encode with numpy alone; WAV audio decodes with the stdlib
+  ``wave`` module. ``DecodeImage`` auto-detects PGM payloads;
+  ``DecodeAudio`` handles RIFF/WAVE.
+- **Stubbed**: JPEG/PNG (needs PIL/cv2), MP3/MP4 (needs ffmpeg/pyav) —
+  the libraries are not in this container, so those payloads raise
+  ``NotImplementedError`` with setup guidance. A deterministic fake
+  16-byte-header codec (``fake=True`` / ``make_fake_image``) stands in
+  for tests of the plumbing.
+
+The Ray-side plumbing — schemas, actor-pool stage shape, small-batch
+sizing for large payloads, output layout — is real and tested either
+way. Batch sizing rule for binary payloads: pick ``batch_size`` so
 ``batch_size × max_payload × concurrency`` fits the worker heap — for
 1-10 MB images that means batch_size 8-64, far below the text default.
 """
@@ -17,6 +23,8 @@ Batch sizing rule for binary payloads: pick ``batch_size`` so
 from __future__ import annotations
 
 import hashlib
+import io
+import re
 import struct
 
 import numpy as np
@@ -42,32 +50,112 @@ def make_fake_image(media_id: int, width: int, height: int, seed: int = 0) -> by
     return _FAKE_MAGIC + struct.pack("<ii", width, height) + body
 
 
+# ---- REAL codecs (no external libraries needed) ---------------------------
+
+_PGM_HEADER_RE = re.compile(rb"^P5\s+(?:#[^\n]*\n\s*)?(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def encode_pgm(pixels: np.ndarray) -> bytes:
+    """(h, w) uint8 array -> binary PGM (``P5``) bytes."""
+    h, w = pixels.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_pgm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Binary PGM -> (width, height, flat uint8 pixels). Pure numpy."""
+    m = _PGM_HEADER_RE.match(payload)
+    if not m:
+        raise ValueError("not a binary PGM (P5) payload")
+    w, h, maxval = (int(m.group(i)) for i in (1, 2, 3))
+    if maxval > 255:
+        raise ValueError("16-bit PGM not supported")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=m.end())
+    return w, h, px
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000,
+               n_channels: int = 1) -> bytes:
+    """int16 samples -> RIFF/WAVE bytes (stdlib ``wave``)."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(n_channels)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+class DecodeAudio:
+    """Actor-pool audio decode: WAV payloads -> per-clip features
+    (sample_rate, n_channels, duration_ms, rms, peak). RIFF/WAVE decodes
+    with the stdlib ``wave`` module — a REAL codec; compressed formats
+    (mp3/ogg/flac) need ffmpeg/pyav (absent here) and raise."""
+
+    def _decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise NotImplementedError(
+                "only RIFF/WAVE decodes without external libraries; "
+                "mp3/ogg/flac need ffmpeg or pyav (not in this container)")
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as f:
+            rate = f.getframerate()
+            ch = f.getnchannels()
+            assert f.getsampwidth() == 2, "only 16-bit PCM supported"
+            samples = np.frombuffer(f.readframes(f.getnframes()), dtype="<i2")
+        return rate, ch, samples
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        rates, chs, durs, rms, peak = [], [], [], [], []
+        for p in payloads:
+            rate, ch, s = self._decode(p)
+            rates.append(rate)
+            chs.append(ch)
+            n_frames = len(s) // max(1, ch)
+            durs.append(int(n_frames * 1000 / rate))
+            x = s.astype(np.float64)
+            rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+            peak.append(int(np.abs(s).max()) if len(s) else 0)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "sample_rate": pa.array(rates, pa.int32()),
+            "n_channels": pa.array(chs, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
+            "rms": pa.array(rms, pa.float64()),
+            "peak": pa.array(peak, pa.int32()),
+        })
+
+
 class DecodeImage:
     """Actor-pool decode stage: payload -> pixel features.
 
-    Real decoders (PIL / cv2) are NOT available in this container; pass
-    ``fake=True`` to decode the deterministic fake format (tests), else
-    the first batch raises NotImplementedError with setup guidance.
-    Output: (media_id, width, height, mean_intensity, phash) — the
-    layout a real decoder would produce.
+    Payloads auto-detect by magic: binary PGM (``P5``) decodes for REAL
+    (pure numpy); the deterministic fake format decodes when constructed
+    with ``fake=True``; JPEG/PNG need PIL/cv2 (absent here) and raise
+    NotImplementedError with setup guidance. Output: (media_id, width,
+    height, mean_intensity, phash) — the layout a real decoder would
+    produce.
     """
 
     def __init__(self, fake: bool = False):
         self.fake = fake
-        if fake:
-            self.magic = _FAKE_MAGIC
 
     def _decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
-        if not self.fake:
-            raise NotImplementedError(
-                "image decoding requires PIL/cv2 (not in this container); "
-                "construct DecodeImage(fake=True) for the deterministic "
-                "fake codec, or install a decoder and replace this method"
-            )
-        assert payload[:8] == self.magic, "not a fake image payload"
-        w, h = struct.unpack("<ii", payload[8:16])
-        px = np.frombuffer(payload[16:16 + w * h], dtype=np.uint8)
-        return w, h, px
+        if payload[:2] == b"P5":
+            return decode_pgm(payload)
+        if self.fake and payload[:8] == _FAKE_MAGIC:
+            w, h = struct.unpack("<ii", payload[8:16])
+            px = np.frombuffer(payload[16:16 + w * h], dtype=np.uint8)
+            return w, h, px
+        raise NotImplementedError(
+            "only binary PGM decodes without external libraries; JPEG/PNG "
+            "need PIL/cv2 (not in this container). Construct "
+            "DecodeImage(fake=True) for the deterministic fake test codec."
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -107,7 +195,11 @@ class ResizeImage:
             ys = (np.arange(th) * h) // th
             xs = (np.arange(tw) * w) // tw
             small = img[np.ix_(ys, xs)]
-            out.append(_FAKE_MAGIC + struct.pack("<ii", tw, th) + small.tobytes())
+            if p[:2] == b"P5":  # re-encode in the input's format
+                out.append(encode_pgm(small))
+            else:
+                out.append(_FAKE_MAGIC + struct.pack("<ii", tw, th)
+                           + small.tobytes())
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "payload": pa.array(out, pa.binary()),
