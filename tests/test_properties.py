@@ -81,3 +81,24 @@ def test_utf8_rank_matches_python_sort(names):
     by_str = sorted(names)
     by_bytes = sorted(names, key=lambda s: s.encode("utf-8"))
     assert by_str == by_bytes
+
+
+@given(st.lists(st.sampled_from(
+    ["[[", "]]", "|", "#", "{{", "}}", "<!--", "-->", "<nowiki>",
+     "</nowiki>", "Alpha", "beta", "File:x", " ", "_"]), max_size=30))
+@settings(max_examples=200)
+def test_wikitext_parser_total_on_adversarial_markup(parts):
+    """parse_wikitext must be total (never raise, always terminate) on
+    arbitrary bracket/template/comment soup, and its outputs keep the
+    frozen invariants: deduped, first-char-capitalized, non-empty."""
+    from wikilinks_ray.functions.wikitext import parse_wikitext
+
+    text = "".join(parts)
+    is_r, tgt, links = parse_wikitext(text)
+    assert isinstance(links, list)
+    assert len(links) == len(set(links))
+    for l in links:
+        assert l == l.strip() and l != ""
+        assert not l[0].islower()
+    if is_r and tgt is not None:
+        assert links == [tgt]

@@ -55,7 +55,6 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ..stages.extract import extract_pages_meta, LinkExtractor
 from ..stages.ids import assign_dense_ids
 
 
