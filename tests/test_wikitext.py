@@ -96,6 +96,12 @@ def test_unbalanced_brackets_are_literal():
 
     assert parse_wikitext("a [[Open and never closed")[2] == []
     assert parse_wikitext("[[Ok]] then [[broken")[2] == ["Ok"]
+    # a stray opener must NOT swallow the valid links after it
+    assert parse_wikitext("see [[ broken then [[Alpha]] and [[Beta]]")[2] \
+        == ["Alpha", "Beta"]
+    # deep pathological nesting: no recursion, innermost target survives
+    deep = "[[" * 2000 + "X" + "]]" * 2000
+    assert parse_wikitext(deep)[2] == ["X"]
 
 
 def test_template_nesting_depth_bounded():

@@ -120,6 +120,12 @@ def route_benchmark(actors, n, index, n_pairs: int = 50,
         for p in corpus["pairs"]:
             s = index.lookup(p["src"])
             t = index.lookup(p["dst"])
+            if s is None or t is None:
+                # title absent from this graph (wrong corpus / changed
+                # semantics): record a mismatch instead of crashing
+                wrong.append({"src": p["src"], "dst": p["dst"],
+                              "expected": p["len"], "got": "missing-title"})
+                continue
             t0 = time.perf_counter()
             route = find(s, t)
             w.add((time.perf_counter() - t0) * 1000.0)

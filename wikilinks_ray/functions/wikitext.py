@@ -62,38 +62,38 @@ def iter_link_targets(text: str):
     """Yield raw ``[[...]]`` inner texts, handling NESTED links (a
     ``[[File:x|caption with [[Y]]]]`` image link): the non-greedy regex
     stops at the first ``]]`` and would both truncate the outer link and
-    swallow the nested one. Bracket-aware scan: outer links yield first
-    (document order of their ``[[``), then their caption's nested links
-    are scanned recursively. Unbalanced trailing ``[[`` is ignored, like
-    MediaWiki renders it as literal text."""
-    pos = 0
+    swallow the nested one.
+
+    Single O(n) pass with an explicit bracket stack (no recursion — deep
+    nesting can't blow the interpreter stack; no restarts — a stray
+    unmatched ``[[`` can't go quadratic): push every ``[[``, pop on
+    ``]]`` to form a balanced pair; unmatched openers are literal text,
+    exactly how MediaWiki renders them, and links AFTER a stray opener
+    still match. Pairs yield in document order of their ``[[`` (outer
+    before its nested caption links). Each pair's target is its inner
+    text up to the first ``|`` or nested ``[[``."""
+    stack: list[int] = []
+    pairs: list[tuple[int, int]] = []
+    i = 0
     n = len(text)
-    while True:
-        start = text.find("[[", pos)
-        if start < 0:
-            return
-        depth = 1
-        i = start + 2
-        while i < n and depth:
-            if text.startswith("[[", i):
-                depth += 1
-                i += 2
-            elif text.startswith("]]", i):
-                depth -= 1
+    while i < n - 1:
+        two = text[i:i + 2]
+        if two == "[[":
+            stack.append(i)
+            i += 2
+        elif two == "]]":
+            if stack:
+                pairs.append((stack.pop(), i))
                 i += 2
             else:
                 i += 1
-        if depth:  # unbalanced — treat the rest as literal text
-            return
-        inner = text[start + 2:i - 2]
-        head = inner.split("|", 1)[0]
+        else:
+            i += 1
+    for s, e in sorted(pairs):
+        head = text[s + 2:e].split("|", 1)[0]
         if "[[" in head:  # nested link before any pipe — truncate
             head = head[:head.find("[[")]
         yield head
-        # nested links live in the caption (after the first |)
-        if "[[" in inner:
-            yield from iter_link_targets(inner)
-        pos = i
 
 
 def capitalize_first(name: str) -> str:

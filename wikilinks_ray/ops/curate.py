@@ -52,7 +52,10 @@ def curate_documents(
             pc.greater_equal(out["quality_score"], pa.scalar(float(min_quality))))
         return pa.table({"doc_id": out.column("doc_id").filter(keep)})
 
-    good = ids_only.map_batches(quality_ids, batch_format="pyarrow")
+    good = ids_only.map_batches(quality_ids, batch_format="pyarrow").materialize()
+    n_good = good.count()
+    if n_good == 0:
+        return good  # nothing passed the gate; joining empty sides crashes
 
     # leg 2: exact-dup winners
     winners = exact_dedup_keep_min(ids_only)
@@ -63,7 +66,11 @@ def curate_documents(
                                   concurrency=concurrency)
               .select_columns(["b"]).materialize())
 
-    kept = good.join(winners, "left_semi", num_partitions, on=("doc_id",))
+    # partition counts shrink with the smaller side everywhere — Ray's
+    # hash join emits schema-less blocks for empty partitions and
+    # pyarrow then fails on them
+    p_good = max(1, min(num_partitions, n_good // 50 + 1))
+    kept = good.join(winners, "left_semi", p_good, on=("doc_id",))
     n_losers = losers.count()
     if n_losers:
         # losers is tiny by construction (near-dup pairs) — partition
@@ -76,7 +83,8 @@ def curate_documents(
         kept = kept.materialize()
         # full kept rows via an int-keyed semi-join (no driver collect —
         # the kept set can be corpus-sized), bucketed for resumability
-        full = docs.join(kept, "left_semi", num_partitions, on=("doc_id",))
+        p_kept = max(1, min(num_partitions, kept.count() // 50 + 1))
+        full = docs.join(kept, "left_semi", p_kept, on=("doc_id",))
 
         def mark(t: pa.Table) -> pa.Table:
             h = (t.column("doc_id").to_numpy(zero_copy_only=False)

@@ -172,7 +172,10 @@ def ngram_jaccard_pairs(
         return pa.table({"doc_id": pa.array(keys[0] if len(cnt) else [], pa.int64()),
                          "size": pa.array(cnt, pa.int64())})
 
-    size_parts = sh.map_batches(batch_sizes, batch_format="pyarrow")
+    # materialized: consumed for the plan decision (count) AND the
+    # broadcast/join below — and counting THIS instead of docs avoids
+    # re-executing the whole upstream docs pipeline just to pick a plan
+    size_parts = sh.map_batches(batch_sizes, batch_format="pyarrow").materialize()
 
     # Per-shingle doc pairs via ONE bucketed map_groups pass: shingles
     # hash-bucket on their value, each bucket sorts its rows by shingle
@@ -234,7 +237,9 @@ def ngram_jaccard_pairs(
     # broadcast as sorted arrays (ray.put once, searchsorted lookup per
     # batch; ~16 B/doc) up to the broadcast limit; two hash joins beyond
     # it (a 10^9-doc size table no longer belongs in one worker's heap).
-    if docs.count() <= size_broadcast_limit:
+    # size_parts has ~one row per doc (a few more when a block boundary
+    # split a run) — a faithful stand-in for the doc count
+    if size_parts.count() <= size_broadcast_limit:
         sdf = (size_parts.to_pandas().groupby("doc_id", as_index=False)
                ["size"].sum().sort_values("doc_id"))
         size_ref = ray.put((sdf["doc_id"].to_numpy().astype(np.int64),

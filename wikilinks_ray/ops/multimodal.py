@@ -103,7 +103,12 @@ class DecodeAudio:
         with wave.open(io.BytesIO(payload), "rb") as f:
             rate = f.getframerate()
             ch = f.getnchannels()
-            assert f.getsampwidth() == 2, "only 16-bit PCM supported"
+            if f.getsampwidth() != 2:
+                # same contract as other unsupported formats (an assert
+                # would vanish under python -O and mis-decode)
+                raise NotImplementedError(
+                    f"only 16-bit PCM WAV is supported "
+                    f"(got sample width {f.getsampwidth()} bytes)")
             samples = np.frombuffer(f.readframes(f.getnframes()), dtype="<i2")
         return rate, ch, samples
 

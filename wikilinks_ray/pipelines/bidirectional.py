@@ -95,29 +95,34 @@ class _Side:
     def frontier_size(self) -> int:
         return sum(self.counts)
 
-    def start(self, other: "_Side") -> list:
-        """Launch one level's expand + reduce WITHOUT blocking, so both
-        search directions can run their level concurrently (disjoint
-        actor pools — forward expands on the out-edge shards while
-        backward expands on the transpose shards)."""
+    def launch_expand(self, _other: "_Side") -> dict:
+        """Phase 1 of one level: submit the expansions, non-blocking.
+
+        Ray actors execute one caller's submissions in order, so in dual
+        mode BOTH sides' expands must be enqueued before EITHER side's
+        reduces — otherwise an f-reduce queued on a b-actor head-of-line
+        blocks b's own expand and the round degenerates to sequential."""
         P = len(self.actors)
         self.depth += 1
         active = [p for p in range(P) if self.counts[p]]
         if P > 1:
-            ex = {p: self.actors[p].bfs_expand_mono.options(num_returns=P).remote(
-                self.frontier[p]) for p in active}
-        else:
-            ex = {p: [self.actors[p].bfs_expand_mono.remote(self.frontier[p])]
-                  for p in active}
+            return {p: self.actors[p].bfs_expand_mono.options(
+                num_returns=P).remote(self.frontier[p]) for p in active}
+        return {p: [self.actors[p].bfs_expand_mono.remote(self.frontier[p])]
+                for p in active}
 
-        # reduce runs on the OPPOSITE side's shard actors (idle while
-        # this side expands — running it on the expanding pool would
-        # serialize behind the expansion on each actor; spawning fresh
-        # tasks per level pays worker-lease latency every level).
-        # other.dist refs are read BEFORE the opposite side's concurrent
-        # reduce swaps them, so meets are judged against the pre-round
-        # state of the other search — same-round double discoveries are
-        # caught by the caller's frontier intersection.
+    def launch_reduce(self, ex: dict, other: "_Side") -> list:
+        """Phase 2: submit the per-range reduces, non-blocking.
+
+        Reduce runs on the OPPOSITE side's shard actors (each actor's
+        queue per round is [expand_own, reduce_other] — the expand goes
+        first, so the two directions genuinely overlap). other.dist refs
+        are read BEFORE the opposite side's concurrent reduce swaps
+        them, so meets are judged against the pre-round state of the
+        other search — same-round double discoveries are caught by the
+        caller's frontier intersection."""
+        P = len(self.actors)
+        active = list(ex.keys())
         return [
             other.actors[q].bd_reduce.options(num_returns=6).remote(
                 int(self.bounds[q]), self.depth, self.dist[q], self.parent[q],
@@ -125,6 +130,10 @@ class _Side:
                 *[ex[p][q] for p in active])
             for q in range(P)
         ]
+
+    def start(self, other: "_Side") -> list:
+        """Launch one full level (expand + reduce), non-blocking."""
+        return self.launch_reduce(self.launch_expand(other), other)
 
     def finish(self, out: list, fetch_frontier: bool = False):
         """Collect one level: returns (meet_vertices, total_lengths,
@@ -223,8 +232,11 @@ def bidirectional_route(fwd_actors, rev_actors, n_vertices: int,
         if best_total is not None and f.depth + b.depth + 1 >= best_total:
             break
         if sf and sb and sf + sb <= dual_expand_limit:
-            hf = f.start(b)
-            hb = b.start(f)
+            # both expands enqueue before any reduce (see launch_expand)
+            exf = f.launch_expand(b)
+            exb = b.launch_expand(f)
+            hf = f.launch_reduce(exf, b)
+            hb = b.launch_reduce(exb, f)
             mvf, mtf, new_f = f.finish(hf, fetch_frontier=True)
             mvb, mtb, new_b = b.finish(hb, fetch_frontier=True)
             consider(mvf, mtf)

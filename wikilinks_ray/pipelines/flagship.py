@@ -25,12 +25,36 @@ Reference semantics being oracle-gated here (WikiProcessor.kt):
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 CORPUS_N = 2000
 CORPUS_SEED = 42
-ORACLE_CORPUS_DIR = f"/tmp/wl_wiki_oracle_corpus_n{CORPUS_N}_s{CORPUS_SEED}"
-ORACLE_BUILD_DIR = f"/tmp/wl_wiki_oracle_build_n{CORPUS_N}_s{CORPUS_SEED}"
+
+
+def _semantics_tag() -> str:
+    """md5 of the source files the oracle artifacts' SEMANTICS depend on
+    (generator, extraction, build, id assignment). A /tmp build produced
+    by an older code version must never be reused as the engine side of
+    the correctness gate — the dir name changes with the semantics."""
+    import wikilinks_ray.functions.wikitext
+    import wikilinks_ray.pipelines.build
+    import wikilinks_ray.sources.corpus
+    import wikilinks_ray.stages.extract
+    import wikilinks_ray.stages.ids
+
+    h = hashlib.md5()
+    for mod in (wikilinks_ray.sources.corpus, wikilinks_ray.functions.wikitext,
+                wikilinks_ray.stages.extract, wikilinks_ray.stages.ids,
+                wikilinks_ray.pipelines.build):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+_TAG = _semantics_tag()
+ORACLE_CORPUS_DIR = f"/tmp/wl_wiki_oracle_corpus_n{CORPUS_N}_s{CORPUS_SEED}_{_TAG}"
+ORACLE_BUILD_DIR = f"/tmp/wl_wiki_oracle_build_n{CORPUS_N}_s{CORPUS_SEED}_{_TAG}"
 
 
 def ensure_oracle_corpus() -> str:
