@@ -8,4 +8,14 @@ from .dedup import (  # noqa: F401
     embedding_near_dup_pairs,
 )
 from .similarity import brute_force_top_k, lsh_top_k  # noqa: F401
+from .curate import curate_documents  # noqa: F401
+from .multimodal import (  # noqa: F401
+    DecodeAudio,
+    DecodeImage,
+    FrameSampler,
+    ResizeImage,
+    decode_pgm,
+    encode_pgm,
+    encode_wav,
+)
 from .windows import tumbling_windows, session_windows, sliding_windows  # noqa: F401

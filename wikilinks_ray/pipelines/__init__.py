@@ -9,3 +9,4 @@ from .labelprop import label_propagation, LabelPropResult  # noqa: F401
 from .bfs import multi_source_bfs, shortest_route, BFSResult  # noqa: F401
 from .bidirectional import bidirectional_route  # noqa: F401
 from .triangles import triangle_count  # noqa: F401
+from .flagship import oracle_build  # noqa: F401

@@ -37,17 +37,13 @@ def _semantics_tag() -> str:
     (generator, extraction, build, id assignment). A /tmp build produced
     by an older code version must never be reused as the engine side of
     the correctness gate — the dir name changes with the semantics."""
-    import wikilinks_ray.functions.wikitext
-    import wikilinks_ray.pipelines.build
-    import wikilinks_ray.sources.corpus
-    import wikilinks_ray.stages.extract
-    import wikilinks_ray.stages.ids
-
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     h = hashlib.md5()
-    for mod in (wikilinks_ray.sources.corpus, wikilinks_ray.functions.wikitext,
-                wikilinks_ray.stages.extract, wikilinks_ray.stages.ids,
-                wikilinks_ray.pipelines.build):
-        with open(mod.__file__, "rb") as f:
+    # plain file reads, no imports: this runs at module load and module
+    # imports here would cycle through the package __init__
+    for rel in ("sources/corpus.py", "functions/wikitext.py",
+                "stages/extract.py", "stages/ids.py", "pipelines/build.py"):
+        with open(os.path.join(pkg, rel), "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:10]
 

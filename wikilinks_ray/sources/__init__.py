@@ -4,3 +4,8 @@ from .corpus import (  # noqa: F401
     page_url,
     title_from_url,
 )
+from .xml_dump import (  # noqa: F401
+    multistream_ranges,
+    read_multistream_dump,
+    read_xml_dump,
+)
