@@ -156,6 +156,45 @@ def route_benchmark(actors, n, index, n_pairs: int = 50,
             "max_ms": round(w.max, 2), "sum_ms": round(w.sum, 2)}
 
 
+def route_throughput(pools, n, index, n_pairs: int = 50,
+                     seed: int = 0xCAFEBABE, concurrency: int = 8) -> dict:
+    """Concurrent route THROUGHPUT over REPLICATED shard pools.
+
+    ``pools`` is a list of (fwd_actors, rev_actors) replicas; driver
+    threads round-robin searches across them. One shared pool does NOT
+    scale throughput — each actor serializes requests, so concurrent
+    searches head-of-line block each other (measured: qps *drops* with
+    threads on a single replica). Replicas are the scale-out unit for
+    query throughput, exactly as shards are for graph capacity: on a
+    cluster, replicas live on different nodes. Search state is per-call
+    (object-store refs); the adjacency inside each actor is read-only.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    from .pipelines.bidirectional import bidirectional_route
+
+    rng = np.random.default_rng(seed)
+    pairs = [(index.random_vertex(rng)[0], index.random_vertex(rng)[0])
+             for _ in range(n_pairs)]
+    R = len(pools)
+
+    def run(i_pair):
+        i, (s, t) = i_pair
+        fwd, rev = pools[i % R]
+        return bidirectional_route(fwd, rev, n, s, t)
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=concurrency) as ex:
+        routes = list(ex.map(run, enumerate(pairs)))
+    wall = time.perf_counter() - t0
+    return {"pairs": n_pairs, "replicas": R, "concurrency": concurrency,
+            "found": sum(r is not None for r in routes),
+            "wall_s": round(wall, 3),
+            "qps": round(n_pairs / wall, 1)}
+
+
 def _load_query_state(graph_dir: str, num_shards: int,
                       bidirectional: bool = False):
     import json as _json
@@ -202,6 +241,22 @@ def cmd_query(args) -> int:
     if args.benchmark or args.benchmark_corpus:
         print(json.dumps(route_benchmark(actors, n, index, rev_actors=rev,
                                          check_corpus=args.benchmark_corpus)))
+        if args.throughput and rev is not None:
+            import os as _os
+
+            from .state.csr import create_shard_actors, shard_edges
+
+            pools = [(actors, rev)]
+            for _ in range(max(1, args.replicas) - 1):
+                fp = shard_edges(res.edges(), n, args.shards,
+                                 _os.path.join(args.graph, "csr_fwd"), by="src")
+                rp = shard_edges(res.edges(), n, args.shards,
+                                 _os.path.join(args.graph, "csr_rev"), by="dst")
+                f2, _ = create_shard_actors(fp, n)
+                r2, _ = create_shard_actors(rp, n, key="dst")
+                pools.append((f2, r2))
+            print(json.dumps(route_throughput(
+                pools, n, index, concurrency=args.throughput)))
         ray.shutdown()
         return 0
 
@@ -273,6 +328,10 @@ def main(argv=None) -> int:
     q.add_argument("--graph", required=True)
     q.add_argument("--shards", type=int, default=4)
     q.add_argument("--benchmark", action="store_true")
+    q.add_argument("--throughput", type=int, default=0,
+                   help="also measure concurrent-route throughput at K threads")
+    q.add_argument("--replicas", type=int, default=1,
+                   help="shard-pool replicas for the throughput benchmark")
     q.add_argument("--benchmark-corpus", default=None,
                    help="pinned (src,dst,len) corpus json: benchmark + assert")
     q.add_argument("--bidirectional", action="store_true",
