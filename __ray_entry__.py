@@ -167,6 +167,18 @@ def q_graph_labelprop(sf_dir: str):
                              "community": labels[g.vertices]})
 
 
+def q_graph_kcore(sf_dir: str):
+    """Rows-only (iterative peel is not SQL-expressible; pytest pins it
+    exactly against networkx): vertices of the 30-core (the derived
+    graph has median degree ~26, so k=30 forces real peeling rounds)."""
+    from wikilinks_ray.pipelines.derived import derived_edges
+    from wikilinks_ray.pipelines.kcore import k_core
+
+    _quiet()
+    ids = k_core(derived_edges(sf_dir), k=30)
+    return pd.DataFrame({"vertex": ids})
+
+
 # ---- flagship wikitext family (driver-oracled via the deterministic ------
 # ---- corpus at a fixed /tmp path; see pipelines/flagship.py) --------------
 
@@ -597,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs": q_graph_bfs,
         "graph_pagerank": q_graph_pagerank,
         "graph_labelprop": q_graph_labelprop,
+        "graph_kcore": q_graph_kcore,
         "wiki_vertices": q_wiki_vertices,
         "wiki_edges": q_wiki_edges,
         "wiki_stats": q_wiki_stats,

@@ -223,3 +223,17 @@ def test_triangle_join_fallback_matches_broadcast(rand_graph):
     a = triangle_count(ds, num_partitions=4)
     b = triangle_count(ds, num_partitions=4, broadcast_degree_limit=0)
     assert a == b
+
+
+def test_k_core_matches_networkx(rand_graph):
+    import networkx as nx
+
+    from wikilinks_ray.pipelines.kcore import k_core
+
+    _n, pairs, ds, _fwd, _symA = rand_graph
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    for k in (2, 4, 6):
+        want = sorted(nx.k_core(g, k).nodes())
+        got = k_core(ds, k).tolist()
+        assert got == want, f"k={k}"
