@@ -414,6 +414,46 @@ def q_events_sessions(sf_dir: str):
     return session_windows(ev, gap_s=3600)
 
 
+def q_supplier_distinct_parts(sf_dir: str):
+    """COUNT(DISTINCT) GROUP BY — the classic shuffle-heavy aggregate,
+    as two composed bucketed combiner passes (dedup pairs, then count)."""
+    from wikilinks_ray.stages.agg import grouped_distinct_count
+
+    _quiet()
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    return grouped_distinct_count(li, "l_suppkey", "l_partkey",
+                                  out_col="n_parts")
+
+
+def q_supplier_top_orders(sf_dir: str):
+    """Per-group top-k (row_number() <= k) without a global sort: top-3
+    lineitem quantities per supplier, order-key tiebreak."""
+    import pyarrow.compute as pc
+
+    from wikilinks_ray.stages.agg import grouped_topk
+
+    _quiet()
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_quantity", "l_orderkey", "l_linenumber"])
+
+    def qty_int(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        # tie key must be UNIQUE per row: (orderkey, linenumber) is the
+        # lineitem primary key; linenumber <= 7 in TPC-H
+        tie = pc2.add(pc2.multiply(t["l_orderkey"].cast(pa.int64()),
+                                   pa.scalar(8, pa.int64())),
+                      t["l_linenumber"].cast(pa.int64()))
+        return pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "qty": pc.round(t["l_quantity"]).cast(pa.int64()),
+            "line_id": tie,
+        })
+
+    return grouped_topk(li.map_batches(qty_int, batch_format="pyarrow"),
+                        "l_suppkey", "qty", 3, tie_col="line_id")
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding windows (size 1h, hop 15m): every event contributes to
     the k=4 overlapping windows covering it."""
@@ -620,6 +660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
+        "supplier_distinct_parts": q_supplier_distinct_parts,
+        "supplier_top_orders": q_supplier_top_orders,
         "doc_source_stats": q_doc_source_stats,
         "top_parts": q_top_parts,
         "dedup_exact": q_dedup_exact,
@@ -788,6 +830,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    max(us) - min(us) AS duration_us
             FROM s GROUP BY user_id, session_id
+        """,
+        "supplier_distinct_parts": """
+            SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "supplier_top_orders": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       CAST(round(l_quantity) AS BIGINT) AS qty,
+                       (l_orderkey * 8 + l_linenumber)::BIGINT AS line_id,
+                       row_number() OVER (
+                           PARTITION BY l_suppkey
+                           ORDER BY CAST(round(l_quantity) AS BIGINT) DESC,
+                                    l_orderkey * 8 + l_linenumber) AS rank
+                FROM lineitem
+            )
+            SELECT l_suppkey, qty, line_id, rank FROM r WHERE rank <= 3
         """,
         "events_sliding": """
             WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec

@@ -60,3 +60,49 @@ def test_distinct_pairs(ray_session):
                   "b": pa.array([2, 2, 3, 3, 3], pa.int64())})
     got = {(r["a"], r["b"]) for r in distinct_pairs(rd.from_arrow(t), "a", "b").take_all()}
     assert got == {(1, 2), (2, 3), (1, 3)}
+
+
+def test_grouped_distinct_count(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wikilinks_ray.stages.agg import grouped_distinct_count
+
+    rng = np.random.default_rng(3)
+    key = rng.integers(0, 20, 5000)
+    val = rng.integers(0, 50, 5000)
+    ds = rd.from_arrow(pa.table({"k": pa.array(key, pa.int64()),
+                                 "v": pa.array(val, pa.int64())})).repartition(6)
+    got = pd.DataFrame(grouped_distinct_count(ds, "k", "v").take_all())
+    want = pd.DataFrame({"k": key, "v": val}).groupby("k")["v"].nunique()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == sorted(want.index.tolist())
+    assert got["n_distinct"].tolist() == [want[k] for k in got["k"]]
+
+
+def test_grouped_topk(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wikilinks_ray.stages.agg import grouped_topk
+
+    rng = np.random.default_rng(4)
+    n = 4000
+    key = rng.integers(0, 15, n)
+    val = rng.integers(0, 30, n)  # plenty of ties -> tie_col decides
+    tie = rng.permutation(n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": pa.array(key, pa.int64()),
+                                 "v": pa.array(val, pa.int64()),
+                                 "t": pa.array(tie, pa.int64())})).repartition(5)
+    got = pd.DataFrame(grouped_topk(ds, "k", "v", 4, tie_col="t").take_all())
+    df = pd.DataFrame({"k": key, "v": val, "t": tie})
+    df = df.sort_values(["k", "v", "t"], ascending=[True, False, True])
+    df["rank"] = df.groupby("k").cumcount() + 1
+    want = df[df["rank"] <= 4].reset_index(drop=True)
+    got = got.sort_values(["k", "rank"]).reset_index(drop=True)
+    assert got[["k", "v", "t", "rank"]].astype("int64").values.tolist() == \
+        want[["k", "v", "t", "rank"]].astype("int64").values.tolist()

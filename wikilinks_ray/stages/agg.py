@@ -144,3 +144,81 @@ def distinct_pairs(ds: "ray.data.Dataset", a_col: str, b_col: str,
     return grouped_agg(ds, [a_col, b_col], None, "count",
                        num_buckets=num_buckets,
                        out_col="__n").drop_columns(["__n"])
+
+
+def grouped_distinct_count(ds: "ray.data.Dataset", key_col: str, val_col: str,
+                           *, num_buckets: int = 64,
+                           out_col: str = "n_distinct") -> "ray.data.Dataset":
+    """Exact COUNT(DISTINCT val) GROUP BY key — the classic
+    shuffle-heavy aggregate, as two composed bucketed passes:
+
+    1. dedup (key, val) pairs (per-batch combine collapses local
+       duplicates BEFORE the shuffle — the whole point: raw rows never
+       move, only distinct pairs do);
+    2. count pairs per key.
+
+    Both passes hash-bucket on their keys, so a hot key's pairs spread
+    across bucket reducers by val in pass 1 and only its (already
+    distinct) pair rows reach pass 2."""
+    pairs = distinct_pairs(ds.select_columns([key_col, val_col]),
+                           key_col, val_col, num_buckets=num_buckets)
+    return grouped_agg(pairs, [key_col], None, "count",
+                       num_buckets=num_buckets, out_col=out_col)
+
+
+def grouped_topk(ds: "ray.data.Dataset", key_col: str, val_col: str, k: int,
+                 *, tie_col: str, num_buckets: int = 64,
+                 ascending: bool = False) -> "ray.data.Dataset":
+    """Per-group top-k rows by (val desc|asc, tie asc) — the classic
+    windowed ``row_number() <= k``, without a global sort.
+
+    ``tie_col`` (int64, unique per (key, val) in practice) makes the
+    result deterministic and therefore oracle-comparable.
+
+    Plan: per-BATCH local top-k per key (vectorized lexsort + run-length
+    head, so at most batches×k rows per key survive the shuffle — the
+    combiner property), then one bucketed groupby(key-hash) where each
+    bucket re-ranks its keys the same way. Output: (key, val, tie,
+    rank 1..k).
+    """
+    sign = 1 if ascending else -1
+
+    def _rank_arrays(keys, vals, ties):
+        order = np.lexsort((ties, sign * vals, keys))
+        k_s, v_s, t_s = keys[order], vals[order], ties[order]
+        n = len(k_s)
+        if n == 0:
+            return k_s, v_s, t_s, np.empty(0, np.int64)
+        new = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        run_start = np.flatnonzero(new)
+        pos = np.arange(n) - run_start[np.cumsum(new) - 1]
+        return k_s, v_s, t_s, pos
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = t.column(val_col).to_numpy(zero_copy_only=False)
+        ties = t.column(tie_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        k_s, v_s, t_s, pos = _rank_arrays(keys, vals, ties)
+        keep = pos < k
+        k_s, v_s, t_s = k_s[keep], v_s[keep], t_s[keep]
+        return pa.table({
+            key_col: pa.array(k_s, pa.int64()),
+            val_col: pa.array(v_s),
+            tie_col: pa.array(t_s, pa.int64()),
+            "__part": pa.array(_bucket_of(k_s, num_buckets=num_buckets)
+                               if len(k_s) else np.empty(0, np.int64)),
+        })
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        k_s, v_s, t_s, pos = _rank_arrays(
+            g[key_col].to_numpy().astype(np.int64),
+            g[val_col].to_numpy(),
+            g[tie_col].to_numpy().astype(np.int64))
+        keep = pos < k
+        return pd.DataFrame({key_col: k_s[keep], val_col: v_s[keep],
+                             tie_col: t_s[keep],
+                             "rank": pos[keep] + 1})
+
+    return (ds.select_columns([key_col, val_col, tie_col])
+            .map_batches(local_topk, batch_format="pyarrow")
+            .groupby("__part").map_groups(final_topk, batch_format="pandas"))
