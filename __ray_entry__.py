@@ -454,6 +454,24 @@ def q_supplier_top_orders(sf_dir: str):
                         "l_suppkey", "qty", 3, tie_col="line_id")
 
 
+def q_supplier_qty_quantiles(sf_dir: str):
+    """Exact per-group quantiles (percentile_disc convention) of an
+    integer column, from run-length value histograms — no global sort."""
+    import pyarrow.compute as pc
+
+    from wikilinks_ray.stages.agg import grouped_quantile
+
+    _quiet()
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
+
+    def qty_int(t: pa.Table) -> pa.Table:
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "qty": pc.round(t["l_quantity"]).cast(pa.int64())})
+
+    return grouped_quantile(li.map_batches(qty_int, batch_format="pyarrow"),
+                            "l_suppkey", "qty", [0.25, 0.5, 0.9])
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding windows (size 1h, hop 15m): every event contributes to
     the k=4 overlapping windows covering it."""
@@ -661,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
         "supplier_distinct_parts": q_supplier_distinct_parts,
+        "supplier_qty_quantiles": q_supplier_qty_quantiles,
         "supplier_top_orders": q_supplier_top_orders,
         "doc_source_stats": q_doc_source_stats,
         "top_parts": q_top_parts,
@@ -830,6 +849,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    max(us) - min(us) AS duration_us
             FROM s GROUP BY user_id, session_id
+        """,
+        "supplier_qty_quantiles": """
+            SELECT l_suppkey,
+                   quantile_disc(CAST(round(l_quantity) AS BIGINT), 0.25) AS q_25,
+                   quantile_disc(CAST(round(l_quantity) AS BIGINT), 0.5) AS q_50,
+                   quantile_disc(CAST(round(l_quantity) AS BIGINT), 0.9) AS q_90
+            FROM lineitem GROUP BY l_suppkey
         """,
         "supplier_distinct_parts": """
             SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts

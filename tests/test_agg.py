@@ -106,3 +106,28 @@ def test_grouped_topk(ray_session):
     got = got.sort_values(["k", "rank"]).reset_index(drop=True)
     assert got[["k", "v", "t", "rank"]].astype("int64").values.tolist() == \
         want[["k", "v", "t", "rank"]].astype("int64").values.tolist()
+
+
+def test_grouped_quantile_percentile_disc(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wikilinks_ray.stages.agg import grouped_quantile
+
+    rng = np.random.default_rng(9)
+    key = rng.integers(0, 12, 3000)
+    val = rng.integers(0, 40, 3000)
+    ds = rd.from_arrow(pa.table({"k": pa.array(key, pa.int64()),
+                                 "v": pa.array(val, pa.int64())})).repartition(5)
+    got = pd.DataFrame(grouped_quantile(ds, "k", "v",
+                                        [0.1, 0.5, 1.0]).take_all())
+    got = got.sort_values("k").reset_index(drop=True)
+    import math
+
+    df = pd.DataFrame({"k": key, "v": val})
+    for _, row in got.iterrows():
+        s = sorted(df[df["k"] == row["k"]]["v"])
+        for q, col in ((0.1, "q_10"), (0.5, "q_50"), (1.0, "q_100")):
+            assert row[col] == s[math.ceil(q * len(s)) - 1], (row["k"], q)

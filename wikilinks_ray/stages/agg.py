@@ -166,6 +166,60 @@ def grouped_distinct_count(ds: "ray.data.Dataset", key_col: str, val_col: str,
                        num_buckets=num_buckets, out_col=out_col)
 
 
+def grouped_quantile(ds: "ray.data.Dataset", key_col: str, val_col: str,
+                     qs: list[float], *, num_buckets: int = 64,
+                     ) -> "ray.data.Dataset":
+    """EXACT per-group quantiles of an integer-valued column,
+    percentile_disc convention (1-based position ``ceil(q*n)`` of the
+    sorted multiset — verified to match DuckDB's ``quantile_disc``).
+
+    Plan: combine raw rows to (key, val, count) first (``grouped_agg``
+    count — only DISTINCT pairs shuffle, the natural compression for
+    value-histogram quantiles over bounded-domain ints), then one
+    bucketed pass computes every requested quantile per key from the
+    run-length cumulative counts, fully vectorized. Output:
+    (key, q_<percent> ...) one column per requested quantile.
+    """
+    pairs = grouped_agg(ds.select_columns([key_col, val_col]),
+                        [key_col, val_col], None, "count", out_col="__cnt",
+                        num_buckets=num_buckets)
+
+    def part_by_key(t: pa.Table) -> pa.Table:
+        kk = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__part", pa.array(
+            _bucket_of(kk, num_buckets=num_buckets)))
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy().astype(np.int64)
+        v = g[val_col].to_numpy().astype(np.int64)
+        c = g["__cnt"].to_numpy().astype(np.int64)
+        order = np.lexsort((v, k))
+        k_s, v_s, c_s = k[order], v[order], c[order]
+        n = len(k_s)
+        new = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        run_start = np.flatnonzero(new)
+        run_id = np.cumsum(new).astype(np.int64) - 1
+        cum = np.cumsum(c_s)
+        base = (cum[run_start] - c_s[run_start])[run_id]
+        cum_in = cum - base  # within-run cumulative multiset position
+        tot = np.add.reduceat(c_s, run_start)  # per-run multiset size
+        out = {key_col: k_s[run_start]}
+        for q in qs:
+            # eps guards float noise on exact multiples (q*n == int)
+            target = np.ceil(q * tot - 1e-9).astype(np.int64)[run_id]
+            # first satisfying row per run: cum_in >= target AND the
+            # previous row of the same run didn't satisfy (satisfaction
+            # is monotone within a run, so exactly one row picks)
+            ok = cum_in >= target
+            prev_ok = np.concatenate(([False], ok[:-1])) & ~new
+            pick = ok & ~prev_ok
+            out[f"q_{int(round(q * 100))}"] = v_s[pick]
+        return pd.DataFrame(out)
+
+    return (pairs.map_batches(part_by_key, batch_format="pyarrow")
+            .groupby("__part").map_groups(quantiles, batch_format="pandas"))
+
+
 def grouped_topk(ds: "ray.data.Dataset", key_col: str, val_col: str, k: int,
                  *, tie_col: str, num_buckets: int = 64,
                  ascending: bool = False) -> "ray.data.Dataset":
