@@ -340,6 +340,96 @@ def q_top_customers(sf_dir: str):
     return df[["c_custkey", "c_name", "revenue"]]
 
 
+def q_customers_no_orders(sf_dir: str):
+    """Anti-join (the NOT-IN/EXCEPT workhorse): customers with no order
+    above 300k (every customer has SOME order in this synthetic data, so
+    the predicate makes the anti-join side genuinely non-empty)."""
+    import pyarrow.compute as pc
+
+    _quiet()
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table({"c_custkey": t.filter(
+            pc.greater(t["o_totalprice"], pa.scalar(300000.0)))["o_custkey"]}),
+        batch_format="pyarrow")
+    out = cust.join(big, "left_anti", 4, on=("c_custkey",)).to_pandas()
+    # an empty anti-join result loses its schema through to_pandas —
+    # pin the column so the driver compare sees a typed frame
+    if out.empty:
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64")})
+    return out
+
+
+def q_nation_revenue(sf_dir: str):
+    """Multi-way join chain (TPC-H Q5-lite): orders ⋈ customer (hash
+    join on the big sides) with the tiny nation⋈region side broadcast
+    as a lookup map — revenue per nation in one region."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from wikilinks_ray.stages.util import rename_cols
+
+    _quiet()
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    # tiny dims: resolve driver-side, broadcast nationkey -> name for the
+    # chosen region only (region/nation are 5/25 rows at ANY scale)
+    rkey = reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0]
+    asia = nat[nat["n_regionkey"] == rkey][["n_nationkey", "n_name"]]
+    nmap_ref = _ray.put(dict(zip(asia["n_nationkey"].astype(int),
+                                 asia["n_name"])))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))).cast(pa.int64())
+        return pa.table({"c_custkey": t["o_custkey"], "cents": c})
+
+    j = (orders.map_batches(cents, batch_format="pyarrow")
+         .join(cust, "inner", 4, on=("c_custkey",)))
+
+    def to_nation(t: pa.Table) -> pa.Table:
+        nmap = _ray.get(nmap_ref)
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        names = np.array([nmap.get(int(k)) for k in nk], dtype=object)
+        keep = names != None  # noqa: E711
+        return pa.table({
+            "n_name": pa.array(names[keep].tolist(), pa.string()),
+            "cents": pa.array(
+                t.column("cents").to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (j.map_batches(to_nation, batch_format="pyarrow")
+           .groupby("n_name").aggregate(Sum("cents", alias_name="cents")))
+    df = agg.to_pandas()
+    df["revenue"] = df.pop("cents") / 100.0
+    return df[["n_name", "revenue"]]
+
+
+def q_events_gaps(sf_dir: str):
+    """Per-user inter-arrival gap stats (the lag() window pattern):
+    exact integer microsecond sums."""
+    _quiet()
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        us = np.sort(g["ts"].astype("int64").to_numpy())
+        d = np.diff(us)
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_gaps": [len(d)],
+            "max_gap_us": [int(d.max()) if len(d) else 0],
+            "sum_gap_us": [int(d.sum()) if len(d) else 0],
+        })
+
+    return ev.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
 def q_events_windowed(sf_dir: str):
     """Streaming-shaped: per-user 1-hour tumbling windows (count + sum).
     Ordering assumption: windows computed per user over ts-sorted rows
@@ -675,6 +765,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wiki_prefix": q_wiki_prefix,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "customers_no_orders": q_customers_no_orders,
+        "nation_revenue": q_nation_revenue,
+        "events_gaps": q_events_gaps,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
@@ -808,6 +901,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 10
+        """,
+        "customers_no_orders": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_totalprice > 300000)
+        """,
+        "nation_revenue": """
+            SELECT n_name,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                       AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "events_gaps": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts) AS prev
+                FROM events
+            )
+            SELECT user_id,
+                   count(prev) AS n_gaps,
+                   coalesce(max(us - prev), 0)::BIGINT AS max_gap_us,
+                   coalesce(sum(us - prev), 0)::BIGINT AS sum_gap_us
+            FROM o GROUP BY user_id
         """,
         "events_windowed": """
             SELECT user_id,
