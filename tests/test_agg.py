@@ -131,3 +131,27 @@ def test_grouped_quantile_percentile_disc(ray_session):
         s = sorted(df[df["k"] == row["k"]]["v"])
         for q, col in ((0.1, "q_10"), (0.5, "q_50"), (1.0, "q_100")):
             assert row[col] == s[math.ceil(q * len(s)) - 1], (row["k"], q)
+
+
+def test_sorted_run_pairs_kernel():
+    import numpy as np
+
+    from wikilinks_ray.stages.agg import sorted_run_pairs
+
+    keys = np.array([1, 1, 1, 2, 3, 3], dtype=np.int64)
+    a, b, kept = sorted_run_pairs([keys])
+    got = sorted(zip(a.tolist(), b.tolist()))
+    assert got == [(0, 1), (0, 2), (1, 2), (4, 5)]
+    assert kept.all()
+    # cap drops whole long runs but keeps short ones
+    a, b, kept = sorted_run_pairs([keys], max_run=2)
+    assert sorted(zip(a.tolist(), b.tolist())) == [(4, 5)]
+    assert kept.tolist() == [False, False, False, True, True, True]
+    # empty input
+    a, b, kept = sorted_run_pairs([np.empty(0, np.int64)])
+    assert len(a) == len(b) == len(kept) == 0
+    # two-column runs
+    k2 = np.array([0, 0, 0, 1], dtype=np.int64)
+    v2 = np.array([5, 5, 6, 6], dtype=np.int64)
+    a, b, _ = sorted_run_pairs([k2, v2])
+    assert sorted(zip(a.tolist(), b.tolist())) == [(0, 1)]

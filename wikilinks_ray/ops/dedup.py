@@ -190,41 +190,22 @@ def ngram_jaccard_pairs(
         return t.append_column("__part", pa.array(
             _bucket_of(s.astype(np.int64), num_buckets=n_buckets)))
 
+    from ..stages.agg import sorted_run_pairs
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         s = g["shingle"].to_numpy().astype(np.uint64)
         d = g["doc_id"].to_numpy().astype(np.int64)
         order = np.lexsort((d, s))
         s_s, d_s = s[order], d[order]
-        n = len(s_s)
-        empty = pd.DataFrame({"a": np.empty(0, np.int64),
-                              "b": np.empty(0, np.int64),
-                              "cnt": np.empty(0, np.int64)})
-        if n == 0:
-            return empty
-        run_start = np.flatnonzero(np.concatenate(([True], s_s[1:] != s_s[:-1])))
-        run_id = np.cumsum(np.concatenate(
-            ([False], s_s[1:] != s_s[:-1]))).astype(np.int64)
-        run_len = np.diff(np.concatenate((run_start, [n])))
-        # stop-shingle guard: drop whole posting lists over the cap
-        ok = run_len[run_id] <= max_docs_per_shingle
-        s_s, d_s = s_s[ok], d_s[ok]
-        n = len(s_s)
-        if n == 0:
-            return empty
-        run_start = np.flatnonzero(np.concatenate(([True], s_s[1:] != s_s[:-1])))
-        run_id = np.cumsum(np.concatenate(
-            ([False], s_s[1:] != s_s[:-1]))).astype(np.int64)
-        run_len = np.diff(np.concatenate((run_start, [n])))
-        run_end = (run_start + run_len)[run_id]
-        reps = run_end - np.arange(n) - 1
-        total = int(reps.sum())
-        if total == 0:
-            return empty
-        a_idx = np.repeat(np.arange(n), reps)
-        block_start = np.repeat(np.cumsum(reps) - reps, reps)
-        b_idx = a_idx + 1 + (np.arange(total) - block_start)
+        # the max_run cap is the stop-shingle guard: whole posting lists
+        # over the cap emit no pairs
+        a_idx, b_idx, _ = sorted_run_pairs([s_s], max_run=max_docs_per_shingle)
+        if len(a_idx) == 0:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "cnt": np.empty(0, np.int64)})
         a, b = d_s[a_idx], d_s[b_idx]  # doc ids sorted within run => a < b
-        keys, cnt = _rle_reduce([a, b], np.ones(total, np.int64), "sum")
+        keys, cnt = _rle_reduce([a, b], np.ones(len(a), np.int64), "sum")
         return pd.DataFrame({"a": keys[0], "b": keys[1], "cnt": cnt})
 
     inter = grouped_agg(
@@ -377,42 +358,26 @@ def minhash_lsh_candidates(
         return t.append_column("__part", pa.array(
             _bucket_of(b, h, num_buckets=n_buckets)))
 
+    from ..stages.agg import sorted_run_pairs
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         b = g["band"].to_numpy().astype(np.int64)
         h = g["band_hash"].to_numpy().astype(np.uint64)
         d = g["doc_id"].to_numpy().astype(np.int64)
         order = np.lexsort((d, h, b))
         b_s, h_s, d_s = b[order], h[order], d[order]
-        n = len(d_s)
+        a_idx, b_idx, _ = sorted_run_pairs([b_s, h_s],
+                                           max_run=max_docs_per_bucket)
         empty = pd.DataFrame({"a": np.empty(0, np.int64),
                               "b": np.empty(0, np.int64),
                               "cnt": np.empty(0, np.int64)})
-        if n == 0:
+        if len(a_idx) == 0:
             return empty
-        new = np.concatenate(([True], (b_s[1:] != b_s[:-1]) | (h_s[1:] != h_s[:-1])))
-        run_start = np.flatnonzero(new)
-        run_id = np.cumsum(new).astype(np.int64) - 1
-        run_len = np.diff(np.concatenate((run_start, [n])))
-        ok = run_len[run_id] <= max_docs_per_bucket
-        b_s, h_s, d_s = b_s[ok], h_s[ok], d_s[ok]
-        n = len(d_s)
-        if n == 0:
-            return empty
-        new = np.concatenate(([True], (b_s[1:] != b_s[:-1]) | (h_s[1:] != h_s[:-1])))
-        run_start = np.flatnonzero(new)
-        run_id = np.cumsum(new).astype(np.int64) - 1
-        run_len = np.diff(np.concatenate((run_start, [n])))
-        run_end = (run_start + run_len)[run_id]
-        reps = run_end - np.arange(n) - 1
-        total = int(reps.sum())
-        if total == 0:
-            return empty
-        a_idx = np.repeat(np.arange(n), reps)
-        block_start = np.repeat(np.cumsum(reps) - reps, reps)
-        b_idx = a_idx + 1 + (np.arange(total) - block_start)
         a, bb = d_s[a_idx], d_s[b_idx]
         lo, hi = np.minimum(a, bb), np.maximum(a, bb)
         keep = lo < hi  # same doc colliding twice in a bucket is no pair
+        if not keep.any():
+            return empty
         keys, cnt = _rle_reduce([lo[keep], hi[keep]],
                                 np.ones(int(keep.sum()), np.int64), "sum")
         return pd.DataFrame({"a": keys[0], "b": keys[1], "cnt": cnt})

@@ -129,6 +129,8 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8,
         return t.append_column("__part", pa.array(
             _bucket_of(u.astype(np.int64), num_buckets=n_buckets)))
 
+    from ..stages.agg import sorted_run_pairs
+
     def _wedge_arrays(g: pd.DataFrame):
         """Vectorized ordered-wedge endpoints (a, b) for one apex
         bucket, or None when the bucket yields no wedges."""
@@ -139,21 +141,9 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8,
         # (earlier, later) pair is an ordered wedge
         order = np.lexsort((v, vd, u))
         u_s, v_s = u[order], v[order]
-        n = len(u_s)
-        if n == 0:
+        a_idx, b_idx, _ = sorted_run_pairs([u_s])
+        if len(a_idx) == 0:
             return None
-        run_start = np.flatnonzero(np.concatenate(([True], u_s[1:] != u_s[:-1])))
-        run_id = np.cumsum(np.concatenate(
-            ([False], u_s[1:] != u_s[:-1]))).astype(np.int64)
-        run_len = np.diff(np.concatenate((run_start, [n])))
-        run_end = (run_start + run_len)[run_id]  # end of each pos's run
-        reps = run_end - np.arange(n) - 1  # later-neighbor count per pos
-        total = int(reps.sum())
-        if total == 0:
-            return None
-        a_idx = np.repeat(np.arange(n), reps)
-        block_start = np.repeat(np.cumsum(reps) - reps, reps)
-        b_idx = a_idx + 1 + (np.arange(total) - block_start)
         return v_s[a_idx].astype(np.int64), v_s[b_idx].astype(np.int64)
 
     # Fast path: when ids fit 32 bits (dense ids hold to 4e9 vertices)

@@ -66,6 +66,44 @@ def _rle_reduce(keys: list[np.ndarray], vals: np.ndarray, op: str):
     return out_keys, out
 
 
+def sorted_run_pairs(run_keys: list[np.ndarray], max_run: int | None = None):
+    """All ordered within-run index pairs (i < j) of rows grouped into
+    runs by equal ``run_keys`` (which must be PRE-SORTED so equal keys
+    are contiguous). Returns (a_idx, b_idx, kept_mask) where kept_mask
+    marks rows of runs within ``max_run`` (longer runs emit no pairs —
+    the standard O(m²) skew guard) and a_idx/b_idx index into the
+    ORIGINAL arrays. The shared kernel behind triangle wedges, shingle
+    posting-list pairs and MinHash bucket candidates."""
+    n = len(run_keys[0])
+    if n == 0:
+        e = np.empty(0, np.int64)
+        return e, e, np.empty(0, bool)
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for k in run_keys:
+        new[1:] |= k[1:] != k[:-1]
+    run_start = np.flatnonzero(new)
+    run_id = np.cumsum(new).astype(np.int64) - 1
+    run_len = np.diff(np.concatenate((run_start, [n])))
+    kept = np.ones(n, dtype=bool)
+    if max_run is not None:
+        kept = run_len[run_id] <= max_run
+        if not kept.all():
+            sub = np.flatnonzero(kept)
+            a, b, _ = sorted_run_pairs([k[kept] for k in run_keys])
+            return sub[a], sub[b], kept
+    run_end = (run_start + run_len)[run_id]
+    reps = run_end - np.arange(n) - 1
+    total = int(reps.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e, kept
+    a_idx = np.repeat(np.arange(n), reps)
+    block_start = np.repeat(np.cumsum(reps) - reps, reps)
+    b_idx = a_idx + 1 + (np.arange(total) - block_start)
+    return a_idx, b_idx, kept
+
+
 def grouped_agg(
     ds: "ray.data.Dataset",
     key_cols: list[str],
