@@ -412,45 +412,95 @@ def q_nation_revenue(sf_dir: str):
 
 
 def q_events_gaps(sf_dir: str):
-    """Per-user inter-arrival gap stats (the lag() window pattern):
-    exact integer microsecond sums."""
+    """Per-user inter-arrival gap stats (the lag() window pattern),
+    exact integer microsecond sums — vectorized over ALL keys of a hash
+    bucket at once (run-boundary diffs + rle reduce), not one Python
+    call per user."""
+    from wikilinks_ray.stages.agg import _bucket_of, _rle_reduce
+
     _quiet()
     ev = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def gaps(g: pd.DataFrame) -> pd.DataFrame:
-        us = np.sort(g["ts"].astype("int64").to_numpy())
-        d = np.diff(us)
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_gaps": [len(d)],
-            "max_gap_us": [int(d.max()) if len(d) else 0],
-            "sum_gap_us": [int(d.sum()) if len(d) else 0],
+    def part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "us": t.column("ts").cast(pa.int64()),
+            "__part": pa.array(_bucket_of(u, num_buckets=32)),
         })
 
-    return ev.groupby("user_id").map_groups(gaps, batch_format="pandas")
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy().astype(np.int64)
+        us = g["us"].to_numpy().astype(np.int64)
+        order = np.lexsort((us, u))
+        u_s, us_s = u[order], us[order]
+        n = len(u_s)
+        new = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        keys = u_s[new]
+        # gap i (between rows i-1, i) is valid iff row i is not a run start
+        d = np.diff(us_s)
+        valid = ~new[1:]
+        gap_owner = u_s[1:][valid]
+        gd = d[valid]
+        out = pd.DataFrame({"user_id": keys,
+                            "n_gaps": np.zeros(len(keys), np.int64),
+                            "max_gap_us": np.zeros(len(keys), np.int64),
+                            "sum_gap_us": np.zeros(len(keys), np.int64)})
+        if len(gd):
+            gk, cnt = _rle_reduce([gap_owner], np.ones(len(gd), np.int64), "sum")
+            _, mx = _rle_reduce([gap_owner], gd, "max")
+            _, sm = _rle_reduce([gap_owner], gd, "sum")
+            pos = np.searchsorted(keys, gk[0])
+            out.loc[pos, "n_gaps"] = cnt
+            out.loc[pos, "max_gap_us"] = mx
+            out.loc[pos, "sum_gap_us"] = sm
+        return out
+
+    return (ev.map_batches(part, batch_format="pyarrow")
+            .groupby("__part").map_groups(gaps, batch_format="pandas"))
 
 
 def q_events_windowed(sf_dir: str):
-    """Streaming-shaped: per-user 1-hour tumbling windows (count + sum).
-    Ordering assumption: windows computed per user over ts-sorted rows
-    (groupby(user).map_groups with in-group sort)."""
+    """Per-user 1-hour tumbling windows (count + exact micro-unit sum):
+    two bucketed combiner aggregations over the derived (user, window)
+    key — no per-key Python (a groupby(user).map_groups costs one
+    interpreter call per user; dead at 10^9 users)."""
+    import pyarrow.compute as pc
+
     _quiet()
     ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def windows(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        w = (g["ts"].astype("int64") // 10**6) // 3600
+    def prep(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (us // 10**6) // 3600
         # exact micro-unit sums: float sums are summation-order-dependent
-        g = g.assign(v_e6=(g["value"] * 1e6).round().astype("int64"))
-        out = g.groupby(w).agg(n_events=("v_e6", "size"),
-                               sum_e6=("v_e6", "sum"))
-        out.index.name = "window_start"
-        out = out.reset_index()
-        out["user_id"] = g["user_id"].iloc[0]
-        out["sum_value"] = out.pop("sum_e6") / 1e6
-        return out[["user_id", "window_start", "n_events", "sum_value"]]
+        v_e6 = pc.round(pc.multiply(t["value"], pa.scalar(1e6))).cast(pa.int64())
+        return pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                         "window_start": pa.array(w, pa.int64()),
+                         "v_e6": v_e6})
 
-    return ev.groupby("user_id").map_groups(windows, batch_format="pandas")
+    from wikilinks_ray.stages.agg import _bucket_of, _rle_reduce
+
+    def part(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        w = t.column("window_start").to_numpy(zero_copy_only=False)
+        return t.append_column("__part", pa.array(
+            _bucket_of(u, w, num_buckets=32)))
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy().astype(np.int64)
+        w = g["window_start"].to_numpy().astype(np.int64)
+        v = g["v_e6"].to_numpy().astype(np.int64)
+        keys, cnt = _rle_reduce([u, w], np.ones(len(u), np.int64), "sum")
+        _, sums = _rle_reduce([u, w], v, "sum")
+        return pd.DataFrame({"user_id": keys[0], "window_start": keys[1],
+                             "n_events": cnt, "sum_value": sums / 1e6})
+
+    out = (ev.map_batches(prep, batch_format="pyarrow")
+           .map_batches(part, batch_format="pyarrow")
+           .groupby("__part").map_groups(agg, batch_format="pandas"))
+    return out.to_pandas()[["user_id", "window_start", "n_events",
+                            "sum_value"]]
 
 
 # ---- training-data ops family -------------------------------------------

@@ -1,18 +1,20 @@
 """Windowed aggregations over a keyed event log.
 
 Ray Data is a batch engine (no event-time watermarks — the reference is
-strictly batch too, SURVEY.md §2.10); windows are computed per key over
-ts-sorted groups: ``groupby(key).map_groups`` where the group function
-sorts by timestamp and applies the window logic in pandas/numpy.
-Ordering assumption: correctness needs per-key processing over the
-complete, ts-sorted event set for that key — which map_groups
-guarantees; no cross-key ordering is assumed.
+strictly batch too, SURVEY.md §2.10). All four window flavors run as
+ONE hash-bucketed pass: keys hash into B buckets, each bucket's
+``map_groups`` call sorts its rows by (key, ts) and computes every
+key's windows VECTORIZED over run boundaries. That keeps the Python
+call count at O(B), not O(keys) — a per-key ``groupby(key).map_groups``
+pays one interpreter call per key, which dies at 10^9 users.
 
-- tumbling: fixed-size aligned windows (``floor(ts/size)``);
+- tumbling: fixed-size aligned windows (``floor(ts/size)``) — pure
+  grouped count on (key, window), no per-key logic at all;
 - session: a new session starts when the gap since the previous event
   of the same key exceeds ``gap`` (classic sessionization);
 - sliding: fixed size + hop; an event contributes to every window
-  covering it.
+  covering it;
+- (see also ``__ray_entry__.q_events_gaps`` for the lag()-gap pattern.)
 
 Timestamps are int64 microseconds throughout (exact arithmetic; float
 epoch seconds would round).
@@ -22,68 +24,106 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
+
+_B = 64  # key-hash buckets: Python call count per pass is O(_B)
+
+
+def _part_by_key(key: str):
+    from ..stages.agg import _bucket_of
+
+    def part(t: pa.Table) -> pa.Table:
+        kk = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__part", pa.array(
+            _bucket_of(kk, num_buckets=_B)))
+
+    return part
 
 
 def tumbling_windows(events: "ray.data.Dataset", *, key: str = "user_id",
                      ts: str = "ts", size_s: int = 3600) -> "ray.data.Dataset":
-    def windows(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts)
-        w = (g[ts].astype("int64") // 10**6) // size_s
-        out = g.groupby(w).size().rename("n_events").reset_index()
-        out.columns = ["window_start", "n_events"]
-        out[key] = g[key].iloc[0]
-        return out[[key, "window_start", "n_events"]]
+    """(key, window_start, n_events): one bucketed grouped count over
+    the derived (key, window) pair — no per-key processing anywhere."""
+    from ..stages.agg import grouped_agg
+    from ..stages.util import rename_cols
 
-    return events.groupby(key).map_groups(windows, batch_format="pandas")
+    def add_window(t: pa.Table) -> pa.Table:
+        us = t.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (us // 10**6) // size_s
+        return pa.table({key: t.column(key).cast(pa.int64()),
+                         "window_start": pa.array(w, pa.int64())})
+
+    return grouped_agg(events.map_batches(add_window, batch_format="pyarrow"),
+                       [key, "window_start"], None, "count",
+                       out_col="n_events")
 
 
 def session_windows(events: "ray.data.Dataset", *, key: str = "user_id",
                     ts: str = "ts", gap_s: int = 3600) -> "ray.data.Dataset":
     """(key, session_id, session_start_us, n_events, duration_us) rows;
-    session_id is the per-key 1-based session ordinal."""
+    session_id is the per-key 1-based session ordinal. Vectorized over
+    ALL keys of a bucket at once: session breaks are new-key-or-gap
+    boundaries, ids are within-run cumsums, stats are reduceat spans."""
     gap_us = gap_s * 1_000_000
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts, kind="mergesort")
+        kk = g[key].to_numpy().astype(np.int64)
         us = g[ts].astype("int64").to_numpy()
-        brk = np.ones(len(us), dtype=np.int64)
-        brk[1:] = (np.diff(us) > gap_us).astype(np.int64)
-        sid = np.cumsum(brk)
-        df = pd.DataFrame({"sid": sid, "us": us})
-        out = df.groupby("sid").agg(session_start_us=("us", "min"),
-                                    n_events=("us", "size"),
-                                    session_end_us=("us", "max"))
-        out["duration_us"] = out.pop("session_end_us") - out["session_start_us"]
-        out.index.name = "session_id"
-        out = out.reset_index()
-        out[key] = g[key].iloc[0]
-        return out[[key, "session_id", "session_start_us", "n_events",
-                    "duration_us"]]
+        order = np.lexsort((us, kk))
+        kk, us = kk[order], us[order]
+        n = len(kk)
+        if n == 0:
+            return pd.DataFrame({key: np.empty(0, np.int64),
+                                 "session_id": np.empty(0, np.int64),
+                                 "session_start_us": np.empty(0, np.int64),
+                                 "n_events": np.empty(0, np.int64),
+                                 "duration_us": np.empty(0, np.int64)})
+        new_key = np.concatenate(([True], kk[1:] != kk[:-1]))
+        brk = new_key | np.concatenate(([True], np.diff(us) > gap_us))
+        sess_start = np.flatnonzero(brk)
+        # per-key 1-based ordinal: global session index minus the index
+        # of the key's first session
+        sess_idx = np.cumsum(brk) - 1
+        key_first_sess = sess_idx[np.flatnonzero(new_key)]
+        key_run_id = np.cumsum(new_key) - 1
+        sid = sess_idx - key_first_sess[key_run_id] + 1
+        ends = np.concatenate((sess_start[1:], [n])) - 1
+        return pd.DataFrame({
+            key: kk[sess_start],
+            "session_id": sid[sess_start],
+            "session_start_us": us[sess_start],
+            "n_events": np.diff(np.concatenate((sess_start, [n]))),
+            "duration_us": us[ends] - us[sess_start],
+        })
 
-    return events.groupby(key).map_groups(sessions, batch_format="pandas")
+    return (events.map_batches(_part_by_key(key), batch_format="pyarrow")
+            .groupby("__part").map_groups(sessions, batch_format="pandas"))
 
 
 def sliding_windows(events: "ray.data.Dataset", *, key: str = "user_id",
                     ts: str = "ts", size_s: int = 3600,
                     hop_s: int = 900) -> "ray.data.Dataset":
     """(key, window_start, n_events) with overlapping windows: window w
-    covers [w*hop, w*hop + size)."""
+    covers [w*hop, w*hop + size). Each event expands to its k covering
+    windows IN THE BATCH (np.repeat — no per-key step), then one
+    bucketed grouped count."""
     assert size_s % hop_s == 0
     k = size_s // hop_s
 
-    def windows(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts)
-        sec = g[ts].astype("int64").to_numpy() // 10**6
-        rows = []
-        base = sec // hop_s
-        for j in range(k):
-            rows.append(base - j)
-        w = np.concatenate(rows)
-        w = w[w >= 0]
-        uw, cnt = np.unique(w, return_counts=True)
-        return pd.DataFrame({key: g[key].iloc[0], "window_start": uw * hop_s,
-                             "n_events": cnt})
+    from ..stages.agg import grouped_agg
 
-    return events.groupby(key).map_groups(windows, batch_format="pandas")
+    def expand(t: pa.Table) -> pa.Table:
+        kk = t.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sec = t.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False) // 10**6
+        base = sec // hop_s
+        w = np.concatenate([base - j for j in range(k)])
+        kk_r = np.tile(kk, k)
+        keep = w >= 0
+        return pa.table({key: pa.array(kk_r[keep], pa.int64()),
+                         "window_start": pa.array(w[keep] * hop_s, pa.int64())})
+
+    return grouped_agg(events.map_batches(expand, batch_format="pyarrow"),
+                       [key, "window_start"], None, "count",
+                       out_col="n_events")
