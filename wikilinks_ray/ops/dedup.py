@@ -486,29 +486,45 @@ def simhash_near_dup_pairs_ds(
             "simhash": pa.array(np.concatenate(osh)),
         })
 
+    from ..stages.agg import _bucket_of, grouped_agg, sorted_run_pairs
+
+    def part(t: pa.Table) -> pa.Table:
+        s = t.column("seg").to_numpy(zero_copy_only=False)
+        kk = t.column("key").to_numpy(zero_copy_only=False)
+        return t.append_column("__part", pa.array(
+            _bucket_of(s, kk, num_buckets=32)))
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy()
+        # ALL (seg, key) buckets of this hash partition in one
+        # vectorized pass (a per-bucket map_groups pays one Python call
+        # per occupied segment value)
+        s = g["seg"].to_numpy().astype(np.int64)
+        kk = g["key"].to_numpy().astype(np.int64)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
         sh = g["simhash"].to_numpy().astype(np.uint64)
-        m = len(ids)
+        order = np.lexsort((ids, kk, s))
+        s_s, k_s, id_s, sh_s = s[order], kk[order], ids[order], sh[order]
+        ai, bi, _ = sorted_run_pairs([s_s, k_s], max_run=max_bucket)
         empty = pd.DataFrame({"a": np.empty(0, np.int64),
                               "b": np.empty(0, np.int64),
                               "hamming": np.empty(0, np.int64)})
-        if m < 2 or m > max_bucket:
+        if len(ai) == 0:
             return empty
-        ai, bi = np.triu_indices(m, k=1)
-        x = sh[ai] ^ sh[bi]
-        # vectorized popcount via uint8 view + lookup table
+        x = sh_s[ai] ^ sh_s[bi]
+        # vectorized popcount via uint8 view + unpackbits
         pop = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
-        keep = pop <= max_hamming
-        a, b = ids[ai[keep]], ids[bi[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        a, b = id_s[ai], id_s[bi]
+        keep = (pop <= max_hamming) & (a != b)
+        if not keep.any():
+            return empty
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
         return pd.DataFrame({"a": lo, "b": hi,
                              "hamming": pop[keep].astype(np.int64)})
 
-    from ..stages.agg import grouped_agg
-
     cand = (sigs.map_batches(explode, batch_format="pyarrow")
-            .groupby(["seg", "key"]).map_groups(bucket_pairs, batch_format="pandas"))
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("__part").map_groups(bucket_pairs, batch_format="pandas"))
     return grouped_agg(cand, ["a", "b"], "hamming", "min", out_col="hamming")
 
 
@@ -638,23 +654,53 @@ def _near_dup_pairs_lsh(emb, threshold, id_col, vec_col,
             "__nvec": pa.array(list(np.concatenate(vecs, axis=0))),
         })
 
+    from ..stages.agg import _bucket_of
+
+    def part(t: pa.Table) -> pa.Table:
+        tb = t.column("table").to_numpy(zero_copy_only=False)
+        bk = t.column("bucket").to_numpy(zero_copy_only=False)
+        return t.append_column("__part", pa.array(
+            _bucket_of(tb, bk, num_buckets=32)))
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one map_groups call per HASH PARTITION; the within-partition
+        # loop walks (table, bucket) runs and does one matmul per run —
+        # matmul work is identical, the per-bucket Ray/pandas group
+        # overhead is gone
+        tb = g["table"].to_numpy().astype(np.int64)
+        bk = g["bucket"].to_numpy().astype(np.int64)
         ids = g[id_col].to_numpy().astype(np.int64)
-        empty = pd.DataFrame({"a": np.empty(0, np.int64),
-                              "b": np.empty(0, np.int64),
-                              "cosine": np.empty(0, np.float64)})
-        m = len(ids)
-        if m < 2 or m > max_bucket:
-            return empty
-        M = np.stack(g["__nvec"].to_numpy())
-        S = M @ M.T
-        ai, bi = np.nonzero(S >= threshold)
-        keep = ids[ai] < ids[bi]
-        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
-                             "cosine": S[ai, bi][keep]})
+        order = np.lexsort((ids, bk, tb))
+        tb, bk, ids = tb[order], bk[order], ids[order]
+        vecs = g["__nvec"].to_numpy()[order]
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        if n:
+            new = np.concatenate(([True], (tb[1:] != tb[:-1]) | (bk[1:] != bk[:-1])))
+            starts = np.flatnonzero(new).tolist() + [n]
+            for s0, s1 in zip(starts, starts[1:]):
+                m = s1 - s0
+                if m < 2 or m > max_bucket:
+                    continue
+                M = np.stack(vecs[s0:s1])
+                gids = ids[s0:s1]
+                S = M @ M.T
+                ai, bi = np.nonzero(S >= threshold)
+                keep = gids[ai] < gids[bi]
+                out_a.append(gids[ai][keep])
+                out_b.append(gids[bi][keep])
+                out_c.append(S[ai, bi][keep])
+        if not out_a:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "cosine": np.empty(0, np.float64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
 
     cand = (emb.map_batches(assign, batch_format="pyarrow")
-            .groupby(["table", "bucket"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("__part")
             .map_groups(bucket_pairs, batch_format="pandas"))
     # a pair can collide in several tables — grouped-max dedups (cosine
     # is identical each time; max is just the dedup reducer)
