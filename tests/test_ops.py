@@ -428,3 +428,33 @@ def test_wav_codec_real_decode(ray_session):
     # non-WAV payloads raise the honest stub error
     with pytest.raises(NotImplementedError):
         DecodeAudio()._decode(b"\xff\xfbmp3-ish")
+
+
+def test_session_windows_user_split_across_blocks(ray_session):
+    """The bucketed sessionizer must gather a user's FULL event set even
+    when the input blocks split the user, and per-key ordinals restart
+    at 1 for every user."""
+    import ray.data as rd
+
+    from wikilinks_ray.ops.windows import session_windows, tumbling_windows
+
+    h = 3_600_000_000  # 1h in us
+    rows = [  # user 7: 2 sessions; user 8: 1 session; interleaved blocks
+        (7, 0), (8, 10), (7, 1_000_000), (8, h // 2),
+        (7, 3 * h), (7, 3 * h + 5), (8, h - 1),
+    ]
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([t for _, t in rows], pa.timestamp("us")),
+    })).repartition(4)  # force users across blocks
+    got = pd.DataFrame(session_windows(ev, gap_s=3600).take_all())
+    got = got.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    assert got[["user_id", "session_id", "n_events"]].values.tolist() == [
+        [7, 1, 2], [7, 2, 2], [8, 1, 3]]
+    assert got.loc[0, "session_start_us"] == 0
+    assert got.loc[0, "duration_us"] == 1_000_000
+    assert got.loc[1, "session_start_us"] == 3 * h
+    # tumbling: pure grouped count over (user, window)
+    tw = pd.DataFrame(tumbling_windows(ev, size_s=3600).take_all())
+    tw = tw.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    assert tw.values.tolist() == [[7, 0, 2], [7, 3, 2], [8, 0, 3]]
