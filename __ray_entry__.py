@@ -217,9 +217,11 @@ def q_wiki_stats(sf_dir: str):
 
 
 def q_wiki_bfs(sf_dir: str):
-    """Directed BFS distances from vertex 0 over the FLAGSHIP graph
-    (CSR shard actors on the built wiki edges) — puts the engine's own
-    graph runtime, not just the TPC-H-derived one, under the oracle."""
+    """Directed BFS distances from the max-out-degree vertex (min-id
+    tie-break) over the FLAGSHIP graph (CSR shard actors on the built
+    wiki edges) — puts the engine's own graph runtime, not just the
+    TPC-H-derived one, under the oracle. The oracle SQL derives the
+    same source vertex."""
     from wikilinks_ray.pipelines.bfs import multi_source_bfs
     from wikilinks_ray.pipelines.flagship import ORACLE_BUILD_DIR, oracle_build
     from wikilinks_ray.state.csr import create_shard_actors, shard_edges

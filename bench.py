@@ -194,7 +194,7 @@ def run_scaling_workload(num_cpus: int, n_pages: int = 400_000) -> dict:
     from wikilinks_ray.ops.dedup import MinHasher, SimHasher
     from wikilinks_ray.ops.text import TextAnalyzer
     from wikilinks_ray.sources.corpus import write_pages_corpus
-    from wikilinks_ray.stages.extract import CombinedExtractor
+    from wikilinks_ray.stages.extract import extract_combined
 
     corpus = f"/tmp/wl_scale_corpus_{n_pages}"
     if not os.path.exists(os.path.join(corpus, "part-00000.parquet")):
@@ -212,7 +212,7 @@ def run_scaling_workload(num_cpus: int, n_pages: int = 400_000) -> dict:
         four (pool startup is a fixed cost per stage execution)."""
 
         def __init__(self):
-            self.ex = CombinedExtractor()
+            self.ex = extract_combined
             self.ta = TextAnalyzer()
             self.sh = SimHasher()
             self.mh = MinHasher()

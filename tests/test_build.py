@@ -134,11 +134,11 @@ def test_distributed_redirect_fixpoint_matches_local(ray_session, small_corpus):
     from wikilinks_ray.stages.extract import extract_pages_meta
     from wikilinks_ray.pipelines.build import _filter_expr
 
-    from wikilinks_ray.stages.extract import CombinedExtractor, split_combined
+    from wikilinks_ray.stages.extract import extract_combined, split_combined
     from wikilinks_ray.pipelines.build import find_unknown_exit_titles
 
     table, spec, _res = small_corpus
-    combined = rd.from_arrow(table).map_batches(CombinedExtractor,
+    combined = rd.from_arrow(table).map_batches(extract_combined,
                                                 batch_format="pyarrow",
                                                 concurrency=2)
     meta, links = split_combined(combined)

@@ -237,3 +237,20 @@ def test_k_core_matches_networkx(rand_graph):
         want = sorted(nx.k_core(g, k).nodes())
         got = k_core(ds, k).tolist()
         assert got == want, f"k={k}"
+
+
+def test_k_core_forced_distributed(rand_graph):
+    """broadcast_max=0 forces the semi-join peel path (survivors never
+    leave the cluster until the final collect); must match networkx and
+    the broadcast path exactly."""
+    import networkx as nx
+
+    from wikilinks_ray.pipelines.kcore import k_core
+
+    _n, pairs, ds, _fwd, _symA = rand_graph
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    k = 4
+    want = sorted(nx.k_core(g, k).nodes())
+    got = k_core(ds, k, broadcast_max=0).tolist()
+    assert got == want

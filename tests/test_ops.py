@@ -204,6 +204,33 @@ def test_lsh_top_k_recall(ray_session):
     assert np.mean(recalls) >= 0.5  # multi-probe LSH, clustered data
 
 
+def test_lsh_top_k_bounded_emission(ray_session):
+    """Skewed-bucket fixture: every vector collides with every query's
+    probed buckets. The candidate stream must still be truncated to the
+    per-batch per-query top-k, so the driver receives at most
+    k * n_queries * n_batches rows — not O(all colliding rows)."""
+    import ray.data as rd
+
+    from wikilinks_ray.ops.similarity import lsh_candidates, lsh_top_k
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    # 2000 near-identical vectors: all land in the same LSH buckets.
+    M = base[None, :] + 1e-3 * rng.standard_normal((2000, 16))
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(2000), pa.int64()),
+        "embedding": pa.array(list(M), pa.list_(pa.float64())),
+    })).repartition(4)
+    queries = M[:3]
+    k = 5
+    cands = lsh_candidates(emb, queries, k=k, n_planes=8, n_tables=4).materialize()
+    n_batches = cands.num_blocks()  # 500-row blocks -> one batch per block
+    assert cands.count() <= k * len(queries) * n_batches
+    # and the merged result is still a full top-k per query
+    out = lsh_top_k(emb, queries, k=k, n_planes=8, n_tables=4).to_pandas()
+    assert (out.groupby("query_id")["rank"].max() == k).all()
+
+
 def test_text_analyzer(ray_session):
     import ray.data as rd
 

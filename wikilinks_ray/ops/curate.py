@@ -81,6 +81,11 @@ def curate_documents(
 
     if out_dir is not None:
         kept = kept.materialize()
+        if kept.count() == 0:
+            # every quality survivor lost to dedup: nothing to persist,
+            # and semi-joining against a fully empty right side hits the
+            # same empty-partition pyarrow crash guarded above
+            return kept
         # full kept rows via an int-keyed semi-join (no driver collect —
         # the kept set can be corpus-sized), bucketed for resumability
         p_kept = max(1, min(num_partitions, kept.count() // 50 + 1))

@@ -27,7 +27,6 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -204,7 +203,17 @@ def ngram_jaccard_pairs(
             return pd.DataFrame({"a": np.empty(0, np.int64),
                                  "b": np.empty(0, np.int64),
                                  "cnt": np.empty(0, np.int64)})
-        a, b = d_s[a_idx], d_s[b_idx]  # doc ids sorted within run => a < b
+        a, b = d_s[a_idx], d_s[b_idx]  # doc ids sorted within run => a <= b
+        # strict a < b: duplicate (doc_id, shingle) input rows would
+        # otherwise emit self-pairs that score as jaccard~1 (the minhash
+        # path guards lo < hi the same way)
+        ne = a != b
+        if not ne.all():
+            a, b = a[ne], b[ne]
+        if len(a) == 0:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "cnt": np.empty(0, np.int64)})
         keys, cnt = _rle_reduce([a, b], np.ones(len(a), np.int64), "sum")
         return pd.DataFrame({"a": keys[0], "b": keys[1], "cnt": cnt})
 

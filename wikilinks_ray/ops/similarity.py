@@ -95,7 +95,7 @@ class _HyperplaneLSH:
         return [((M @ P.T) > 0) @ self.pows for P in self.planes]
 
 
-def lsh_top_k(
+def lsh_candidates(
     emb: "ray.data.Dataset",
     queries: np.ndarray,
     k: int = 10,
@@ -104,10 +104,12 @@ def lsh_top_k(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> "pa.Table":
-    """Approximate cosine top-k: score only rows that share a probed
-    bucket (exact or 1-bit flip) with a query in ANY of ``n_tables``
-    hyperplane tables. Same output schema as ``brute_force_top_k``."""
+) -> "ray.data.Dataset":
+    """The candidate stream behind :func:`lsh_top_k`: per batch, rows
+    sharing a probed bucket with a query, scored and truncated to the
+    per-query local top-k. Exposed so tests can assert the bound —
+    each batch emits at most k rows per query, so the driver merge
+    receives <= k * n_queries * n_batches rows regardless of skew."""
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     dim = Q.shape[1]
     lsh = _HyperplaneLSH(dim, n_planes, n_tables)
@@ -140,17 +142,43 @@ def lsh_top_k(
         q_out, v_out, s_out = [], [], []
         for qi, rows in cand_rows.items():
             rows = np.fromiter(rows, dtype=np.int64, count=len(rows))
-            S = Qm[qi] @ M[rows].T
+            S = np.atleast_1d(Qm[qi] @ M[rows].T)
+            # Local top-k truncation: under bucket-key skew a query can
+            # collide with most of a batch; emitting every candidate makes
+            # the driver merge O(candidates). Cap at k per (query, batch),
+            # mirroring brute_force_top_k — the global merge only ever
+            # needs each batch's k best.
+            if len(rows) > k:
+                keep = np.argpartition(-S, k - 1)[:k]
+                rows, S = rows[keep], S[keep]
             q_out.extend([qi] * len(rows))
             v_out.extend(ids[rows].tolist())
-            s_out.extend(np.atleast_1d(S).tolist())
+            s_out.extend(S.tolist())
         return pa.table({
             "query_id": pa.array(q_out, pa.int64()),
             "vec_id": pa.array(v_out, pa.int64()),
             "cosine": pa.array(s_out, pa.float64()),
         })
 
-    cands = emb.map_batches(score, batch_format="pyarrow").take_all()
+    return emb.map_batches(score, batch_format="pyarrow")
+
+
+def lsh_top_k(
+    emb: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "pa.Table":
+    """Approximate cosine top-k: score only rows that share a probed
+    bucket (exact or 1-bit flip) with a query in ANY of ``n_tables``
+    hyperplane tables. Same output schema as ``brute_force_top_k``."""
+    cands = lsh_candidates(emb, queries, k, n_planes=n_planes,
+                           n_tables=n_tables, id_col=id_col,
+                           vec_col=vec_col).take_all()
     merged = _merge_topk(((r["query_id"], r["vec_id"], r["cosine"]) for r in cands), k)
     q_out, r_out, v_out, s_out = [], [], [], []
     for qid, top in merged:

@@ -309,10 +309,10 @@ def build_graph(
         os.remove(s_path)
 
     # single pass over the heavy pages input (html+text read once)
-    from ..stages.extract import CombinedExtractor, split_combined
+    from ..stages.extract import extract_combined, split_combined
 
     combined = pages.map_batches(
-        CombinedExtractor, batch_format="pyarrow",
+        extract_combined, batch_format="pyarrow",
         batch_size=extract_batch_size,
         concurrency=extract_concurrency).materialize()
     # meta/links materialize once each: they are consumed by 3-4

@@ -158,10 +158,17 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8,
     max_id = int(dense.shape[0]) if deg_is_broadcast else None
     if (deg_is_broadcast and max_id < (1 << 32)
             and n_edges <= broadcast_degree_limit):
-        odf = oriented.select_columns(["u", "v"]).to_pandas()
-        keys = np.sort((odf["u"].to_numpy().astype(np.uint64) << np.uint64(32))
-                       | odf["v"].to_numpy().astype(np.uint64))
-        keys_ref = _ray.put(keys)
+        # pack+sort runs in a Ray task — the driver only ever holds the
+        # object ref, never the edge array itself
+        @_ray.remote
+        def _pack_sorted_keys(*tables: pa.Table) -> np.ndarray:
+            ts = pa.concat_tables(tables)
+            u = ts.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+            v = ts.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+            return np.sort((u << np.uint64(32)) | v)
+
+        keys_ref = _pack_sorted_keys.remote(
+            *oriented.select_columns(["u", "v"]).to_arrow_refs())
 
         def wedge_close_count(g: pd.DataFrame) -> pd.DataFrame:
             w = _wedge_arrays(g)

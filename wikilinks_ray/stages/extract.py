@@ -85,7 +85,7 @@ COMBINED_SCHEMA = pa.schema(
 )
 
 
-class CombinedExtractor:
+def extract_combined(batch: pa.Table) -> pa.Table:
     """Single-pass extractor: one meta row (kind=0) AND one row per link
     (kind=1) per page, in one table.
 
@@ -95,49 +95,54 @@ class CombinedExtractor:
     a cheap vectorized filter on ``kind`` over the (much smaller)
     extracted table. Parse work is also done once per page instead of
     twice.
-    """
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        texts = batch.column("text").to_pylist()
-        kind, url_o, title_o, isrd, rtgt, nlinks, ext, dst, order = \
-            [], [], [], [], [], [], [], [], []
-        for url, text in zip(urls, texts):
-            r, target, links = parse_wikitext(text or "")
-            title = title_from_url(url)
-            kind.append(0)
+    A plain function on purpose: the stage is stateless (regexes are
+    module-level), so a task pool gives the same throughput as an actor
+    pool with strictly better fault tolerance — task retries re-execute
+    from lineage, whereas actor restarts depend on the object-store copy
+    of the constructor args (ray#53727) and an actor pool can starve the
+    upstream read when sized to the node (see state/csr.py notes).
+    """
+    urls = batch.column("url").to_pylist()
+    texts = batch.column("text").to_pylist()
+    kind, url_o, title_o, isrd, rtgt, nlinks, ext, dst, order = \
+        [], [], [], [], [], [], [], [], []
+    for url, text in zip(urls, texts):
+        r, target, links = parse_wikitext(text or "")
+        title = title_from_url(url)
+        kind.append(0)
+        url_o.append(url)
+        title_o.append(title)
+        isrd.append(r)
+        rtgt.append(target)
+        nlinks.append(len(links))
+        ext.append(extracted_text_bytes(r, target, links))
+        dst.append(None)
+        order.append(-1)
+        for j, link in enumerate(links):
+            kind.append(1)
             url_o.append(url)
             title_o.append(title)
             isrd.append(r)
-            rtgt.append(target)
-            nlinks.append(len(links))
-            ext.append(extracted_text_bytes(r, target, links))
-            dst.append(None)
-            order.append(-1)
-            for j, link in enumerate(links):
-                kind.append(1)
-                url_o.append(url)
-                title_o.append(title)
-                isrd.append(r)
-                rtgt.append(None)
-                nlinks.append(0)
-                ext.append(None)
-                dst.append(link)
-                order.append(j)
-        return pa.table(
-            {
-                "kind": pa.array(kind, pa.int8()),
-                "url": pa.array(url_o, pa.string()),
-                "title": pa.array(title_o, pa.string()),
-                "is_redirect": pa.array(isrd, pa.bool_()),
-                "redirect_target": pa.array(rtgt, pa.string()),
-                "n_links": pa.array(nlinks, pa.int64()),
-                "extracted_text": pa.array(ext, pa.binary()),
-                "dst_title": pa.array(dst, pa.string()),
-                "ord": pa.array(order, pa.int64()),
-            },
-            schema=COMBINED_SCHEMA,
-        )
+            rtgt.append(None)
+            nlinks.append(0)
+            ext.append(None)
+            dst.append(link)
+            order.append(j)
+    return pa.table(
+        {
+            "kind": pa.array(kind, pa.int8()),
+            "url": pa.array(url_o, pa.string()),
+            "title": pa.array(title_o, pa.string()),
+            "is_redirect": pa.array(isrd, pa.bool_()),
+            "redirect_target": pa.array(rtgt, pa.string()),
+            "n_links": pa.array(nlinks, pa.int64()),
+            "extracted_text": pa.array(ext, pa.binary()),
+            "dst_title": pa.array(dst, pa.string()),
+            "ord": pa.array(order, pa.int64()),
+        },
+        schema=COMBINED_SCHEMA,
+    )
 
 
 def split_combined(combined: "object"):
