@@ -94,14 +94,22 @@ def q_graph_out_degree(sf_dir: str):
 
 
 def q_graph_in_degree_hist(sf_dir: str):
+    """In-degree histogram with the SALTED two-stage aggregation active
+    (stages/agg.py grouped_agg, salt=8) on both group-bys — the
+    documented hub-key sites: a popular page's in-degree rows, and the
+    histogram's low-degree buckets (degree 1 holds a huge share of all
+    vertices at web scale), would otherwise each land on one reducer.
+    count composes exactly across salt sub-groups, so the driver oracle
+    must stay hash-green with salting on."""
     from wikilinks_ray.pipelines.derived import derived_edges
-    from wikilinks_ray.stages.util import rename_cols
+    from wikilinks_ray.stages.agg import grouped_agg
 
     _quiet()
-    ind = rename_cols(derived_edges(sf_dir).groupby("dst").count(),
-                      {"count()": "in_degree"})
-    return rename_cols(ind.groupby("in_degree").count(),
-                       {"count()": "n_vertices"})
+    ind = grouped_agg(derived_edges(sf_dir), ["dst"], None, "count",
+                      out_col="in_degree", salt=8)
+    hist = grouped_agg(ind.select_columns(["in_degree"]), ["in_degree"],
+                       None, "count", out_col="n_vertices", salt=8)
+    return hist
 
 
 def q_graph_components(sf_dir: str):
@@ -141,17 +149,21 @@ def q_graph_bfs(sf_dir: str):
 
 
 def q_graph_pagerank(sf_dir: str):
-    """Rows-only check (float scores; pytest holds the allclose-1e-6
-    oracle). Emits (vertex, pagerank rounded to 12)."""
+    """EXACT-match PageRank: 20 fixed iterations in scaled int64
+    arithmetic (rank × 10^12, floor divisions) over the CSR shard
+    actors' distributed combiner exchange — the DuckDB oracle unrolls
+    the same recurrence and reproduces identical integers, so the whole
+    scatter/reduce machinery is under the value-hash gate. The float
+    production path (tol-based convergence) is separately pinned by
+    pytest allclose(1e-6) + a shuffle-form cross-check at 1e-12."""
     from wikilinks_ray.pipelines.derived import DerivedGraph
-    from wikilinks_ray.pipelines.pagerank import pagerank
+    from wikilinks_ray.pipelines.pagerank import pagerank_int
 
     _quiet()
     with DerivedGraph(sf_dir, num_shards=4) as g:
-        res = pagerank(g.actors, g.n, tol=1e-12, max_iter=200)
-        ranks = res.to_array()
+        ranks = pagerank_int(g.actors, g.n, iters=20)
         return pd.DataFrame({"vertex": g.vertices,
-                             "pagerank": np.round(ranks[g.vertices], 12)})
+                             "pagerank_scaled": ranks[g.vertices]})
 
 
 def q_graph_labelprop(sf_dir: str):
@@ -884,6 +896,74 @@ verts AS (SELECT DISTINCT src AS v FROM edges UNION SELECT DISTINCT dst FROM edg
 """
 
 
+def _pagerank_oracle_sql(iters: int = 20, scale: int = 10**12) -> str:
+    """SQL twin of pipelines.pagerank.pagerank_int: the recurrence is
+    unrolled into a chained-CTE program (aggregation over a recursive
+    CTE's working table is not portable SQL), all arithmetic BIGINT
+    floor ops — identical integers on both sides, so the driver's
+    value-hash gate covers the engine's distributed combiner exchange."""
+    n = "(SELECT n FROM nn)"
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "maxv AS MATERIALIZED (SELECT max(greatest(src, dst))::BIGINT AS m FROM edges)",
+        # the engine's id space is 0..max inclusive — holes included,
+        # they carry teleport mass and are dangling (out_deg = 0)
+        "verts AS MATERIALIZED (SELECT unnest(generate_series(0, (SELECT m FROM maxv))) AS v)",
+        "nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM verts)",
+        "outdeg AS MATERIALIZED (SELECT src AS v, count(*)::BIGINT AS deg FROM edges GROUP BY src)",
+        "pverts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges UNION SELECT DISTINCT dst FROM edges)",
+        f"pr0 AS MATERIALIZED (SELECT v, {scale}::BIGINT // {n} AS r FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"pr{k - 1}"
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(p.r), 0)::BIGINT AS dm FROM {p} p "
+            f"LEFT JOIN outdeg o ON p.v = o.v WHERE o.v IS NULL)")
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT e.dst AS v, sum(p.r // o.deg)::BIGINT AS s "
+            f"FROM edges e JOIN {p} p ON e.src = p.v "
+            f"JOIN outdeg o ON o.v = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"pr{k} AS MATERIALIZED (SELECT v.v, (15::BIGINT * {scale}::BIGINT) // (100::BIGINT * {n}) "
+            f"+ (85::BIGINT * (coalesce(s.s, 0)::BIGINT + (SELECT dm FROM d{k}) // {n})) // 100::BIGINT AS r "
+            f"FROM verts v LEFT JOIN s{k} s ON s.v = v.v)")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT v AS vertex, r AS pagerank_scaled FROM pr{iters} "
+            "WHERE v IN (SELECT v FROM pverts)")
+
+
+def _labelprop_oracle_sql(iters: int = 5) -> str:
+    """SQL twin of pipelines.labelprop.label_propagation: synchronous
+    per-iteration mode of incoming neighbor labels over the UNION ALL
+    symmetrized edge multiset, smallest-label tie-break, keep-own-label
+    when no messages; unrolled to the query's max_iter (early engine
+    convergence is a fixpoint, so extra SQL iterations are no-ops)."""
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "sym AS MATERIALIZED (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM edges)",
+        "maxv AS MATERIALIZED (SELECT max(greatest(src, dst))::BIGINT AS m FROM edges)",
+        "verts AS MATERIALIZED (SELECT unnest(generate_series(0, (SELECT m FROM maxv))) AS v)",
+        "pverts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges UNION SELECT DISTINCT dst FROM edges)",
+        "lab0 AS MATERIALIZED (SELECT v, v AS lbl FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"lab{k - 1}"
+        ctes.append(
+            f"cnt{k} AS MATERIALIZED (SELECT e.dst AS v, p.lbl AS lbl, count(*) AS c "
+            f"FROM sym e JOIN {p} p ON e.src = p.v GROUP BY e.dst, p.lbl)")
+        ctes.append(
+            f"win{k} AS MATERIALIZED (SELECT v, lbl FROM cnt{k} QUALIFY "
+            f"row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) = 1)")
+        ctes.append(
+            f"lab{k} AS MATERIALIZED (SELECT v.v, coalesce(w.lbl, p.lbl) AS lbl "
+            f"FROM verts v JOIN {p} p ON p.v = v.v "
+            f"LEFT JOIN win{k} w ON w.v = v.v)")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT v AS vertex, lbl AS community FROM lab{iters} "
+            "WHERE v IN (SELECT v FROM pverts)")
+
+
 def oracle_sql() -> dict[str, str]:
     from wikilinks_ray.pipelines.flagship import (
         ensure_oracle_corpus,
@@ -900,6 +980,8 @@ def oracle_sql() -> dict[str, str]:
             WITH ind AS (SELECT dst, count(*) AS in_degree FROM ({_EDGES}) GROUP BY dst)
             SELECT in_degree, count(*) AS n_vertices FROM ind GROUP BY in_degree
         """,
+        "graph_pagerank": _pagerank_oracle_sql(iters=20),
+        "graph_labelprop": _labelprop_oracle_sql(iters=5),
         "graph_components": f"""
             WITH RECURSIVE {_UND},
             reach(v, w) AS (

@@ -57,6 +57,40 @@ def test_pagerank_matches_networkx(graph_actors):
     assert abs(ours.sum() - 1.0) < 1e-9  # probability mass conserved
 
 
+def test_pagerank_int_exact_vs_dense(graph_actors):
+    """The scaled-int64 oracle mode reproduces a driver-side integer
+    power iteration BIT-FOR-BIT (same floor-division recurrence the
+    DuckDB oracle runs), and tracks the float fixpoint to ~1e-6."""
+    from wikilinks_ray.pipelines.pagerank import pagerank_int
+
+    actors, n, res = graph_actors
+    scale, iters = 10**12, 20
+    got = pagerank_int(actors, n, iters=iters, scale=scale)
+
+    ep = res.edges().to_pandas()
+    src = ep["src"].to_numpy().astype(np.int64)
+    dst = ep["dst"].to_numpy().astype(np.int64)
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, src, 1)
+    r = np.full(n, scale // n, dtype=np.int64)
+    base = (15 * scale) // (100 * n)
+    for _ in range(iters):
+        contrib = np.zeros(n, dtype=np.int64)
+        nz = deg > 0
+        contrib[nz] = r[nz] // deg[nz]
+        dangling = int(r[~nz].sum())
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, dst, contrib[src])
+        r = base + (85 * (s + dangling // n)) // 100
+    assert (got == r).all()
+
+    # integer mode tracks the float FIXPOINT once run to convergence
+    # (20 iters is the oracle spec, not converged: 0.85^20 ~ 0.04)
+    long_int = pagerank_int(actors, n, iters=150, scale=scale)
+    floats = pagerank(actors, n, damping=0.85, tol=1e-12, max_iter=200).to_array()
+    assert np.allclose(long_int / scale, floats, atol=1e-6)
+
+
 def test_pagerank_dangling_mass(ray_session, tmp_path):
     # explicit sink graph: 0->1, 0->2, 1 and 2 dangle
     import pyarrow as pa

@@ -45,6 +45,55 @@ def _reduce_rank(q_size: int, d: float, n: int, dangling_mass: float,
     return new, float(np.abs(new - old_chunk).sum())
 
 
+@ray.remote
+def _reduce_rank_int(q_size: int, n: int, dangling: int, scale: int,
+                     *partials) -> np.ndarray:
+    acc = np.zeros(q_size, dtype=np.int64)
+    for p in partials:
+        if p is not None:
+            acc += p
+    base = (15 * scale) // (100 * n)
+    return base + (85 * (acc + dangling // n)) // 100
+
+
+def pagerank_int(actors: list, n_vertices: int, *, iters: int = 20,
+                 scale: int = 10**12) -> np.ndarray:
+    """Fixed-iteration PageRank in scaled int64 arithmetic — the
+    EXACT-match oracle twin of :func:`pagerank` (damping fixed at
+    85/100, uniform teleport, dangling correction). Per superstep::
+
+        c[u]  = r[u] // out_deg[u]            (contributions, floor)
+        D     = sum(r[u] for out_deg[u] == 0) (dangling mass)
+        r'[v] = (15*scale) // (100*n) + (85 * (S[v] + D // n)) // 100
+
+    with S[v] the int64 sum of incoming contributions. Every operation
+    is order-independent integer arithmetic, so a DuckDB re-derivation
+    (unrolled CTE chain in ``__ray_entry__.oracle_sql``) reproduces the
+    result bit-for-bit — upgrading the distributed combiner exchange
+    from an allclose pytest to a value-hash driver oracle. The float
+    path stays the production spec (tol-based convergence).
+
+    Returns the dense scaled-rank array (int64, length ``n_vertices``).
+    """
+    P = len(actors)
+    bounds = vertex_ranges(n_vertices, P)
+    sizes = [int(bounds[p + 1] - bounds[p]) for p in range(P)]
+    chunk_refs = [ray.put(np.full(sizes[p], scale // n_vertices,
+                                  dtype=np.int64)) for p in range(P)]
+    for _ in range(iters):
+        scatter = [a.scatter_int.options(num_returns=P + 1).remote(chunk_refs[p])
+                   for p, a in enumerate(actors)]
+        dangling = int(sum(ray.get([s[P] for s in scatter])))
+        chunk_refs = [
+            _reduce_rank_int.remote(
+                sizes[q], n_vertices, dangling, scale,
+                *[scatter[p][q] for p in range(P)])
+            for q in range(P)
+        ]
+    chunks = ray.get(chunk_refs)
+    return np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+
+
 @dataclass
 class PageRankResult:
     ranks: list  # per-range chunk refs (or ndarrays if collected)

@@ -207,6 +207,38 @@ class CSRShardActor:
         out.append(dangling)
         return out
 
+    def scatter_int(self, rank_chunk: np.ndarray):
+        """Integer twin of ``scatter`` for the exact-arithmetic PageRank
+        oracle (pipelines/pagerank.py:pagerank_int): contributions are
+        int64 floor divisions ``rank // out_deg`` and partials are int64
+        sums, so the whole superstep is reproducible bit-for-bit by any
+        other engine (DuckDB included) — no float summation order to
+        worry about. Same exchange shape as the float path: P dense
+        per-dst-range partials + dangling mass last."""
+        csr = self.csr
+        contrib = np.zeros_like(rank_chunk, dtype=np.int64)
+        nz = csr.out_deg > 0
+        contrib[nz] = rank_chunk[nz] // csr.out_deg[nz]
+        dangling = int(rank_chunk[~nz].sum())
+        edge_vals = csr.edge_values_by_dst(contrib)
+        out = []
+        for q in range(len(self.bounds) - 1):
+            a, b = self.segs[q], self.segs[q + 1]
+            if a == b:
+                out.append(None)
+                continue
+            local = np.zeros(int(self.bounds[q + 1] - self.bounds[q]),
+                             dtype=np.int64)
+            d = csr.dst_sorted_dst[a:b]
+            first = np.empty(b - a, dtype=bool)
+            first[0] = True
+            first[1:] = d[1:] != d[:-1]
+            idx = np.flatnonzero(first)
+            local[d[idx] - self.bounds[q]] = np.add.reduceat(edge_vals[a:b], idx)
+            out.append(local)
+        out.append(dangling)
+        return out
+
     def min_push(self, label_chunk: np.ndarray):
         """Hash-min combiner: per-dst-range elementwise-min of incoming
         src labels (connected components superstep)."""
