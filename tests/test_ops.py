@@ -302,11 +302,32 @@ def test_multimodal_fake_pipeline(ray_session):
 def test_multimodal_real_decode_raises(ray_session):
     from wikilinks_ray.ops.multimodal import DecodeImage, make_fake_image
 
-    with pytest.raises(NotImplementedError, match="PIL/cv2"):
+    if DecodeImage(fake=False)._pil_image is not None:
+        pytest.skip("PIL installed: JPEG/PNG decode for real on this box")
+    with pytest.raises(NotImplementedError, match="PIL"):
         DecodeImage(fake=False)(pa.table({
             "media_id": pa.array([1], pa.int64()),
             "payload": pa.array([make_fake_image(1, 4, 4)], pa.binary()),
         }))
+
+
+def test_multimodal_png_decode_via_pil(ray_session):
+    """Runs only where PIL exists (skipped in this container): a PNG
+    round-trips through the real optional-dependency codec path."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from wikilinks_ray.ops.multimodal import DecodeImage
+
+    px = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    buf = io.BytesIO()
+    PIL.Image.fromarray(px, mode="L").save(buf, format="PNG")
+    out = DecodeImage(fake=False)(pa.table({
+        "media_id": pa.array([3], pa.int64()),
+        "payload": pa.array([buf.getvalue()], pa.binary()),
+    })).to_pandas()
+    assert out.loc[0, "width"] == 8 and out.loc[0, "height"] == 6
+    assert abs(out.loc[0, "mean_intensity"] - px.mean()) < 1e-9
 
 
 def test_windows_ops(ray_session):

@@ -148,6 +148,15 @@ class DecodeImage:
 
     def __init__(self, fake: bool = False):
         self.fake = fake
+        # optional dependency, probed once per actor: when PIL is
+        # installed (not in this container), JPEG/PNG decode for real;
+        # otherwise the honest stub below stays
+        try:
+            from PIL import Image  # type: ignore
+
+            self._pil_image = Image
+        except ImportError:
+            self._pil_image = None
 
     def _decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         if payload[:2] == b"P5":
@@ -156,10 +165,19 @@ class DecodeImage:
             w, h = struct.unpack("<ii", payload[8:16])
             px = np.frombuffer(payload[16:16 + w * h], dtype=np.uint8)
             return w, h, px
+        if (self._pil_image is not None
+                and (payload[:3] == b"\xff\xd8\xff"          # JPEG SOI
+                     or payload[:8] == b"\x89PNG\r\n\x1a\n")):  # PNG sig
+            import io
+
+            img = self._pil_image.open(io.BytesIO(payload)).convert("L")
+            px = np.asarray(img, dtype=np.uint8)
+            return img.width, img.height, px.ravel()
         raise NotImplementedError(
             "only binary PGM decodes without external libraries; JPEG/PNG "
-            "need PIL/cv2 (not in this container). Construct "
-            "DecodeImage(fake=True) for the deterministic fake test codec."
+            "decode via PIL when it is installed (absent in this "
+            "container). Construct DecodeImage(fake=True) for the "
+            "deterministic fake test codec."
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:

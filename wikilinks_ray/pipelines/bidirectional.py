@@ -44,15 +44,20 @@ def _bd_reduce_impl(lo: int, level: int, dist: np.ndarray, parent: np.ndarray,
 
     Plain function: route queries are LATENCY-bound, so this runs as a
     CSRShardActor method (warm actor dispatch) rather than a spawned
-    task per range per level — see CSRShardActor.bd_reduce."""
+    task per range per level — see CSRShardActor.bd_reduce.
+
+    Returns 4 values: (dist|None, parent|None, frontier, packed) where
+    packed = (count, meet_vertices, meet_totals). The small per-level
+    outputs ride in ONE object so the driver's per-level ray.get wave is
+    P refs, not 3P (each extra ref costs a store round-trip on the
+    latency-critical path); None dist/parent = "unchanged, keep your
+    old refs" (re-returning an untouched 600 KB chunk would re-serialize
+    it every level for every quiet range)."""
     ds = [c[0] for c in candidates if c is not None and len(c[0])]
     ps = [c[1] for c in candidates if c is not None and len(c[0])]
     empty = np.empty(0, np.int64)
-    # None in the dist/parent slots = "unchanged, keep your old refs":
-    # re-returning an untouched 600 KB chunk would re-serialize it into
-    # the object store every level for every quiet range
     if not ds:
-        return None, None, empty, 0, empty, empty
+        return None, None, empty, (0, empty, empty)
     d = np.concatenate(ds) - lo
     p = np.concatenate(ps)
     uniq, first_idx = np.unique(d, return_index=True)
@@ -60,36 +65,54 @@ def _bd_reduce_impl(lo: int, level: int, dist: np.ndarray, parent: np.ndarray,
     unvisited = dist[d] < 0
     d, p = d[unvisited], p[unvisited]
     if len(d) == 0:
-        return None, None, empty, 0, empty, empty
+        return None, None, empty, (0, empty, empty)
     dist = dist.copy()
     parent = parent.copy()
     dist[d] = level
     parent[d] = p
     meet = d[other_dist[d] >= 0]
-    return (dist, parent, d + lo, int(len(d)),
-            meet + lo, other_dist[meet] + level)
+    return (dist, parent, d + lo,
+            (int(len(d)), meet + lo, other_dist[meet] + level))
+
+
+# Initial all(-1) dist/parent chunk refs, cached per (n_vertices, P):
+# reducers never mutate their inputs (copy-on-update), so every query
+# over the same graph shape can share the same untouched templates —
+# re-putting ~10 MB of -1s per query measured ~12 ms, a quarter of the
+# whole route latency. Only the start vertex's range needs a private put.
+_TEMPLATE_CACHE: dict[tuple[int, int], tuple[list, list]] = {}
+
+
+def _template_refs(n_vertices: int, bounds, sizes):
+    key = (int(n_vertices), len(sizes))
+    if key not in _TEMPLATE_CACHE:
+        _TEMPLATE_CACHE[key] = (
+            [ray.put(np.full(s, -1, dtype=np.int32)) for s in sizes],
+            [ray.put(np.full(s, -1, dtype=np.int64)) for s in sizes],
+        )
+    return _TEMPLATE_CACHE[key]
 
 
 class _Side:
-    def __init__(self, actors, bounds, sizes, start):
+    def __init__(self, actors, bounds, sizes, start, n_vertices):
         self.actors = actors
         self.bounds = bounds
-        self.dist = []
-        self.parent = []
+        dist_t, parent_t = _template_refs(n_vertices, bounds, sizes)
+        self.dist = list(dist_t)
+        self.parent = list(parent_t)
         # frontier chunks live in the object store (refs) after the first
         # expansion; only per-chunk counts transit the driver
         self.frontier = [np.empty(0, np.int64) for _ in sizes]
         self.counts = [0] * len(sizes)
-        for p, size in enumerate(sizes):
-            dist = np.full(size, -1, dtype=np.int32)
-            parent = np.full(size, -1, dtype=np.int64)
-            if bounds[p] <= start < bounds[p + 1]:
-                dist[start - bounds[p]] = 0
-                parent[start - bounds[p]] = start
-                self.frontier[p] = np.array([start], dtype=np.int64)
-                self.counts[p] = 1
-            self.dist.append(ray.put(dist))
-            self.parent.append(ray.put(parent))
+        p0 = int(np.searchsorted(bounds, start, side="right") - 1)
+        dist = np.full(sizes[p0], -1, dtype=np.int32)
+        parent = np.full(sizes[p0], -1, dtype=np.int64)
+        dist[start - bounds[p0]] = 0
+        parent[start - bounds[p0]] = start
+        self.dist[p0] = ray.put(dist)
+        self.parent[p0] = ray.put(parent)
+        self.frontier[p0] = np.array([start], dtype=np.int64)
+        self.counts[p0] = 1
         self.depth = 0
 
     def frontier_size(self) -> int:
@@ -124,7 +147,7 @@ class _Side:
         P = len(self.actors)
         active = list(ex.keys())
         return [
-            other.actors[q].bd_reduce.options(num_returns=6).remote(
+            other.actors[q].bd_reduce.options(num_returns=4).remote(
                 int(self.bounds[q]), self.depth, self.dist[q], self.parent[q],
                 other.dist[q],
                 *[ex[p][q] for p in active])
@@ -142,14 +165,15 @@ class _Side:
         (needed only for the dual-expansion cross-meet check — skipped
         otherwise: a large frontier would cost a driver transfer)."""
         P = len(self.actors)
-        refs = ([o[3] for o in out] + [o[4] for o in out]
-                + [o[5] for o in out])
+        refs = [o[3] for o in out]  # one packed small object per range
         if fetch_frontier:
             refs += [o[2] for o in out]
         flat = ray.get(refs)
-        counts = list(flat[:P])
-        meets, totals = flat[P:2 * P], flat[2 * P:3 * P]
-        fronts = flat[3 * P:] if fetch_frontier else None
+        packed = flat[:P]
+        counts = [pk[0] for pk in packed]
+        meets = [pk[1] for pk in packed]
+        totals = [pk[2] for pk in packed]
+        fronts = flat[P:] if fetch_frontier else None
         # ranges with no discoveries returned None chunks — keep the old
         # dist/parent refs instead of swapping in the placeholder
         for q in range(P):
@@ -212,8 +236,8 @@ def bidirectional_route(fwd_actors, rev_actors, n_vertices: int,
     P = len(fwd_actors)
     bounds = vertex_ranges(n_vertices, P)
     sizes = [int(bounds[p + 1] - bounds[p]) for p in range(P)]
-    f = _Side(fwd_actors, bounds, sizes, src)
-    b = _Side(rev_actors, bounds, sizes, dst)
+    f = _Side(fwd_actors, bounds, sizes, src, n_vertices)
+    b = _Side(rev_actors, bounds, sizes, dst, n_vertices)
 
     best_total = None
     best_meet = None

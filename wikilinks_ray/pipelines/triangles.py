@@ -162,6 +162,11 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8,
         # object ref, never the edge array itself
         @_ray.remote
         def _pack_sorted_keys(*tables: pa.Table) -> np.ndarray:
+            # empty blocks arrive schema-less; concat would reject them
+            tables = [t for t in tables
+                      if t.num_rows and "u" in t.column_names]
+            if not tables:
+                return np.empty(0, np.uint64)
             ts = pa.concat_tables(tables)
             u = ts.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
             v = ts.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -80,27 +80,26 @@ def shard_edges(
         part = np.searchsorted(bounds, key, side="right") - 1
         return t.append_column("__part", pa.array(part.astype(np.int64)))
 
-    def write_shard(g) -> "pa.Table":
-        import pandas as pd  # noqa: F401  (map_groups pandas batch)
-
-        p = int(g["__part"].iloc[0])
-        g = g.sort_values([by, other], kind="mergesort")
-        tbl = pa.table(
-            {
-                by: pa.array(g[by].to_numpy(), pa.int64()),
-                other: pa.array(g[other].to_numpy(), pa.int64()),
-            }
-        )
+    def write_shard(g: pa.Table) -> "pa.Table":
+        # Arrow-native sort+write: the pandas map_groups batch costs a
+        # full DataFrame conversion and sort_values copy per shard; the
+        # pyarrow sort_by on the two int64 columns is the same ordering
+        # (ties are identical rows) without leaving Arrow.
+        p = int(g.column("__part")[0].as_py())
+        tbl = pa.table({
+            by: g.column(by).cast(pa.int64()),
+            other: g.column(other).cast(pa.int64()),
+        }).sort_by([(by, "ascending"), (other, "ascending")])
         tmp = paths[p] + ".tmp"
         pq.write_table(tbl, tmp)
         os.replace(tmp, paths[p])
         return pa.table({"part": pa.array([p], pa.int64()),
-                         "rows": pa.array([len(g)], pa.int64())})
+                         "rows": pa.array([tbl.num_rows], pa.int64())})
 
     res = (
         edges.map_batches(tag, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(write_shard, batch_format="pandas")
+        .map_groups(write_shard, batch_format="pyarrow")
     )
     written = {r["part"] for r in res.take_all()}
     # empty ranges still need a shard file
