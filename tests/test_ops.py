@@ -77,6 +77,22 @@ def test_ngram_jaccard_pairs_exact(docs_with_dups):
                                  full.set_index("doc_id").loc[b, "text"]))
 
 
+def test_ngram_jaccard_no_self_pairs_on_duplicate_rows(ray_session):
+    """Duplicate (doc_id, text) input rows must not emit (a, a)
+    self-pairs scoring jaccard~1 (ADVICE r2: the posting-list pass needs
+    the same strict a<b guard the minhash path has)."""
+    import ray.data as rd
+
+    from wikilinks_ray.ops.dedup import ngram_jaccard_pairs
+
+    rows = [{"doc_id": i, "text": f"the quick brown fox {i} jumps over"}
+            for i in range(8)]
+    dup = rd.from_items(rows + rows)  # every doc appears twice
+    pairs = ngram_jaccard_pairs(dup, threshold=0.1,
+                                num_partitions=2).take_all()
+    assert all(r["a"] < r["b"] for r in pairs)
+
+
 def test_minhash_lsh_finds_planted_dups(docs_with_dups):
     from wikilinks_ray.ops.dedup import minhash_lsh_candidates
 
@@ -409,6 +425,29 @@ def test_curate_documents_pipeline(ray_session, tmp_path):
     assert buckets
     back = rd.read_parquet(out).to_pandas()
     assert sorted(back["doc_id"].tolist()) == [1, 5]
+
+
+def test_curate_documents_minhash_leg(ray_session):
+    """near_dup_method='minhash' (the web-scale switch) drops the same
+    planted near-dup: identical docs agree on every band, so the LSH
+    candidates cover the exact-jaccard losers on this fixture."""
+    import ray.data as rd
+
+    from wikilinks_ray.ops.curate import curate_documents
+
+    long_good = ("the quick brown fox jumps over the lazy dog and it "
+                 "runs through the field of data " * 5)
+    other = ("completely different content about graphs and rays and "
+             "arrows flowing in the big stream of blocks " * 5)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([long_good, long_good,
+                          long_good + " extra trailing words here",
+                          "short junk", other], pa.string()),
+    })).repartition(2)
+    kept = curate_documents(ds, min_tokens=20, min_quality=0.3,
+                            num_partitions=2, near_dup_method="minhash")
+    assert sorted(r["doc_id"] for r in kept.take_all()) == [1, 5]
 
 
 def test_pgm_codec_real_decode(ray_session):

@@ -34,10 +34,30 @@ def curate_documents(
     jaccard_threshold: float = 0.5,
     num_partitions: int = 8,
     concurrency: int = 4,
+    max_docs_per_shingle: int = 10_000,
+    near_dup_method: str = "jaccard",
     out_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """Returns the kept (doc_id) Dataset; optionally writes the kept
-    documents (full rows) as partitioned parquet."""
+    documents (full rows) as partitioned parquet.
+
+    ``max_docs_per_shingle`` is the near-dup leg's stop-shingle cap —
+    THE scale knob for the exact-Jaccard pass: a shingle shared by D
+    documents generates O(D^2) candidate pairs, so templated corpora
+    (boilerplate phrases shared by ~10^3 docs) blow up pair generation
+    long before any pair survives a high threshold (measured: the
+    default 10k cap let a 4M-doc soak corpus pin one reducer at 20 GB
+    via ~1k-doc posting lists; see tools/soak.py). Lower the cap toward
+    ~2/(1-threshold) when boilerplate is expected, or switch
+    ``near_dup_method="minhash"``.
+
+    ``near_dup_method``: ``"jaccard"`` (exact pairs — the oracle-checked
+    default) or ``"minhash"`` (MinHash-LSH banding candidates — the
+    web-scale path: exact jaccard must count one candidate pair per
+    shared shingle, which is O(sum posting²) even far below threshold —
+    measured ~7×10^8 pairs / >60 GB of shuffle spill on a 4M-doc corpus
+    whose documents collide on single shared link targets — while LSH
+    only pairs documents agreeing on a whole signature band)."""
     from ..stages.agg import grouped_agg
     from .dedup import exact_dedup_keep_min, ngram_jaccard_pairs
     from .text import TextAnalyzer
@@ -61,10 +81,17 @@ def curate_documents(
     winners = exact_dedup_keep_min(ids_only)
 
     # leg 3: near-dup losers (larger id of each pair)
-    losers = (ngram_jaccard_pairs(ids_only, threshold=jaccard_threshold,
-                                  num_partitions=num_partitions,
-                                  concurrency=concurrency)
-              .select_columns(["b"]).materialize())
+    if near_dup_method == "minhash":
+        from .dedup import minhash_lsh_candidates
+
+        losers = (minhash_lsh_candidates(ids_only, concurrency=concurrency)
+                  .select_columns(["b"]).materialize())
+    else:
+        losers = (ngram_jaccard_pairs(ids_only, threshold=jaccard_threshold,
+                                      num_partitions=num_partitions,
+                                      concurrency=concurrency,
+                                      max_docs_per_shingle=max_docs_per_shingle)
+                  .select_columns(["b"]).materialize())
 
     # partition counts shrink with the smaller side everywhere — Ray's
     # hash join emits schema-less blocks for empty partitions and
