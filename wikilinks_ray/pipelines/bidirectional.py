@@ -250,7 +250,14 @@ def bidirectional_route(fwd_actors, rev_actors, n_vertices: int,
 
     for _ in range(max_levels):
         sf, sb = f.frontier_size(), b.frontier_size()
+        # one side exhausted without a meet => no path exists: every
+        # src->dst path ends at a vertex that can reach dst, so if the
+        # backward search drained without touching the forward search
+        # (or vice versa) the other side can never meet it either —
+        # continuing would BFS the whole component (seconds at 400k)
         if sf == 0 and sb == 0:
+            break
+        if best_total is None and (sf == 0 or sb == 0):
             break
         # optimality guard: any undiscovered path costs >= depth_f+depth_b+1
         if best_total is not None and f.depth + b.depth + 1 >= best_total:
