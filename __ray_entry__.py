@@ -180,9 +180,13 @@ def q_graph_labelprop(sf_dir: str):
 
 
 def q_graph_kcore(sf_dir: str):
-    """Rows-only (iterative peel is not SQL-expressible; pytest pins it
-    exactly against networkx): vertices of the 30-core (the derived
-    graph has median degree ~26, so k=30 forces real peeling rounds)."""
+    """Vertices of the 30-core (the derived graph has median degree
+    ~26, so k=30 forces real peeling rounds). Oracled by an UNROLLED
+    peel (`_kcore_oracle_sql`): a fixed round count >= the actual peel
+    depth is a fixpoint, so extra SQL rounds are no-ops — same
+    unroll-to-fixpoint argument as the labelprop oracle; pytest
+    additionally pins the peel exactly against networkx, including the
+    forced semi-join (distributed) path."""
     from wikilinks_ray.pipelines.derived import derived_edges
     from wikilinks_ray.pipelines.kcore import k_core
 
@@ -964,6 +968,34 @@ def _labelprop_oracle_sql(iters: int = 5) -> str:
             "WHERE v IN (SELECT v FROM pverts)")
 
 
+def _kcore_oracle_sql(k: int = 30, rounds: int = 48) -> str:
+    """SQL twin of pipelines.kcore.k_core: the peel unrolled to a fixed
+    round count (>= the graph's actual peel depth — once the survivor
+    set stops changing every further round is a no-op, so any
+    sufficiently large unroll is the fixpoint; 48 is ~5x the measured
+    depth on the derived graphs). Canonical undirected simple edges
+    (self-loops dropped, duplicates collapsed), each round = one degree
+    aggregation + one both-endpoints filter, all CTEs MATERIALIZED."""
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "und0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo, "
+        "greatest(src, dst) AS hi FROM edges WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"und{r - 1}"
+        ctes.append(
+            f"deg{r} AS MATERIALIZED (SELECT v, count(*) AS d FROM "
+            f"(SELECT lo AS v FROM {p} UNION ALL SELECT hi FROM {p}) "
+            f"GROUP BY v)")
+        ctes.append(
+            f"surv{r} AS MATERIALIZED (SELECT v FROM deg{r} WHERE d >= {k})")
+        ctes.append(
+            f"und{r} AS MATERIALIZED (SELECT e.lo, e.hi FROM {p} e "
+            f"JOIN surv{r} a ON e.lo = a.v JOIN surv{r} b ON e.hi = b.v)")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT v AS vertex FROM surv{rounds}")
+
+
 def oracle_sql() -> dict[str, str]:
     from wikilinks_ray.pipelines.flagship import (
         ensure_oracle_corpus,
@@ -981,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT in_degree, count(*) AS n_vertices FROM ind GROUP BY in_degree
         """,
         "graph_pagerank": _pagerank_oracle_sql(iters=20),
+        "graph_kcore": _kcore_oracle_sql(k=30, rounds=48),
         "graph_labelprop": _labelprop_oracle_sql(iters=5),
         "graph_components": f"""
             WITH RECURSIVE {_UND},
