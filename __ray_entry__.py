@@ -659,7 +659,12 @@ def q_dedup_ngram_jaccard(sf_dir: str):
 
 
 def q_dedup_minhash_lsh(sf_dir: str):
-    """Rows-only (probabilistic candidates; recall pinned by pytest)."""
+    """MinHash-LSH candidate pairs — fully oracle-gated: the whole
+    pipeline (md5 token hashes, rolling-poly shingles, 128 permutation
+    minima, banded bucket keys, skew-capped buckets, distinct a<b
+    pairs) is deterministic mod-2^64 arithmetic, which DuckDB
+    reproduces bit-for-bit via the 32-bit-split wraparound multiply
+    (`_minhash_oracle_sql`). Recall vs planted dups pinned by pytest."""
     from wikilinks_ray.ops.dedup import minhash_lsh_candidates
 
     _quiet()
@@ -968,6 +973,101 @@ def _labelprop_oracle_sql(iters: int = 5) -> str:
             "WHERE v IN (SELECT v FROM pverts)")
 
 
+_M64 = "18446744073709551616"  # 2^64
+_M32 = "4294967296"            # 2^32
+_POLY_L, _POLY_H = 435, 256    # 0x100000001B3 split at 32 bits
+
+
+def _mm_poly(x: str) -> str:
+    """(POLY * x) mod 2^64 for a HUGEINT SQL expression x — DuckDB has
+    no wraparound multiply (UBIGINT/HUGEINT raise on overflow), so the
+    product splits at 32 bits: a*x ≡ a_lo*x + ((a_hi*x) mod 2^32)*2^32
+    (mod 2^64); every intermediate fits HUGEINT (< 2^97)."""
+    return (f"(({_POLY_L}::HUGEINT * {x} + (({_POLY_H}::HUGEINT * {x})"
+            f" % {_M32}) * {_M32}) % {_M64})")
+
+
+def _minhash_oracle_sql(max_docs_per_bucket: int = 200) -> str:
+    """SQL twin of ops.dedup.minhash_lsh_candidates — the full pipeline
+    (token md5s -> rolling-poly k-gram shingles -> 128 universal-hash
+    permutation minima -> banded rolling-poly bucket keys -> <=200-doc
+    buckets -> distinct a<b pairs) re-derived in DuckDB. All arithmetic
+    is mod-2^64 wraparound reproduced via the 32-bit-split multiply
+    (``_mm_poly``); token hashes via ``md5_number_upper`` (== the
+    engine's little-endian first-8-md5-bytes). The permutation
+    constants come from the engine's own ``MinHasher`` so the two sides
+    cannot drift. Token-less documents sketch to the all-max signature
+    (the precomputed band constant below), exactly like the engine."""
+    from wikilinks_ray.ops.dedup import MinHasher
+
+    mh = MinHasher()  # default (k=3, 128 perms, 32 bands, seed 7)
+    k, num_perm, bands = mh.k, mh.num_perm, mh.bands
+    rows_per_band = num_perm // bands
+    assert rows_per_band == 4
+    perm_rows = ", ".join(
+        f"({j}, {int(ai) % (1 << 32)}, {int(ai) >> 32}, {int(bi)})"
+        for j, (ai, bi) in enumerate(zip(mh.a.tolist(), mh.b.tolist())))
+    empty_c = int(mh.band_hashes(
+        np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64))[0])
+    h = "v0"
+    for r in (1, 2, 3):
+        h = f"(({_mm_poly(h)} + v{r}) % {_M64})"
+    permhash = (f"((p.al * s.x + ((p.ah * s.x) % {_M32}) * {_M32} + p.b)"
+                f" % {_M64})")
+    sh2 = f"(({_mm_poly('t0')} + t1) % {_M64})"
+    sh3 = f"(({_mm_poly(sh2)} + t2) % {_M64})"
+    return f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts FROM documents
+),
+tn AS MATERIALIZED (SELECT doc_id, ts, len(ts) AS n FROM toks),
+win AS MATERIALIZED (
+    SELECT doc_id, ts, least({k}, n) AS kk,
+           unnest(generate_series(1, n - least({k}, n) + 1)) AS i
+    FROM tn WHERE n >= 1
+),
+th AS MATERIALIZED (
+    SELECT doc_id, kk,
+           md5_number_upper(ts[i])::HUGEINT AS t0,
+           CASE WHEN kk >= 2 THEN md5_number_upper(ts[i + 1])::HUGEINT END AS t1,
+           CASE WHEN kk >= 3 THEN md5_number_upper(ts[i + 2])::HUGEINT END AS t2
+    FROM win
+),
+sh AS MATERIALIZED (
+    SELECT DISTINCT doc_id,
+           CASE kk WHEN 1 THEN t0 WHEN 2 THEN {sh2} ELSE {sh3} END AS x
+    FROM th
+),
+perms(j, al, ah, b) AS (VALUES {perm_rows}),
+sig AS MATERIALIZED (
+    SELECT s.doc_id, p.j, min({permhash}) AS v
+    FROM sh s CROSS JOIN perms p
+    GROUP BY s.doc_id, p.j
+),
+sigw AS MATERIALIZED (
+    SELECT doc_id, j // {rows_per_band} AS band,
+           max(CASE WHEN j % 4 = 0 THEN v END) AS v0,
+           max(CASE WHEN j % 4 = 1 THEN v END) AS v1,
+           max(CASE WHEN j % 4 = 2 THEN v END) AS v2,
+           max(CASE WHEN j % 4 = 3 THEN v END) AS v3
+    FROM sig GROUP BY doc_id, j // {rows_per_band}
+),
+bh AS MATERIALIZED (
+    SELECT doc_id, band, {h} AS h FROM sigw
+    UNION ALL
+    SELECT t.doc_id, b.band, {empty_c}::HUGEINT AS h
+    FROM tn t CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band) b
+    WHERE t.n = 0
+),
+bsz AS MATERIALIZED (SELECT band, h, count(*) AS c FROM bh GROUP BY band, h)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bh x
+JOIN bh y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id
+JOIN bsz s ON s.band = x.band AND s.h = x.h
+WHERE s.c <= {max_docs_per_bucket}
+"""
+
+
 def _kcore_oracle_sql(k: int = 30, rounds: int = 48) -> str:
     """SQL twin of pipelines.kcore.k_core: the peel unrolled to a fixed
     round count (>= the graph's actual peel depth — once the survivor
@@ -1014,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(iters=20),
         "graph_kcore": _kcore_oracle_sql(k=30, rounds=48),
+        "dedup_minhash_lsh": _minhash_oracle_sql(),
         "graph_labelprop": _labelprop_oracle_sql(iters=5),
         "graph_components": f"""
             WITH RECURSIVE {_UND},
