@@ -733,7 +733,11 @@ def q_similarity_topk(sf_dir: str):
 
 
 def q_similarity_lsh(sf_dir: str):
-    """Rows-only (approximate; recall pinned by pytest)."""
+    """Multi-probe hyperplane-LSH top-k — oracle-gated: the bucket
+    assignment only consumes dot-product SIGNS (margin ~10^8 x float
+    rounding on this data), so DuckDB re-derives the candidate set
+    (hamming<=1 on re-computed bucket keys) and the exact-cosine top-k
+    (`_similarity_lsh_oracle_sql`). Recall pinned by pytest."""
     from wikilinks_ray.ops.similarity import lsh_top_k
 
     _quiet()
@@ -743,10 +747,18 @@ def q_similarity_lsh(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Rows-only: REAL dependency-free codecs (binary PGM via numpy,
-    WAV via stdlib wave) over a deterministic synthetic media table —
-    the multimodal actor-pool plumbing exercised through the driver
-    gate. JPEG/PNG/MP3 remain honest NotImplementedError stubs."""
+    """REAL dependency-free codecs (binary PGM via numpy, WAV via
+    stdlib wave) over a deterministic synthetic media table — the
+    multimodal actor-pool plumbing exercised through the driver gate.
+    Oracle-gated as a SPEC-vs-ROUNDTRIP differential: every clip's
+    dimensions follow a closed-form formula of its id, the engine must
+    push the payloads through encode -> distributed actor decode and
+    recover them, and the DuckDB oracle derives the same values from
+    the formulas alone (no decoder) — a hash mismatch means the codec
+    round-trip corrupted shape metadata. Pixel/sample CONTENT equality
+    is pinned by pytest (decode features vs the numpy source).
+    JPEG/PNG/MP3 remain honest NotImplementedError stubs (PIL-optional
+    for JPEG/PNG)."""
     import ray.data
 
     from wikilinks_ray.ops.multimodal import (
@@ -758,11 +770,14 @@ def q_media_decode(sf_dir: str):
 
     _quiet()
     rng = np.random.default_rng(1234)
-    img_rows = [(i, encode_pgm(rng.integers(0, 256, size=(32, 48),
-                                            dtype=np.uint8)))
+    # dims by formula (see _media_oracle_sql); sample counts are
+    # multiples of 16 so duration_ms = n/16 is exact integer arithmetic
+    img_rows = [(i, encode_pgm(rng.integers(
+        0, 256, size=(24 + (i * 3) % 23, 16 + i % 17), dtype=np.uint8)))
                 for i in range(40)]
     wav_rows = [(100 + i, encode_wav(
-        (np.sin(2 * np.pi * 220 * (i + 1) * np.arange(4000) / 16000)
+        (np.sin(2 * np.pi * 220 * (i + 1)
+                * np.arange(3200 + 160 * i) / 16000)
          * 9000).astype(np.int16))) for i in range(10)]
 
     def tbl(rows):
@@ -1068,6 +1083,56 @@ WHERE s.c <= {max_docs_per_bucket}
 """
 
 
+def _similarity_lsh_oracle_sql(dim: int = 64, k: int = 5, n_q: int = 5) -> str:
+    """SQL twin of ops.similarity.lsh_top_k over the driver's 64-dim
+    embeddings: hyperplane buckets re-derived per (vector, table) —
+    candidate iff the bucket keys differ in <= 1 bit (exactly the
+    hamming<=1 multi-probe set) — then exact cosine top-k among
+    candidates. Reproducible because the float part only feeds SIGNS
+    (measured minimum |dot| margin ~7e-5 of the vector norm, ~10^8 x
+    float64 rounding) and an ORDER BY that similarity_topk already
+    proves stable; the plane constants are read from the engine's own
+    ``_HyperplaneLSH`` so the sides cannot drift."""
+    from wikilinks_ray.ops.similarity import _HyperplaneLSH
+
+    lsh = _HyperplaneLSH(dim, n_planes=10, n_tables=4)  # engine defaults
+    rows = []
+    for t, P in enumerate(lsh.planes):
+        for j in range(P.shape[0]):
+            for d in range(dim):
+                rows.append(f"({t},{j},{d},{P[j, d]!r})")
+    planes = ",".join(rows)
+    return f"""
+WITH planes(t, j, d, w) AS (VALUES {planes}),
+dots AS MATERIALIZED (
+    SELECT e.vec_id, p.t, p.j, sum(e.embedding[p.d + 1] * p.w) AS dot
+    FROM embeddings e, planes p GROUP BY e.vec_id, p.t, p.j
+),
+buck AS MATERIALIZED (
+    SELECT vec_id, t,
+           sum(CASE WHEN dot > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS b
+    FROM dots GROUP BY vec_id, t
+),
+cand AS MATERIALIZED (
+    SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS vec_id
+    FROM buck q JOIN buck v ON v.t = q.t
+    WHERE q.vec_id < {n_q} AND bit_count(xor(q.b, v.b)) <= 1
+),
+scored AS (
+    SELECT c.query_id, c.vec_id,
+           list_cosine_similarity(qe.embedding, ve.embedding) AS cos
+    FROM cand c
+    JOIN embeddings qe ON qe.vec_id = c.query_id
+    JOIN embeddings ve ON ve.vec_id = c.vec_id
+),
+r AS (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM scored)
+SELECT query_id, vec_id FROM r WHERE rn <= {k}
+"""
+
+
 def _kcore_oracle_sql(k: int = 30, rounds: int = 48) -> str:
     """SQL twin of pipelines.kcore.k_core: the peel unrolled to a fixed
     round count (>= the graph's actual peel depth — once the survivor
@@ -1115,6 +1180,19 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle_sql(iters=20),
         "graph_kcore": _kcore_oracle_sql(k=30, rounds=48),
         "dedup_minhash_lsh": _minhash_oracle_sql(),
+        "similarity_lsh": _similarity_lsh_oracle_sql(),
+        # spec-vs-roundtrip golden: the engine must recover these
+        # formula-derived dims through real encode -> decode; the SQL
+        # derives them from the generation spec with no decoder
+        "media_decode": """
+            SELECT i AS media_id, (16 + i % 17)::BIGINT AS width,
+                   (24 + (i * 3) % 23)::BIGINT AS height,
+                   'image' AS kind, (-1)::BIGINT AS duration_ms
+            FROM (SELECT unnest(generate_series(0, 39)) AS i)
+            UNION ALL
+            SELECT 100 + i, -1, -1, 'audio', (3200 + 160 * i) // 16
+            FROM (SELECT unnest(generate_series(0, 9)) AS i)
+        """,
         "graph_labelprop": _labelprop_oracle_sql(iters=5),
         "graph_components": f"""
             WITH RECURSIVE {_UND},
