@@ -267,6 +267,25 @@ def q_wiki_bfs(sf_dir: str):
                          "dist": dist[reach].astype(np.int64)})
 
 
+def q_wiki_template_links(sf_dir: str):
+    """Template-expansion link extraction (bliki parity,
+    WikiProcessor.kt:45-46): links written inside ``{{Box k}}``
+    transclusion bodies — including nested (depth-3 chain), cyclic
+    (planted template 2-cycle), lowercase-first and unknown
+    invocations — over the deterministic transclusion corpus. The
+    oracle re-derives expansion as transclusion JOINs unrolled to the
+    corpus's maximum new-body depth."""
+    from wikilinks_ray.pipelines.flagship import ensure_template_corpus
+    from wikilinks_ray.pipelines.templates import template_link_edges
+
+    import ray.data as rd
+
+    _quiet()
+    pages = rd.read_parquet(ensure_template_corpus())
+    df = template_link_edges(pages).to_pandas()
+    return df.sort_values(["src_title", "dst_title"]).reset_index(drop=True)
+
+
 def q_wiki_prefix(sf_dir: str):
     """Bounded prefix lookup (J4) over the flagship vertex index."""
     from wikilinks_ray.pipelines.flagship import oracle_build
@@ -851,6 +870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wiki_stats": q_wiki_stats,
         "wiki_bfs": q_wiki_bfs,
         "wiki_prefix": q_wiki_prefix,
+        "wiki_template_links": q_wiki_template_links,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "customers_no_orders": q_customers_no_orders,
@@ -1164,13 +1184,17 @@ def _kcore_oracle_sql(k: int = 30, rounds: int = 48) -> str:
 def oracle_sql() -> dict[str, str]:
     from wikilinks_ray.pipelines.flagship import (
         ensure_oracle_corpus,
+        ensure_template_corpus,
+        template_links_oracle_sql,
         wiki_oracle_sql,
     )
 
     # the wiki oracles read the deterministic corpus parquet from /tmp;
     # make sure it exists regardless of which side the driver runs first
     ensure_oracle_corpus()
+    ensure_template_corpus()
     return wiki_oracle_sql() | {
+        "wiki_template_links": template_links_oracle_sql(),
         "graph_edges": _EDGES,
         "graph_out_degree": f"SELECT src, count(*) AS out_degree FROM ({_EDGES}) GROUP BY src",
         "graph_in_degree_hist": f"""

@@ -1,0 +1,238 @@
+"""Template-expansion parity tests (bliki WikiModel analog,
+WikiProcessor.kt:45-46): pure-function semantics, an INDEPENDENT naive
+recursive expander as differential oracle over the parameterized corpus,
+and the distributed pipeline (broadcast map + task-pool extraction)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from wikilinks_ray.functions.wikitext import (
+    capitalize_first,
+    expand_templates,
+    normalize_link_target,
+    parse_wikitext,
+    split_template_args,
+)
+from wikilinks_ray.sources.corpus import build_template_corpus
+
+TPL = {
+    "Box a": "See [[Alpha]] and {{Box b}}",
+    "Box b": "Also [[beta topic]]",
+    "Loop x": "[[X]] {{Loop y}}",
+    "Loop y": "[[Y]] {{Loop x}}",
+    "Self": "[[S]] {{Self}}",
+    "P 0": "See [[{{{1}}}]] and [[{{{link|Default Page}}}]].",
+}
+
+
+def links_of(text: str) -> list[str]:
+    return parse_wikitext(text, template_lookup=TPL.get)[2]
+
+
+def test_nested_expansion_emits_inner_links():
+    assert links_of("Direct [[Gamma]] {{Box a}}") == ["Gamma", "Alpha", "Beta topic"]
+
+
+def test_lowercase_first_invocation_resolves():
+    assert links_of("{{box a}}") == ["Alpha", "Beta topic"]
+
+
+def test_underscores_in_template_name():
+    assert links_of("{{Box_a}}") == ["Alpha", "Beta topic"]
+
+
+def test_unknown_template_contributes_nothing():
+    assert links_of("{{Totally unknown}} [[Z]]") == ["Z"]
+
+
+def test_mutual_recursion_bottoms_out_with_both_bodies_links():
+    assert links_of("{{Loop x}}") == ["X", "Y"]
+
+
+def test_self_recursion_bottoms_out():
+    assert links_of("{{Self}}") == ["S"]
+
+
+def test_positional_and_named_params():
+    assert links_of("{{P 0|Foo bar|link=Baz}}") == ["Foo bar", "Baz"]
+    assert links_of("{{P 0|Foo bar}}") == ["Foo bar", "Default Page"]
+    # unset positional without default -> empty -> link drops
+    assert links_of("{{P 0|link=Baz}}") == ["Baz"]
+
+
+def test_pipe_inside_link_is_not_arg_separator():
+    name, pos, named = split_template_args("X|[[A|anchor]] tail|k=v")
+    assert (name, pos, named) == ("X", ["[[A|anchor]] tail"], {"k": "v"})
+
+
+def test_max_size_guard_stops_expansion():
+    bomb = {"B": "0123456789" * 40 + "{{B}}{{B}}"}
+    out = expand_templates("{{B}}", bomb.get, max_depth=50, max_size=10_000)
+    assert len(out) < 1_000_000
+
+
+def test_redirect_pages_do_not_expand():
+    is_rd, tgt, links = parse_wikitext("#REDIRECT [[Other]]",
+                                       template_lookup=TPL.get)
+    assert (is_rd, tgt, links) == (True, "Other", ["Other"])
+
+
+# --------------------------------------------------------------------------
+# independent naive expander (outermost-first recursive descent — a
+# different algorithm from the engine's innermost-first iteration)
+# --------------------------------------------------------------------------
+
+_NAIVE_PARAM = re.compile(r"\{\{\{([^{}|]*)(?:\|([^{}]*))?\}\}\}", re.DOTALL)
+
+
+def _naive_subst(body, pos, named):
+    def r(m):
+        k = m.group(1).strip()
+        if k in named:
+            return named[k]
+        if k.isdigit() and 0 < int(k) <= len(pos):
+            return pos[int(k) - 1]
+        return m.group(2) or ""
+
+    return _NAIVE_PARAM.sub(r, body)
+
+
+def naive_expand(text: str, tmap: dict[str, str], depth: int = 0) -> str:
+    if depth > 8:
+        return text
+    out, i = [], 0
+    while True:
+        s = text.find("{{", i)
+        if s < 0:
+            out.append(text[i:])
+            break
+        j, level = s + 2, 1
+        while j < len(text) and level:
+            if text.startswith("{{", j):
+                level += 1
+                j += 2
+            elif text.startswith("}}", j):
+                level -= 1
+                j += 2
+            else:
+                j += 1
+        if level:
+            out.append(text[i:])
+            break
+        inner = text[s + 2:j - 2]
+        parts = inner.split("|")  # corpus invocations: plain-title args
+        name = capitalize_first(parts[0].replace("_", " ").strip())
+        pos, named = [], {}
+        for a in parts[1:]:
+            if "=" in a:
+                k, _, v = a.partition("=")
+                named[k.strip()] = v.strip()
+            else:
+                pos.append(a)
+        out.append(text[i:s])
+        body = tmap.get(name)
+        if body is None:
+            out.append(text[s:j])
+        else:
+            out.append(naive_expand(_naive_subst(body, pos, named), tmap,
+                                    depth + 1))
+        i = j
+    return "".join(out)
+
+
+def naive_links(text: str, tmap: dict[str, str]) -> list[str]:
+    t = naive_expand(text, tmap)
+    for _ in range(16):  # strip residual (unknown/cyclic) templates
+        t, n = re.subn(r"\{\{[^{}]*\}\}", " ", t)
+        if not n:
+            break
+    seen, links = set(), []
+    for raw in re.findall(r"\[\[(.*?)\]\]", t):
+        tgt = normalize_link_target(raw)
+        if tgt is not None and tgt not in seen:
+            seen.add(tgt)
+            links.append(tgt)
+    return links
+
+
+def test_pipeline_matches_naive_expander_with_params(ray_session, tmp_path):
+    """Distributed pipeline (broadcast map + expansion extraction) ==
+    independent naive recursive expansion, on the corpus WITH
+    parameterized templates (the part the SQL oracle can't express)."""
+    import ray.data as rd
+
+    from wikilinks_ray.sources.corpus import write_template_corpus
+    from wikilinks_ray.pipelines.templates import template_link_edges
+
+    d = tmp_path / "tplcorpus"
+    spec = write_template_corpus(str(d), n_pages=400, seed=11,
+                                 with_params=True)
+    pages = rd.read_parquet(str(d))
+    got = {(r["src_title"], r["dst_title"])
+           for r in template_link_edges(pages).take_all()}
+
+    table, _ = build_template_corpus(400, 11, with_params=True)
+    want = set()
+    tmap = spec.template_bodies
+    for title, text in zip(table.column("url").to_pylist(),
+                           table.column("text").to_pylist()):
+        from wikilinks_ray.sources.corpus import title_from_url
+
+        t = title_from_url(title)
+        if t.startswith("Template:"):
+            continue
+        for l in naive_links(text, tmap):
+            want.add((t, l))
+    assert got == want
+    # sanity: parameters actually exercised — some article transcludes P 0
+    assert any("P 0|" in i for inv in spec.invocations.values() for i in inv)
+
+
+def test_broadcast_gate_raises(ray_session, tmp_path, monkeypatch):
+    import ray.data as rd
+
+    from wikilinks_ray.sources.corpus import write_template_corpus
+    from wikilinks_ray.pipelines import templates as T
+
+    d = tmp_path / "c"
+    write_template_corpus(str(d), n_pages=400, seed=11)
+    monkeypatch.setattr(T, "MAX_BROADCAST_BYTES", 64)
+    with pytest.raises(ValueError, match="broadcast budget"):
+        T.collect_template_map(rd.read_parquet(str(d)))
+
+
+def test_build_graph_expands_templates(ray_session, tmp_path):
+    """Full flagship build with expand_templates=True: Template: pages
+    are not vertices, and a transcluded link becomes a real edge."""
+    import ray.data as rd
+
+    from wikilinks_ray.pipelines.build import build_graph
+    from wikilinks_ray.sources.corpus import write_template_corpus
+
+    d = tmp_path / "c"
+    spec = write_template_corpus(str(d), n_pages=400, seed=11)
+    res = build_graph(rd.read_parquet(str(d)), str(tmp_path / "g"),
+                      num_partitions=4, extract_concurrency=2,
+                      expand_templates=True)
+    vt = res.vertices().to_pandas()
+    assert not vt["title"].str.startswith("Template:").any()
+    assert len(vt) == len(spec.article_titles)
+    # pick an article whose ONLY path to some target is via transclusion
+    title_to_id = dict(zip(vt["title"], vt["id"]))
+    ep = res.edges().to_pandas()
+    edge_set = set(zip(ep["src"], ep["dst"]))
+    checked = 0
+    for art, invs in spec.invocations.items():
+        for inv in invs:
+            body = spec.template_bodies.get(capitalize_first(inv))
+            if body is None:
+                continue
+            for raw in re.findall(r"\[\[(.*?)\]\]", body):
+                tgt = normalize_link_target(raw)
+                if tgt in title_to_id and art in title_to_id:
+                    assert (title_to_id[art], title_to_id[tgt]) in edge_set
+                    checked += 1
+    assert checked > 50

@@ -96,6 +96,123 @@ def iter_link_targets(text: str):
         yield head
 
 
+_INNER_TPL_RE = re.compile(r"\{\{([^{}]*)\}\}", re.DOTALL)
+
+
+def normalize_template_name(raw: str) -> str | None:
+    """``{{ raw | ... }}`` head -> canonical template page title suffix
+    (the part after ``Template:``), or None to drop (empty / parser
+    function / parameter placeholder)."""
+    name = raw.replace("_", " ").strip()
+    if not name or name.startswith("#") or name.startswith("{"):
+        return None
+    return capitalize_first(name)
+
+
+def split_template_args(inner: str) -> tuple[str, list[str], dict[str, str]]:
+    """Split an invocation's inner text ``Name|a|k=v`` into
+    ``(raw_name, positional, named)``. Pipes inside ``[[...]]`` links are
+    NOT separators (MediaWiki: an anchor pipe inside an argument)."""
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    i = 0
+    n = len(inner)
+    while i < n:
+        if inner.startswith("[[", i):
+            depth += 1
+            i += 2
+        elif inner.startswith("]]", i):
+            depth = max(0, depth - 1)
+            i += 2
+        else:
+            if depth == 0 and inner[i] == "|":
+                parts.append(inner[start:i])
+                start = i + 1
+            i += 1
+    parts.append(inner[start:])
+    raw_name, args = parts[0], parts[1:]
+    positional: list[str] = []
+    named: dict[str, str] = {}
+    for a in args:
+        eq = a.find("=")
+        # a '=' inside a link is not a named-arg separator
+        if eq > 0 and a.find("[[", 0, eq) == -1:
+            named[a[:eq].strip()] = a[eq + 1:].strip()
+        else:
+            positional.append(a)
+    return raw_name, positional, named
+
+
+_PARAM_RE = re.compile(r"\{\{\{([^{}|]*)(?:\|([^{}]*))?\}\}\}", re.DOTALL)
+
+
+def _substitute_params(body: str, positional: list[str],
+                       named: dict[str, str]) -> str:
+    """Replace ``{{{1}}}`` / ``{{{name|default}}}`` placeholders in a
+    template body. Frozen semantics: an unset parameter with a default
+    takes the default; without one it becomes empty (MediaWiki would
+    leave the literal placeholder — we drop it so no ``{{{`` debris
+    reaches the link scan)."""
+    def repl(m: re.Match) -> str:
+        key = m.group(1).strip()
+        if key in named:
+            return named[key]
+        if key.isdigit():
+            idx = int(key) - 1
+            if 0 <= idx < len(positional):
+                return positional[idx]
+        return m.group(2) if m.group(2) is not None else ""
+
+    return _PARAM_RE.sub(repl, body)
+
+
+def expand_templates(text: str, lookup, max_depth: int = 8,
+                     max_size: int = 1_000_000) -> str:
+    """Expand ``{{Name|args}}`` transclusions innermost-first.
+
+    ``lookup(name)`` returns the body of ``Template:<name>`` or None for
+    an unknown template (left in place; ``strip_markup`` removes it so an
+    unknown template contributes no links — same net effect as before
+    expansion existed). Parity target: the reference parses with bliki,
+    whose ``WikiModel`` expands templates before the link walk
+    (WikiProcessor.kt:45-46) — links written inside transcluded bodies
+    are real links.
+
+    Guards (MediaWiki-like, frozen here): ``max_depth`` expansion rounds
+    (self-/mutual recursion bottoms out and the residue is stripped) and
+    ``max_size`` output chars (a billion-laughs chain stops expanding
+    and the residue is stripped)."""
+    if "{{" not in text:
+        return text
+    for _ in range(max_depth):
+        if len(text) > max_size:
+            break
+        out: list[str] = []
+        pos = 0
+        changed = False
+        for m in _INNER_TPL_RE.finditer(text):
+            inner = m.group(1)
+            if inner.startswith("{"):  # parameter placeholder, not ours
+                continue
+            raw_name, positional, named = split_template_args(inner)
+            name = normalize_template_name(raw_name)
+            body = lookup(name) if name is not None else None
+            if body is None:
+                continue  # unknown template: leave for strip_markup
+            out.append(text[pos:m.start()])
+            out.append(_substitute_params(body, positional, named))
+            pos = m.end()
+            changed = True
+        if not changed:
+            break
+        out.append(text[pos:])
+        text = "".join(out)
+        if "{{" not in text:
+            break
+    return text
+
+
 def capitalize_first(name: str) -> str:
     """Uppercase the first character only (WikiProcessor.kt:114-121).
 
@@ -118,7 +235,7 @@ def normalize_link_target(raw: str) -> str | None:
     return capitalize_first(target)
 
 
-def parse_wikitext(text: str) -> tuple[bool, str | None, list[str]]:
+def parse_wikitext(text: str, template_lookup=None) -> tuple[bool, str | None, list[str]]:
     """Parse one page body.
 
     Returns ``(is_redirect, redirect_target, links)`` where ``links`` is
@@ -126,11 +243,19 @@ def parse_wikitext(text: str) -> tuple[bool, str | None, list[str]]:
     redirect page: the single redirect target, mirroring
     WikiProcessor.kt:49-51 where a redirect's only out-edge is its
     target).
+
+    With ``template_lookup`` set, ``{{Name|args}}`` transclusions are
+    expanded first (bliki parity: WikiProcessor.kt:45-46 parses with a
+    WikiModel that expands templates before the link walk), so links
+    written inside transcluded bodies are emitted; unknown templates
+    still strip to nothing.
     """
     m = _REDIRECT_RE.match(text)
     if m:
         target = normalize_link_target(m.group(1))
         return True, target, ([target] if target is not None else [])
+    if template_lookup is not None and "{{" in text:
+        text = expand_templates(text, template_lookup)
     if _MARKUP_TRIGGER_RE.search(text):
         text = strip_markup(text)
     # fast path: the C-speed regex — correct unless a link NESTS another

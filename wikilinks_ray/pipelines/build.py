@@ -290,8 +290,15 @@ def build_graph(
     extract_batch_size: int = 512,
     overwrite: bool = False,
     title_broadcast_limit: int = 20_000_000,
+    expand_templates: bool = False,
 ) -> GraphBuildResult:
-    """Full build: pages -> vertices(id,url,title,is_redirect) + edges(src,dst)."""
+    """Full build: pages -> vertices(id,url,title,is_redirect) + edges(src,dst).
+
+    ``expand_templates=True`` collects the ``Template:`` namespace into a
+    broadcast map first (pipelines/templates.py) so links written inside
+    transcluded bodies are extracted too (bliki parity,
+    WikiProcessor.kt:45-46); template pages become macro definitions, not
+    vertices."""
     v_path = os.path.join(work_dir, "vertices")
     e_path = os.path.join(work_dir, "edges")
     s_path = os.path.join(work_dir, "_STATS.json")
@@ -311,10 +318,16 @@ def build_graph(
     # single pass over the heavy pages input (html+text read once)
     from ..stages.extract import extract_combined, split_combined
 
+    extract_kwargs = {}
+    if expand_templates:
+        from .templates import collect_template_map
+
+        extract_kwargs["tpl_ref"] = collect_template_map(pages)
     combined = pages.map_batches(
         extract_combined, batch_format="pyarrow",
         batch_size=extract_batch_size,
-        concurrency=extract_concurrency).materialize()
+        concurrency=extract_concurrency,
+        fn_kwargs=extract_kwargs).materialize()
     # meta/links materialize once each: they are consumed by 3-4
     # downstream passes (fixpoint, ids, joins, stats) and re-running the
     # kind-filter over the big combined table per consumer measured

@@ -42,7 +42,8 @@ def _semantics_tag() -> str:
     # plain file reads, no imports: this runs at module load and module
     # imports here would cycle through the package __init__
     for rel in ("sources/corpus.py", "functions/wikitext.py",
-                "stages/extract.py", "stages/ids.py", "pipelines/build.py"):
+                "stages/extract.py", "stages/ids.py", "pipelines/build.py",
+                "pipelines/templates.py"):
         with open(os.path.join(pkg, rel), "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:10]
@@ -51,6 +52,90 @@ def _semantics_tag() -> str:
 _TAG = _semantics_tag()
 ORACLE_CORPUS_DIR = f"/tmp/wl_wiki_oracle_corpus_n{CORPUS_N}_s{CORPUS_SEED}_{_TAG}"
 ORACLE_BUILD_DIR = f"/tmp/wl_wiki_oracle_build_n{CORPUS_N}_s{CORPUS_SEED}_{_TAG}"
+
+
+TPL_CORPUS_N = 1200
+TPL_CORPUS_SEED = 7
+ORACLE_TPL_CORPUS_DIR = (
+    f"/tmp/wl_wiki_oracle_tplcorpus_n{TPL_CORPUS_N}_s{TPL_CORPUS_SEED}_{_TAG}"
+)
+
+
+def ensure_template_corpus() -> str:
+    """Write the deterministic transclusion corpus (parameterless — the
+    SQL side re-derives expansion with joins) to its fixed /tmp path."""
+    if not os.path.isdir(ORACLE_TPL_CORPUS_DIR):
+        from ..sources.corpus import write_template_corpus
+
+        tmp = ORACLE_TPL_CORPUS_DIR + f".tmp{os.getpid()}"
+        write_template_corpus(tmp, TPL_CORPUS_N, TPL_CORPUS_SEED)
+        try:
+            os.rename(tmp, ORACLE_TPL_CORPUS_DIR)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return ORACLE_TPL_CORPUS_DIR
+
+
+def template_links_oracle_sql() -> str:
+    """DuckDB twin of ``pipelines.templates.template_link_edges`` over
+    the parameterless transclusion corpus: expansion == transclusion
+    JOINs unrolled to the corpus's maximum new-body depth (3 — the
+    planted ``Box 000 -> 001 -> 002`` chain; the planted template
+    2-cycle introduces no new body past depth 2, so the unroll is
+    exact; the engine's depth guard at 8 sees the same link set).
+    All generated CTEs are MATERIALIZED (DuckDB inlines
+    multiply-referenced CTEs exponentially)."""
+    corpus = ORACLE_TPL_CORPUS_DIR
+
+    def norm_name(expr: str) -> str:
+        t = f"trim(replace({expr}, '_', ' '))"
+        return (f"CASE WHEN {t} = '' THEN NULL "
+                f"ELSE upper(substr({t}, 1, 1)) || substr({t}, 2) END")
+
+    inv = r"regexp_extract_all({src}, '\{{\{{([^{{}}]*)\}}\}}', 1)"
+    links = r"regexp_extract_all({src}, '\[\[(.*?)\]\]', 1)"
+    return rf"""
+WITH pages AS MATERIALIZED (
+    SELECT regexp_extract(decode(html), '<title>(.*?)</title>', 1) AS title,
+           text
+    FROM read_parquet('{corpus}/part-*.parquet')
+),
+tpl AS MATERIALIZED (
+    SELECT substr(title, 10) AS name, text FROM pages
+    WHERE title LIKE 'Template:%'
+),
+art AS MATERIALIZED (
+    SELECT title, text FROM pages WHERE title NOT LIKE 'Template:%'
+),
+b1 AS MATERIALIZED (  -- bodies transcluded directly by each article
+    SELECT x.title AS src, t.text AS body
+    FROM (SELECT title, unnest({inv.format(src='text')}) AS tname FROM art) x
+    JOIN tpl t ON t.name = {norm_name('x.tname')}
+),
+b2 AS MATERIALIZED (  -- bodies transcluded by those bodies
+    SELECT b.src, t.text AS body
+    FROM (SELECT src, unnest({inv.format(src='body')}) AS tname FROM b1) b
+    JOIN tpl t ON t.name = {norm_name('b.tname')}
+),
+b3 AS MATERIALIZED (
+    SELECT b.src, t.text AS body
+    FROM (SELECT src, unnest({inv.format(src='body')}) AS tname FROM b2) b
+    JOIN tpl t ON t.name = {norm_name('b.tname')}
+),
+raws AS (
+    SELECT title AS src, unnest({links.format(src='text')}) AS raw FROM art
+    UNION ALL
+    SELECT src, unnest({links.format(src='body')}) AS raw FROM b1
+    UNION ALL
+    SELECT src, unnest({links.format(src='body')}) AS raw FROM b2
+    UNION ALL
+    SELECT src, unnest({links.format(src='body')}) AS raw FROM b3
+)
+SELECT DISTINCT src AS src_title, {_norm('raw')} AS dst_title FROM raws
+WHERE {_norm('raw')} IS NOT NULL
+"""
 
 
 def ensure_oracle_corpus() -> str:

@@ -233,6 +233,162 @@ def generate_pages_table(n_pages: int = 2000, seed: int = 42) -> tuple[pa.Table,
     return table, spec
 
 
+# --------------------------------------------------------------------------
+# template-transclusion corpus (bliki template-expansion parity)
+# --------------------------------------------------------------------------
+
+@dataclass
+class TemplateCorpusSpec:
+    """Primitives of the template corpus — raw structures an independent
+    oracle (SQL transclusion joins, or a naive recursive expander in
+    tests) can re-derive expanded links from."""
+
+    article_titles: list[str]
+    template_names: list[str]  # WITHOUT the ``Template:`` prefix
+    # template name -> body wikitext
+    template_bodies: dict[str, str] = field(default_factory=dict)
+    # article title -> direct [[links]] as written (pre-normalization)
+    direct_links: dict[str, list[str]] = field(default_factory=dict)
+    # article title -> template invocations as written (may be
+    # lowercase-first or unknown)
+    invocations: dict[str, list[str]] = field(default_factory=dict)
+
+
+def build_template_corpus(n_pages: int = 1200, seed: int = 7,
+                          with_params: bool = False
+                          ) -> tuple[pa.Table, TemplateCorpusSpec]:
+    """Pages table whose link graph flows partly through ``{{Box k}}``
+    transclusions (the bliki-parity corpus; WikiProcessor.kt:45-46).
+
+    Deterministic in ``(n_pages, seed, with_params)``. Structure:
+
+    - templates ``Template:Box 000..``: bodies carry 1-3 article links
+      (some lowercase-first, some dangling); every third template nests
+      the next one (depth 2), ``Box 000 -> Box 001 -> Box 002`` is a
+      planted depth-3 chain, the last two templates invoke each other (a
+      planted 2-cycle the depth guard must bottom out — both bodies'
+      links still count exactly once), and ``Box 004`` invokes an
+      unknown template (contributes nothing);
+    - articles: 1-4 direct links plus 0-2 invocations, ~10% of
+      invocation names written lowercase-first (must capitalize to
+      resolve), ~5% invoking unknown templates;
+    - ``with_params=True`` (pytest corpus only — the SQL oracle corpus
+      stays parameterless): parameterized templates ``P 0``/``P 1``
+      whose bodies link through ``{{{1}}}`` / ``{{{link|...}}}``
+      placeholders.
+    """
+    if n_pages < 200:
+        raise ValueError("n_pages must be >= 200")
+    rng = np.random.default_rng(seed)
+    n_tpl = max(8, n_pages // 40)
+    n_articles = n_pages - n_tpl
+    articles = [f"TPage {i:05d}" for i in range(n_articles)]
+    tnames = [f"Box {k:03d}" for k in range(n_tpl)]
+    spec = TemplateCorpusSpec(article_titles=articles, template_names=tnames)
+
+    def art(i: int) -> str:
+        return articles[int(i) % n_articles]
+
+    for k, name in enumerate(tnames):
+        nl = 1 + int(rng.integers(3))
+        links = [art(rng.integers(n_articles)) for _ in range(nl)]
+        if rng.random() < 0.2:
+            links.append(f"Tpl Missing {int(rng.integers(6)):02d}")
+        if rng.random() < 0.3:
+            links[0] = _lower_first(links[0])
+        body = "Transcluded box. " + " ".join(f"[[{l}]]" for l in links)
+        if k % 3 == 0 and k + 1 < n_tpl:
+            body += f" {{{{Box {k + 1:03d}}}}}"
+        if k == 1:
+            body += " {{Box 002}}"  # completes the 0 -> 1 -> 2 chain
+        if k == 4:
+            body += " {{Ghost box}}"  # unknown nested template
+        spec.template_bodies[name] = body
+    # planted 2-cycle between the last two templates
+    spec.template_bodies[tnames[-1]] += f" {{{{{tnames[-2]}}}}}"
+    spec.template_bodies[tnames[-2]] += f" {{{{{tnames[-1]}}}}}"
+
+    if with_params:
+        spec.template_names += ["P 0", "P 1"]
+        spec.template_bodies["P 0"] = "See [[{{{1}}}]] and [[{{{link|Default Page}}}]]."
+        spec.template_bodies["P 1"] = "Pipe anchor [[{{{1|TPage 00000}}}|an|chor]]."
+
+    for i, title in enumerate(articles):
+        nl = 1 + int(rng.integers(4))
+        links = []
+        for _ in range(nl):
+            name = art(rng.integers(n_articles))
+            r = rng.random()
+            if r < 0.03:
+                name = f"Tpl Missing {int(rng.integers(6)):02d}"
+            elif r < 0.13:
+                name = _lower_first(name)
+            links.append(name)
+        spec.direct_links[title] = links
+        inv: list[str] = []
+        for _ in range(int(rng.integers(3))):
+            r = rng.random()
+            name = tnames[int(rng.integers(n_tpl))]
+            if r < 0.05:
+                name = f"No such box {int(rng.integers(4))}"
+            elif r < 0.15:
+                name = _lower_first(name)
+            inv.append(name)
+        if with_params and i % 17 == 0:
+            inv.append(f"P 0|{art(i + 7)}|link={art(i + 9)}")
+            inv.append(f"P 1|{art(i + 11)}")
+        spec.invocations[title] = inv
+
+    rng_txt = np.random.default_rng(seed + 1)
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    rows: list[tuple[str, str]] = [
+        (f"Template:{n}", spec.template_bodies[n]) for n in spec.template_names
+    ]
+    for title in articles:
+        parts = [f"'''{title}''' in the transclusion corpus."]
+        links, inv = spec.direct_links[title], spec.invocations[title]
+        for j in range(max(len(links), len(inv))):
+            w = _WORDS[int(rng_txt.integers(len(_WORDS)))]
+            if j < len(links):
+                parts.append(f"{w} [[{links[j]}]]")
+            if j < len(inv):
+                parts.append(f"{{{{{inv[j]}}}}}")
+        parts.append("End.")
+        rows.append((title, " ".join(parts)))
+    for i, (title, text) in enumerate(rows):
+        urls.append(page_url(title))
+        tss.append(EPOCH_US + i * 1_000_000)
+        htmls.append(_render_html(title, text))
+        texts.append(text)
+        langs.append("en")
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    return table, spec
+
+
+def write_template_corpus(path: str, n_pages: int = 1200, seed: int = 7,
+                          n_shards: int = 8, with_params: bool = False
+                          ) -> TemplateCorpusSpec:
+    """Write the transclusion corpus as ``path/part-{k}.parquet``."""
+    import os
+
+    table, spec = build_template_corpus(n_pages, seed, with_params)
+    os.makedirs(path, exist_ok=True)
+    per = -(-table.num_rows // n_shards)
+    for k in range(n_shards):
+        chunk = table.slice(k * per, per)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(path, f"part-{k:05d}.parquet"))
+    return spec
+
+
 def write_pages_corpus(path: str, n_pages: int = 2000, seed: int = 42,
                        n_shards: int = 8) -> CorpusSpec:
     """Write the corpus as ``path/part-{k}.parquet`` shards (resumable

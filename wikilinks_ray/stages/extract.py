@@ -85,9 +85,15 @@ COMBINED_SCHEMA = pa.schema(
 )
 
 
-def extract_combined(batch: pa.Table) -> pa.Table:
+def extract_combined(batch: pa.Table, *, tpl_ref=None) -> pa.Table:
     """Single-pass extractor: one meta row (kind=0) AND one row per link
     (kind=1) per page, in one table.
+
+    ``tpl_ref`` (optional): broadcast template map (see
+    pipelines/templates.py) — when set, ``{{Name|args}}`` transclusions
+    expand before the link walk (bliki parity) and ``Template:`` pages
+    are consumed as macro definitions only (no meta/link rows — the
+    main-namespace filter).
 
     At corpus scale the pages input (html + text columns) is the heavy
     read; running the meta and link extractors separately reads it
@@ -103,12 +109,21 @@ def extract_combined(batch: pa.Table) -> pa.Table:
     of the constructor args (ray#53727) and an actor pool can starve the
     upstream read when sized to the node (see state/csr.py notes).
     """
+    lookup = None
+    tpl_url_prefix = None
+    if tpl_ref is not None:
+        from ..pipelines.templates import _TPL_URL_PREFIX, _resolve_map
+
+        lookup = _resolve_map(tpl_ref).get
+        tpl_url_prefix = _TPL_URL_PREFIX
     urls = batch.column("url").to_pylist()
     texts = batch.column("text").to_pylist()
     kind, url_o, title_o, isrd, rtgt, nlinks, ext, dst, order = \
         [], [], [], [], [], [], [], [], []
     for url, text in zip(urls, texts):
-        r, target, links = parse_wikitext(text or "")
+        if tpl_url_prefix is not None and url.startswith(tpl_url_prefix):
+            continue
+        r, target, links = parse_wikitext(text or "", template_lookup=lookup)
         title = title_from_url(url)
         kind.append(0)
         url_o.append(url)
