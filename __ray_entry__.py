@@ -830,6 +830,33 @@ def q_curate_docs(sf_dir: str):
     return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_sample_mix(sf_dir: str):
+    """Deterministic stratified sampling / domain mixing: per-source
+    keep rates as md5-permille thresholds (ops/sample.py). Pure
+    function of (seed, doc_id, source) — no shuffle, resume-stable;
+    the oracle re-derives the survivor set with md5_number_upper."""
+    from wikilinks_ray.ops.sample import stratified_sample
+
+    _quiet()
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    rates = {f"src{i}": 50 + 90 * (i % 10) for i in range(20)}
+    kept = stratified_sample(docs, rates, seed=13)
+    return kept.to_pandas()[["doc_id", "source"]]
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing: hash-bucketed greedy fill of documents into
+    4000-char context windows (ops/pack.py) — the deterministic
+    distributed packing a training loader consumes. The oracle replays
+    the greedy fill as a per-bucket recursive CTE."""
+    from wikilinks_ray.ops.pack import pack_sequences
+
+    _quiet()
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = pack_sequences(docs, capacity=4000, num_buckets=8)
+    return out.to_pandas()[["doc_id", "bucket", "bin", "bin_offset"]]
+
+
 def q_text_token_counts(sf_dir: str):
     from wikilinks_ray.ops.text import TextAnalyzer
 
@@ -896,6 +923,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": q_media_decode,
         "text_token_counts": q_text_token_counts,
         "text_langid": q_text_langid,
+        "sample_mix": q_sample_mix,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1216,6 +1245,40 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 100 + i, -1, -1, 'audio', (3200 + 160 * i) // 16
             FROM (SELECT unnest(generate_series(0, 9)) AS i)
+        """,
+        # SQL twin of ops/sample.py: md5_number_upper == first 8 md5
+        # digest bytes little-endian; same permille threshold per source
+        "sample_mix": """
+            SELECT doc_id, source FROM documents
+            WHERE md5_number_upper('13:' || doc_id) % 1000
+                  < 50 + 90 * (CAST(substr(source, 4) AS INT) % 10)
+        """,
+        # SQL twin of ops/pack.py: replay the greedy sequential fill as
+        # a per-bucket recursive CTE over doc_id-ordered rows
+        "pack_sequences": """
+            WITH RECURSIVE o AS MATERIALIZED (
+                SELECT doc_id, n_chars,
+                       (md5_number_upper(doc_id::VARCHAR) % 8)::BIGINT AS bucket,
+                       row_number() OVER (
+                           PARTITION BY md5_number_upper(doc_id::VARCHAR) % 8
+                           ORDER BY doc_id) AS rn
+                FROM documents
+            ),
+            rec AS (
+                SELECT bucket, rn, doc_id, 0::BIGINT AS bin,
+                       0::BIGINT AS bin_offset, n_chars::BIGINT AS acc
+                FROM o WHERE rn = 1
+                UNION ALL
+                SELECT n.bucket, n.rn, n.doc_id,
+                       CASE WHEN r.acc + n.n_chars <= 4000
+                            THEN r.bin ELSE r.bin + 1 END,
+                       CASE WHEN r.acc + n.n_chars <= 4000
+                            THEN r.acc ELSE 0 END,
+                       CASE WHEN r.acc + n.n_chars <= 4000
+                            THEN r.acc + n.n_chars ELSE n.n_chars END
+                FROM rec r JOIN o n ON n.bucket = r.bucket AND n.rn = r.rn + 1
+            )
+            SELECT doc_id, bucket, "bin", bin_offset FROM rec
         """,
         "graph_labelprop": _labelprop_oracle_sql(iters=5),
         "graph_components": f"""

@@ -50,7 +50,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     "graph_out_degree", "graph_bfs", "pricing_summary", "dedup_exact",
     "events_windowed", "text_token_counts", "events_gaps",
     "supplier_top_orders", "supplier_qty_quantiles", "nation_revenue",
-    "wiki_template_links",
+    "wiki_template_links", "sample_mix", "pack_sequences",
 ])
 def test_fast_queries_match_oracle(entry_mod, con, name):
     import pyarrow as pa

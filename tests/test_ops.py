@@ -545,3 +545,79 @@ def test_session_windows_user_split_across_blocks(ray_session):
     tw = pd.DataFrame(tumbling_windows(ev, size_s=3600).take_all())
     tw = tw.sort_values(["user_id", "window_start"]).reset_index(drop=True)
     assert tw.values.tolist() == [[7, 0, 2], [7, 3, 2], [8, 0, 3]]
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(ray_session):
+    """ops/sample.py: the survivor set is a pure function of
+    (seed, doc_id, source) — identical across partitionings — and the
+    realized per-stratum rate tracks the requested permille."""
+    import ray.data as rd
+
+    from wikilinks_ray.ops.sample import sample_units, stratified_sample
+
+    n = 4000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array([f"s{i % 4}" for i in range(n)]),
+    })
+    rates = {"s0": 0, "s1": 100, "s2": 500, "s3": 1000}
+    a = {r["doc_id"] for r in stratified_sample(
+        rd.from_arrow(t), rates, seed=3).take_all()}
+    b = {r["doc_id"] for r in stratified_sample(
+        rd.from_arrow(t).repartition(13), rates, seed=3).take_all()}
+    assert a == b
+    per = {s: 0 for s in rates}
+    for d in a:
+        per[f"s{d % 4}"] += 1
+    assert per["s0"] == 0
+    assert per["s3"] == n // 4  # rate 1000/1000 keeps everything
+    assert abs(per["s1"] - 100) < 40 and abs(per["s2"] - 500) < 80
+    # different seed -> different sample
+    c = {r["doc_id"] for r in stratified_sample(
+        rd.from_arrow(t), rates, seed=4).take_all()}
+    assert a != c
+    # engine units == md5_number_upper twin used by the SQL oracle
+    import duckdb
+
+    u = sample_units([0, 17, 999], seed=3)
+    want = duckdb.sql(
+        "SELECT md5_number_upper('3:0') % 1000,"
+        " md5_number_upper('3:17') % 1000,"
+        " md5_number_upper('3:999') % 1000").fetchone()
+    assert list(u) == list(want)
+
+
+def test_pack_sequences_semantics(ray_session):
+    """ops/pack.py: greedy fill respects capacity, keeps doc_id order
+    within buckets, isolates oversized docs, offsets are cumulative."""
+    import ray.data as rd
+
+    from wikilinks_ray.ops.pack import pack_sequences
+
+    t = pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "n_chars": pa.array([70 + (i * 37) % 400 for i in range(100)]
+                            + [5000] + [10] * 99, pa.int64()),
+    })
+    df = pd.DataFrame(pack_sequences(
+        rd.from_arrow(t).repartition(7), capacity=1000,
+        num_buckets=4).take_all())
+    assert len(df) == 200
+    for _, g in df.groupby("bucket"):
+        g = g.sort_values("doc_id")
+        # bins increase monotonically in doc_id order
+        assert (np.diff(g["bin"].to_numpy()) >= 0).all()
+        lens = dict(zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()))
+        for _, bg in g.groupby("bin"):
+            tot = sum(lens[d] for d in bg["doc_id"])
+            # a bin exceeds capacity only as a single oversized doc
+            assert tot <= 1000 or len(bg) == 1
+            offs = bg.sort_values("doc_id")["bin_offset"].to_numpy()
+            sizes = np.array([lens[d] for d in bg.sort_values("doc_id")["doc_id"]])
+            assert offs[0] == 0
+            assert (offs[1:] == np.cumsum(sizes)[:-1]).all()
+    # the oversized doc (id 100) sits alone at offset 0
+    row = df[df["doc_id"] == 100].iloc[0]
+    assert row["bin_offset"] == 0
+    assert (df[(df["bucket"] == row["bucket"])
+               & (df["bin"] == row["bin"])].shape[0]) == 1
