@@ -35,10 +35,17 @@ from ..state.csr import vertex_ranges
 
 
 @ray.remote
-def _reduce_rank(q_size: int, d: float, n: int, dangling_mass: float,
-                 old_chunk: np.ndarray, *partials) -> tuple[np.ndarray, float]:
+def _reduce_rank(q_size: int, d: float, n: int, n_shards: int,
+                 old_chunk: np.ndarray, *dangling_and_partials
+                 ) -> tuple[np.ndarray, float]:
+    """``dangling_and_partials`` = P per-shard dangling masses followed
+    by P per-shard partial arrays. Summing the dangling scalars HERE
+    (they arrive as resolved args) instead of on the driver removes a
+    full driver round-trip per superstep: reducers submit immediately
+    after the scatters and the driver only synchronizes on the deltas."""
+    dangling_mass = float(sum(dangling_and_partials[:n_shards]))
     acc = np.zeros(q_size, dtype=np.float64)
-    for p in partials:
+    for p in dangling_and_partials[n_shards:]:
         if p is not None:
             acc += p
     new = (1.0 - d) / n + d * (acc + dangling_mass / n)
@@ -46,10 +53,11 @@ def _reduce_rank(q_size: int, d: float, n: int, dangling_mass: float,
 
 
 @ray.remote
-def _reduce_rank_int(q_size: int, n: int, dangling: int, scale: int,
-                     *partials) -> np.ndarray:
+def _reduce_rank_int(q_size: int, n: int, n_shards: int, scale: int,
+                     *dangling_and_partials) -> np.ndarray:
+    dangling = int(sum(dangling_and_partials[:n_shards]))
     acc = np.zeros(q_size, dtype=np.int64)
-    for p in partials:
+    for p in dangling_and_partials[n_shards:]:
         if p is not None:
             acc += p
     base = (15 * scale) // (100 * n)
@@ -83,11 +91,11 @@ def pagerank_int(actors: list, n_vertices: int, *, iters: int = 20,
     for _ in range(iters):
         scatter = [a.scatter_int.options(num_returns=P + 1).remote(chunk_refs[p])
                    for p, a in enumerate(actors)]
-        dangling = int(sum(ray.get([s[P] for s in scatter])))
+        dangling_refs = [s[P] for s in scatter]
         chunk_refs = [
             _reduce_rank_int.remote(
-                sizes[q], n_vertices, dangling, scale,
-                *[scatter[p][q] for p in range(P)])
+                sizes[q], n_vertices, P, scale,
+                *dangling_refs, *[scatter[p][q] for p in range(P)])
             for q in range(P)
         ]
     chunks = ray.get(chunk_refs)
@@ -156,16 +164,17 @@ def pagerank(
         t0 = time.perf_counter()
         scatter = [a.scatter.options(num_returns=P + 1).remote(chunk_refs[p])
                    for p, a in enumerate(actors)]
-        dangling = sum(ray.get([s[P] for s in scatter]))
+        dangling_refs = [s[P] for s in scatter]
         out = [
             _reduce_rank.options(num_returns=2).remote(
-                sizes[q], damping, n_vertices, dangling, chunk_refs[q],
-                *[scatter[p][q] for p in range(P)],
+                sizes[q], damping, n_vertices, P, chunk_refs[q],
+                *dangling_refs, *[scatter[p][q] for p in range(P)],
             )
             for q in range(P)
         ]
         new_refs = [o[0] for o in out]
         delta = float(sum(ray.get([o[1] for o in out])))
+        dangling = float(sum(ray.get(dangling_refs)))  # resolved, free
         chunk_refs = new_refs
         wall = time.perf_counter() - t0
         history.append({"iteration": it, "delta": delta,
