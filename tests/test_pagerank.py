@@ -178,3 +178,62 @@ def test_pagerank_shuffle_matches_actor_path(graph_actors):
     actor_res = pagerank(actors, n, damping=0.85, tol=0.0, max_iter=iters)
     shuffle_ranks = pagerank_shuffle(res.edges(), n, damping=0.85, iters=iters)
     assert np.allclose(actor_res.to_array(), shuffle_ranks, atol=1e-12)
+
+
+def test_sparse_partial_transport_matches_dense(ray_session, tmp_path):
+    """A few edges over a wide id space forces the sparse
+    (offsets, values) partial form (pack_partial's <50%-touched rule);
+    a hub range with every slot hit stays dense. Both must agree with
+    the dense oracle, and CC via accum_min must match networkx."""
+    import networkx as nx
+    import pandas as pd
+    import ray.data
+
+    from wikilinks_ray.pipelines.components import (
+        connected_components, symmetrize_edges)
+    from wikilinks_ray.state.csr import pack_partial
+
+    n = 8000
+    rng = np.random.default_rng(7)
+    # sparse tail: 60 edges scattered over [0, n); dense head: every
+    # vertex of range 0 (ids [0, 2000)) receives an edge from vertex 0
+    src = np.concatenate([rng.integers(0, n, 60), np.zeros(2000, np.int64)])
+    dst = np.concatenate([rng.integers(0, n, 60), np.arange(2000)])
+    df = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+    df = df[df.src != df.dst]
+    edges = ray.data.from_pandas(df)
+    paths = shard_edges(edges, n, 4, str(tmp_path / "s"), by="src")
+    actors, _ = create_shard_actors(paths, n)
+
+    # both representations occur for this fixture
+    import ray as _ray
+    chunk = np.full(2000, 1.0 / n)
+    parts = _ray.get(actors[0].scatter.remote(chunk))
+    kinds = {type(p).__name__ for p in parts[:-1] if p is not None}
+    assert kinds == {"tuple", "ndarray"}, kinds
+
+    result = pagerank(actors, n, damping=0.85, tol=1e-12, max_iter=200)
+    oracle = dense_pagerank_oracle(df, n, 0.85)
+    assert np.allclose(result.to_array(), oracle, atol=1e-8)
+
+    for a in actors:
+        _ray.kill(a)
+
+    sym = symmetrize_edges(edges)
+    paths2 = shard_edges(sym, n, 4, str(tmp_path / "s2"), by="src")
+    actors2, _ = create_shard_actors(paths2, n)
+    labels = connected_components(actors2, n).to_array()
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(df.itertuples(index=False))
+    for comp in nx.connected_components(g):
+        assert len({labels[v] for v in comp}) == 1
+        assert labels[min(comp)] == min(comp)
+    for a in actors2:
+        _ray.kill(a)
+
+    # pack_partial unit: boundary at exactly half stays dense
+    half = pack_partial(np.arange(5), np.ones(5), 10)
+    assert isinstance(half, np.ndarray)
+    sp = pack_partial(np.arange(4), np.ones(4), 10)
+    assert isinstance(sp, tuple)

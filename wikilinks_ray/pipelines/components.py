@@ -24,7 +24,7 @@ import ray
 import ray.data
 
 from ..state.checkpoint import latest_checkpoint, save_checkpoint
-from ..state.csr import vertex_ranges
+from ..state.csr import accum_min, vertex_ranges
 
 
 def symmetrize_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -41,8 +41,7 @@ def symmetrize_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
 def _reduce_min(old_chunk: np.ndarray, *candidates) -> tuple[np.ndarray, int]:
     acc = old_chunk.copy()
     for c in candidates:
-        if c is not None:
-            np.minimum(acc, c, out=acc)
+        accum_min(acc, c)
     return acc, int((acc != old_chunk).sum())
 
 

@@ -31,7 +31,7 @@ import numpy as np
 import ray
 
 from ..state.checkpoint import latest_checkpoint, save_checkpoint
-from ..state.csr import vertex_ranges
+from ..state.csr import accum_sum, vertex_ranges
 
 
 @ray.remote
@@ -46,8 +46,7 @@ def _reduce_rank(q_size: int, d: float, n: int, n_shards: int,
     dangling_mass = float(sum(dangling_and_partials[:n_shards]))
     acc = np.zeros(q_size, dtype=np.float64)
     for p in dangling_and_partials[n_shards:]:
-        if p is not None:
-            acc += p
+        accum_sum(acc, p)
     new = (1.0 - d) / n + d * (acc + dangling_mass / n)
     return new, float(np.abs(new - old_chunk).sum())
 
@@ -58,8 +57,7 @@ def _reduce_rank_int(q_size: int, n: int, n_shards: int, scale: int,
     dangling = int(sum(dangling_and_partials[:n_shards]))
     acc = np.zeros(q_size, dtype=np.int64)
     for p in dangling_and_partials[n_shards:]:
-        if p is not None:
-            acc += p
+        accum_sum(acc, p)
     base = (15 * scale) // (100 * n)
     return base + (85 * (acc + dangling // n)) // 100
 

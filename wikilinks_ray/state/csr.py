@@ -43,6 +43,58 @@ def vertex_ranges(n_vertices: int, num_shards: int) -> np.ndarray:
     return np.linspace(0, n_vertices, num_shards + 1).astype(np.int64)
 
 
+def pack_partial(offsets: np.ndarray, values: np.ndarray, size: int,
+                 fill=0):
+    """Adaptive combiner-partial transport: a (shard → dst-range) block
+    ships as a sparse ``(local_offsets, values)`` pair when fewer than
+    half the range's slots are touched, dense otherwise. ``offsets``
+    must be unique (they come out of a per-unique-dst ``reduceat``).
+
+    Why it matters at scale: dense partials cost O(P·n) object-store
+    bytes per superstep (each of P shards emits n total slots), which
+    GROWS with the pool size even though the information content is
+    bounded by O(E) touched entries. Sparse blocks cap transport at
+    O(min(P·n, 2·E)) so widening the pool past E/n ranges stops
+    inflating the exchange — this is what flattens the P=24/32
+    collapse recorded in pipelines/pagerank.py's P-sweep."""
+    if 2 * offsets.size < size:
+        return (offsets, values)
+    if fill == 0:
+        dense = np.zeros(size, dtype=values.dtype)
+    else:
+        dense = np.full(size, fill, dtype=values.dtype)
+    dense[offsets] = values
+    return dense
+
+
+def accum_sum(acc: np.ndarray, partial) -> None:
+    """acc += partial for either transport form (None = empty block).
+
+    Element-wise the addition order is shard order in both forms, so
+    the integer-oracle path stays bit-identical whichever form each
+    block happened to take."""
+    if partial is None:
+        return
+    if isinstance(partial, tuple):
+        offsets, values = partial
+        acc[offsets] += values
+    else:
+        acc += partial
+
+
+def accum_min(acc: np.ndarray, partial) -> None:
+    """acc = min(acc, partial) for either transport form."""
+    if partial is None:
+        return
+    if isinstance(partial, tuple):
+        # partials may be zero-copy read-only views from the object
+        # store — never write into `values`
+        offsets, values = partial
+        acc[offsets] = np.minimum(acc[offsets], values)
+    else:
+        np.minimum(acc, partial, out=acc)
+
+
 def shard_edges(
     edges: "ray.data.Dataset",
     n_vertices: int,
@@ -193,7 +245,6 @@ class CSRShardActor:
             if a == b:
                 out.append(None)
                 continue
-            local = np.zeros(int(self.bounds[q + 1] - self.bounds[q]), dtype=np.float64)
             # edges are dst-sorted: run-length reduceat beats np.add.at
             # by ~10x (add.at is a per-element scatter loop)
             d = csr.dst_sorted_dst[a:b]
@@ -201,8 +252,10 @@ class CSRShardActor:
             first[0] = True
             first[1:] = d[1:] != d[:-1]
             idx = np.flatnonzero(first)
-            local[d[idx] - self.bounds[q]] = np.add.reduceat(edge_vals[a:b], idx)
-            out.append(local)
+            out.append(pack_partial(
+                d[idx] - self.bounds[q],
+                np.add.reduceat(edge_vals[a:b], idx),
+                int(self.bounds[q + 1] - self.bounds[q])))
         out.append(dangling)
         return out
 
@@ -226,15 +279,15 @@ class CSRShardActor:
             if a == b:
                 out.append(None)
                 continue
-            local = np.zeros(int(self.bounds[q + 1] - self.bounds[q]),
-                             dtype=np.int64)
             d = csr.dst_sorted_dst[a:b]
             first = np.empty(b - a, dtype=bool)
             first[0] = True
             first[1:] = d[1:] != d[:-1]
             idx = np.flatnonzero(first)
-            local[d[idx] - self.bounds[q]] = np.add.reduceat(edge_vals[a:b], idx)
-            out.append(local)
+            out.append(pack_partial(
+                d[idx] - self.bounds[q],
+                np.add.reduceat(edge_vals[a:b], idx),
+                int(self.bounds[q + 1] - self.bounds[q])))
         out.append(dangling)
         return out
 
@@ -249,15 +302,16 @@ class CSRShardActor:
             if a == b:
                 out.append(None)
                 continue
-            size = int(self.bounds[q + 1] - self.bounds[q])
-            local = np.full(size, np.iinfo(np.int64).max, dtype=np.int64)
             d = csr.dst_sorted_dst[a:b]
             first = np.empty(b - a, dtype=bool)
             first[0] = True
             first[1:] = d[1:] != d[:-1]
             idx = np.flatnonzero(first)
-            local[d[idx] - self.bounds[q]] = np.minimum.reduceat(edge_vals[a:b], idx)
-            out.append(local)
+            out.append(pack_partial(
+                d[idx] - self.bounds[q],
+                np.minimum.reduceat(edge_vals[a:b], idx),
+                int(self.bounds[q + 1] - self.bounds[q]),
+                fill=np.iinfo(np.int64).max))
         return out if len(out) > 1 else out[0]
 
     def gather_neighbors(self, frontier: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
