@@ -131,10 +131,15 @@ def pagerank(
     the north-rule's allclose(1e-6) per-vertex match vs the oracle.
 
     Pool sizing: supersteps are compute-parallel up to ~half the node's
-    cores, then the P x P dense-partial exchange dominates — measured
+    cores, then the P x P partial exchange dominates — measured
     GTEPS on a 4M-vertex / 40M-edge graph on a 32-core node: P=8 0.041,
-    **P=16 0.117**, P=24 0.023, P=32 0.009. Shard analytics pools to
-    ~cores/2 per node, leaving headroom for the per-range reducers.
+    **P=16 0.117**, P=24 0.023, P=32 0.009 with dense partials. Shard
+    analytics pools to ~cores/2 per node, leaving headroom for the
+    per-range reducers. Round 3's sparse partial transport
+    (state/csr.py pack_partial) flattens the wide-pool cliff — P=32
+    measured 3.6x faster than forced-dense in an interleaved A/B
+    (BASELINE.md) — so over-wide pools degrade gently instead of
+    quadratically.
     """
     P = len(actors)
     bounds = vertex_ranges(n_vertices, P)

@@ -43,6 +43,11 @@ def vertex_ranges(n_vertices: int, num_shards: int) -> np.ndarray:
     return np.linspace(0, n_vertices, num_shards + 1).astype(np.int64)
 
 
+# Touched-slot fraction below which a combiner partial ships sparse
+# (see pack_partial). 0 disables the sparse form entirely.
+_SPARSE_FRAC = float(os.environ.get("WL_SPARSE_FRAC", "0.5"))
+
+
 def pack_partial(offsets: np.ndarray, values: np.ndarray, size: int,
                  fill=0):
     """Adaptive combiner-partial transport: a (shard → dst-range) block
@@ -56,8 +61,15 @@ def pack_partial(offsets: np.ndarray, values: np.ndarray, size: int,
     bounded by O(E) touched entries. Sparse blocks cap transport at
     O(min(P·n, 2·E)) so widening the pool past E/n ranges stops
     inflating the exchange — this is what flattens the P=24/32
-    collapse recorded in pipelines/pagerank.py's P-sweep."""
-    if 2 * offsets.size < size:
+    collapse recorded in pipelines/pagerank.py's P-sweep.
+
+    The threshold trades transport bytes against reducer kernel shape:
+    a sparse block is consumed by a fancy-index scatter-add (~10× the
+    per-element cost of the dense vector add, measured on this box), so
+    the break-even touched fraction sits well below the byte-parity
+    point of 50%. ``WL_SPARSE_FRAC`` overrides it for A/B measurement
+    (set it before ``ray.init`` so actor workers inherit it)."""
+    if offsets.size < _SPARSE_FRAC * size:
         return (offsets, values)
     if fill == 0:
         dense = np.zeros(size, dtype=values.dtype)
