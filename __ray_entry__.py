@@ -765,6 +765,22 @@ def q_similarity_lsh(sf_dir: str):
     return t[["query_id", "vec_id"]]
 
 
+def q_similarity_ivf(sf_dir: str):
+    """IVF-flat ANN (ops/similarity.py ivf_top_k): vectors are binned
+    by nearest centroid, queries scan only their n_probe=4 nearest of
+    n_cells=16 cells. The coarse quantizer here is the deterministic
+    first-16-by-id variant so DuckDB re-derives cell assignment, probe
+    sets and the probed-cell top-k exactly; the trained-k-means and
+    materialized-index (file-pruned read) paths are pinned by pytest."""
+    from wikilinks_ray.ops.similarity import ivf_top_k
+
+    _quiet()
+    emb = _read(sf_dir, "embeddings")
+    t = ivf_top_k(emb, _query_vectors(emb), k=5, n_cells=16,
+                  n_probe=4).to_pandas()
+    return t[["query_id", "vec_id"]]
+
+
 def q_media_decode(sf_dir: str):
     """REAL dependency-free codecs (binary PGM via numpy, WAV via
     stdlib wave) over a deterministic synthetic media table — the
@@ -919,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
         "curate_docs": q_curate_docs,
         "media_decode": q_media_decode,
         "text_token_counts": q_text_token_counts,
@@ -1234,6 +1251,44 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle_sql(k=30, rounds=48),
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "similarity_lsh": _similarity_lsh_oracle_sql(),
+        # IVF-flat: centroids = first 16 vectors by id (normalized is a
+        # no-op for cosine); cell = argmax cosine with cid-asc tie-break
+        # (numpy argmax takes the first max the same way); probe = the
+        # 4 nearest centroids per query; top-5 over probed cells only.
+        "similarity_ivf": """
+            WITH cent AS MATERIALIZED (
+                SELECT vec_id AS cid, embedding AS cemb
+                FROM embeddings WHERE vec_id < 16),
+            assigned AS MATERIALIZED (
+                SELECT e.vec_id, e.embedding,
+                       (SELECT c.cid FROM cent c
+                        ORDER BY list_cosine_similarity(e.embedding, c.cemb)
+                                 DESC, c.cid
+                        LIMIT 1) AS cell
+                FROM embeddings e),
+            q AS (SELECT vec_id AS qid, embedding
+                  FROM embeddings WHERE vec_id < 5),
+            probe AS MATERIALIZED (
+                SELECT qid, cid FROM (
+                    SELECT q.qid, c.cid,
+                           row_number() OVER (
+                               PARTITION BY q.qid
+                               ORDER BY list_cosine_similarity(q.embedding,
+                                                               c.cemb)
+                                        DESC, c.cid) AS rn
+                    FROM q CROSS JOIN cent c)
+                WHERE rn <= 4),
+            s AS (
+                SELECT q.qid AS query_id, a.vec_id,
+                       list_cosine_similarity(q.embedding, a.embedding) AS cos
+                FROM q JOIN probe ON probe.qid = q.qid
+                       JOIN assigned a ON a.cell = probe.cid),
+            r AS (SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, vec_id) AS rn
+                  FROM s)
+            SELECT query_id, vec_id FROM r WHERE rn <= 5
+        """,
         # spec-vs-roundtrip golden: the engine must recover these
         # formula-derived dims through real encode -> decode; the SQL
         # derives them from the generation spec with no decoder

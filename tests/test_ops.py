@@ -4,6 +4,8 @@ planted near-duplicates."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -245,6 +247,67 @@ def test_lsh_top_k_bounded_emission(ray_session):
     # and the merged result is still a full top-k per query
     out = lsh_top_k(emb, queries, k=k, n_planes=8, n_tables=4).to_pandas()
     assert (out.groupby("query_id")["rank"].max() == k).all()
+
+
+def test_ivf_top_k_stream_and_index_paths(ray_session, tmp_path):
+    """IVF-flat ANN: (1) recall vs exact with the deterministic
+    first-by-id quantizer (what the SQL oracle mirrors), (2) trained
+    spherical-k-means centroids, (3) the materialized-index path must
+    return the same ids/ranks as the streaming path while reading ONLY
+    the probed cells' files."""
+    import ray.data as rd
+
+    from wikilinks_ray.ops.similarity import (brute_force_top_k,
+                                              build_ivf_index, ivf_top_k,
+                                              train_centroids)
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = emb.to_pandas().sort_values("vec_id")
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    queries = M[:5]
+    exact = brute_force_top_k(emb, queries, k=5).to_pandas()
+
+    def recall(approx):
+        r = []
+        for qid in range(5):
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            a = set(approx[approx["query_id"] == qid]["vec_id"])
+            r.append(len(e & a) / len(e))
+        return float(np.mean(r))
+
+    stream = ivf_top_k(emb, queries, k=5, n_cells=16, n_probe=4).to_pandas()
+    assert recall(stream) >= 0.8
+
+    C = train_centroids(emb, 16, iters=3)
+    assert C.shape == (16, M.shape[1])
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    trained = ivf_top_k(emb, queries, k=5, n_cells=16, n_probe=4,
+                        centroids=C).to_pandas()
+    assert recall(trained) >= 0.8
+
+    idx_dir = str(tmp_path / "ivf")
+    build_ivf_index(emb, C, idx_dir)
+    cells_on_disk = sorted(int(d.split("=")[1]) for d in os.listdir(idx_dir)
+                           if d.startswith("cellp="))
+    assert len(cells_on_disk) > 1  # really partitioned by cell
+    indexed = ivf_top_k(idx_dir, queries, k=5, n_probe=4,
+                        centroids=C).to_pandas()
+    # identical ids/ranks; cosine may differ by float blocking order
+    assert (indexed[["query_id", "rank", "vec_id"]].values
+            == trained[["query_id", "rank", "vec_id"]].values).all()
+    assert np.allclose(indexed["cosine"], trained["cosine"], atol=1e-12)
+
+    # pruning: with one probe per query, the scanned cells are exactly
+    # the probed ones — every returned id belongs to a probed cell
+    one = ivf_top_k(idx_dir, queries[:1], k=5, n_probe=1,
+                    centroids=C).to_pandas()
+    Qn = queries[:1] / np.linalg.norm(queries[:1], axis=1, keepdims=True)
+    probed = int(np.argmax(Qn @ C.T))
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    assigned = np.argmax(Mn @ C.T, axis=1)
+    ids = df["vec_id"].to_numpy()
+    cell_of = dict(zip(ids.tolist(), assigned.tolist()))
+    assert all(cell_of[v] == probed for v in one["vec_id"])
 
 
 def test_text_analyzer(ray_session):

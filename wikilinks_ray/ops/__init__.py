@@ -7,7 +7,8 @@ from .dedup import (  # noqa: F401
     simhash_near_dup_pairs_ds,
     embedding_near_dup_pairs,
 )
-from .similarity import brute_force_top_k, lsh_top_k  # noqa: F401
+from .similarity import (brute_force_top_k, build_ivf_index,  # noqa: F401
+                         ivf_top_k, lsh_top_k, train_centroids)
 from .curate import curate_documents  # noqa: F401
 from .multimodal import (  # noqa: F401
     DecodeAudio,

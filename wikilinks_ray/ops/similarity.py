@@ -4,12 +4,17 @@
   broadcast ONCE (``ray.put``) and read inside each task; every batch is
   one numpy matmul; per-batch local top-k candidates stream to a tiny
   driver-side merge (k × Q rows per batch, never the full score matrix).
-- ``lsh_top_k``: the scale path — random-hyperplane bucketing (seeded),
-  ``n_tables`` independent tables (standard multi-table LSH) with
-  hamming<=1 multi-probe per table; only batch rows sharing a probed
-  bucket with a query are scored. Approximate: recall measured in
-  tests, not 1.0; raise n_tables / lower n_planes to trade compute for
-  recall.
+- ``lsh_top_k``: random-hyperplane bucketing (seeded), ``n_tables``
+  independent tables (standard multi-table LSH) with hamming<=1
+  multi-probe per table; only batch rows sharing a probed bucket with a
+  query are scored. Approximate: recall measured in tests, not 1.0;
+  raise n_tables / lower n_planes to trade compute for recall.
+- ``ivf_top_k`` (+ ``train_centroids`` / ``build_ivf_index``): the
+  IVF-flat scale path — vectors are assigned to their nearest-centroid
+  cell; a query scans only its ``n_probe`` nearest cells. With a
+  materialized index (Parquet partitioned by cell) the probed-cell
+  read prunes at the file level, so query cost scales with the probed
+  fraction of the corpus, not its size.
 """
 
 from __future__ import annotations
@@ -70,6 +75,208 @@ def brute_force_top_k(
 
     cands = emb.map_batches(score, batch_format="pyarrow").take_all()
     merged = _merge_topk(((r["query_id"], r["vec_id"], r["cosine"]) for r in cands), k)
+    q_out, r_out, v_out, s_out = [], [], [], []
+    for qid, top in merged:
+        for rank, (vid, s) in enumerate(top):
+            q_out.append(qid)
+            r_out.append(rank + 1)
+            v_out.append(vid)
+            s_out.append(s)
+    return pa.table({
+        "query_id": pa.array(q_out, pa.int64()),
+        "rank": pa.array(r_out, pa.int64()),
+        "vec_id": pa.array(v_out, pa.int64()),
+        "cosine": pa.array(s_out, pa.float64()),
+    })
+
+
+def default_centroids(
+    emb: "ray.data.Dataset",
+    n_cells: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer: the first ``n_cells`` vectors by
+    id, normalized. Arrow-filtered before collection so only n_cells
+    rows reach the driver. Derivable in SQL, which is what lets the
+    driver gate hash-oracle the whole IVF query path."""
+    import pyarrow.compute as pc
+
+    t = (emb.map_batches(
+            lambda t: t.filter(pc.less(t[id_col], n_cells)),
+            batch_format="pyarrow")
+         .to_pandas().sort_values(id_col))
+    return _normalize(np.stack(t[vec_col].to_numpy()).astype(np.float64))
+
+
+def train_centroids(
+    emb: "ray.data.Dataset",
+    n_cells: int = 16,
+    iters: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained distributed.
+
+    Each Lloyd round is ONE ``map_batches`` pass emitting per-cell
+    partial (sum-vector, count) rows — a combiner, so only
+    O(n_cells × dim × n_batches) floats reach the driver merge, never
+    the vectors. Init is the deterministic first-by-id quantizer;
+    empty cells keep their previous centroid."""
+    C = default_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    dim = C.shape[1]
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partial(t: pa.Table) -> pa.Table:
+            M = _normalize(np.stack(t.column(vec_col).to_pylist())
+                           .astype(np.float64))
+            Cm = ray.get(cref)
+            a = np.argmax(M @ Cm.T, axis=1)
+            order = np.argsort(a, kind="stable")
+            a_s = a[order]
+            idx = np.flatnonzero(np.concatenate(
+                ([True], a_s[1:] != a_s[:-1])))
+            sums = np.add.reduceat(M[order], idx, axis=0)
+            counts = np.diff(np.append(idx, len(a_s)))
+            return pa.table({
+                "cell": pa.array(a_s[idx], pa.int64()),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "cnt": pa.array(counts, pa.int64()),
+            })
+
+        parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros((n_cells, dim))
+        counts = np.zeros(n_cells, dtype=np.int64)
+        for cell, vsum, cnt in parts.itertuples(index=False):
+            sums[cell] += np.asarray(vsum)
+            counts[cell] += cnt
+        nonempty = counts > 0
+        C = C.copy()
+        C[nonempty] = _normalize(sums[nonempty])
+    return C
+
+
+def build_ivf_index(
+    emb: "ray.data.Dataset",
+    centroids: np.ndarray,
+    out_dir: str,
+    *,
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the inverted file: assign every vector to its
+    nearest-centroid cell (one broadcast matmul per batch) and write
+    Parquet partitioned by ``cell``. Queries then read ONLY their
+    probed cells' files — the corpus-size-independent query path."""
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(t: pa.Table) -> pa.Table:
+        M = _normalize(np.stack(t.column(vec_col).to_pylist())
+                       .astype(np.float64))
+        a = np.argmax(M @ ray.get(cref).T, axis=1)
+        # cell is both a data column (the query path reads it) and the
+        # partition key (write_parquet strips partition cols from the
+        # row data, so it is duplicated as `cellp` for the directory)
+        t = t.append_column("cell", pa.array(a, pa.int64()))
+        return t.append_column("cellp", pa.array(a, pa.int64()))
+
+    (emb.map_batches(assign, batch_format="pyarrow")
+        .write_parquet(out_dir, partition_cols=["cellp"]))
+    return out_dir
+
+
+def ivf_top_k(
+    emb,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "pa.Table":
+    """IVF-flat approximate cosine top-k. Same output schema as
+    ``brute_force_top_k``; approximate because only the union of each
+    query's ``n_probe`` nearest cells is scanned.
+
+    ``emb`` is either a Dataset (streaming path: every batch is
+    assigned on the fly and non-probed rows are masked out before the
+    matmul) or a ``build_ivf_index`` directory (pruned path: only the
+    probed cells' Parquet files are read at all). Both return
+    identical rows. ``centroids=None`` uses the deterministic
+    first-by-id quantizer so the result is SQL-oracle-able; pass
+    ``train_centroids(...)`` output for recall."""
+    import os
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    if centroids is None:
+        if not isinstance(emb, ray.data.Dataset):
+            raise ValueError("index path needs explicit centroids "
+                             "(pass the array used at build time)")
+        centroids = default_centroids(emb, n_cells, id_col=id_col,
+                                      vec_col=vec_col)
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+    n_probe = min(n_probe, C.shape[0])
+    # stable argsort == (cosine DESC, cid ASC) — matches the SQL twin
+    probe = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, :n_probe]
+    probed_cells = np.unique(probe)
+    state = ray.put((Q, C, probe))
+
+    if isinstance(emb, ray.data.Dataset):
+        ds = emb
+        has_cell = False
+    else:
+        # file-level pruning: only the probed cells' directories are
+        # ever opened — query I/O scales with the probed fraction
+        dirs = [os.path.join(emb, f"cellp={int(c)}")
+                for c in probed_cells]
+        paths = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+                 for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        if not paths:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            })
+        ds = ray.data.read_parquet(paths)
+        has_cell = True
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = (t.column(id_col).to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        M = _normalize(np.stack(t.column(vec_col).to_pylist())
+                       .astype(np.float64))
+        Qm, Cm, pr = ray.get(state)
+        if has_cell:
+            cell = (t.column("cell").to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        else:
+            cell = np.argmax(M @ Cm.T, axis=1)
+        q_out, v_out, s_out = [], [], []
+        for qi in range(Qm.shape[0]):
+            rows = np.flatnonzero(np.isin(cell, pr[qi]))
+            if len(rows) == 0:
+                continue
+            S = np.atleast_1d(Qm[qi] @ M[rows].T)
+            if len(rows) > k:
+                keep = np.argpartition(-S, k - 1)[:k]
+                rows, S = rows[keep], S[keep]
+            q_out.extend([qi] * len(rows))
+            v_out.extend(ids[rows].tolist())
+            s_out.extend(S.tolist())
+        return pa.table({
+            "query_id": pa.array(q_out, pa.int64()),
+            "vec_id": pa.array(v_out, pa.int64()),
+            "cosine": pa.array(s_out, pa.float64()),
+        })
+
+    cands = ds.map_batches(score, batch_format="pyarrow").take_all()
+    merged = _merge_topk(
+        ((r["query_id"], r["vec_id"], r["cosine"]) for r in cands), k)
     q_out, r_out, v_out, s_out = [], [], [], []
     for qid, top in merged:
         for rank, (vid, s) in enumerate(top):
