@@ -897,6 +897,59 @@ def q_text_langid(sf_dir: str):
     return out.to_pandas()[["doc_id", "lang_pred", "fingerprint"]]
 
 
+def q_text_decontaminate(sf_dir: str):
+    """Benchmark decontamination (ops/dedup.py decontaminate): every
+    20th document plays the benchmark suite; the rest are flagged when
+    they share any word-8-gram with it. Engine probes hashed grams
+    against a broadcast sorted array; the oracle re-derives the same
+    flags from literal gram strings (hash collisions are w.h.p. absent
+    at 64 bits), so this is fully hash-gated."""
+    import pyarrow.compute as pc
+
+    from wikilinks_ray.ops.dedup import decontaminate
+
+    _quiet()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(t, keep_bench):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (ids % 20) == 0
+        return t.filter(pa.array(m if keep_bench else ~m))
+
+    bench = docs.map_batches(lambda t: split(t, True),
+                             batch_format="pyarrow")
+    corpus = docs.map_batches(lambda t: split(t, False),
+                              batch_format="pyarrow")
+    return decontaminate(corpus, bench, k=8).to_pandas()
+
+
+def q_text_scrub_pii(sf_dir: str):
+    """PII redaction (ops/text.py scrub_pii). PII is planted
+    deterministically from doc_id on BOTH sides (the synthetic corpus
+    has none), then the engine must recover the clean text and per-kind
+    counts through the distributed scrub; the oracle applies the same
+    frozen RE2-compatible patterns with regexp_replace. Hash-gated."""
+    from wikilinks_ray.ops.text import scrub_pii
+
+    _quiet()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        planted = [
+            f"{x or ''} contact user{i}@mail.example.com from host "
+            f"10.0.{i % 256}.7 call +1 555 {i % 10000:04d}"
+            for i, x in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(planted, pa.string())})
+
+    out = scrub_pii(docs.map_batches(plant, batch_format="pyarrow"))
+    return out.to_pandas()[["doc_id", "text", "n_email", "n_ip",
+                            "n_phone"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "graph_edges": q_graph_edges,
@@ -940,6 +993,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": q_media_decode,
         "text_token_counts": q_text_token_counts,
         "text_langid": q_text_langid,
+        "text_decontaminate": q_text_decontaminate,
+        "text_scrub_pii": q_text_scrub_pii,
         "sample_mix": q_sample_mix,
         "pack_sequences": q_pack_sequences,
     }
@@ -1629,5 +1684,68 @@ def oracle_sql() -> dict[str, str]:
                         'was','were','be','been','it','this','that')))
                        * 1.0 / greatest(len(ts), 1), 6) AS stopword_ratio
             FROM toks
+        """,
+        # word-8-gram overlap vs the doc_id%20==0 "benchmark suite";
+        # docs shorter than 8 tokens contribute one whole-doc gram
+        # (mirrors _TokenHasher.shingles' min(k, n) rule)
+        "text_decontaminate": r"""
+            WITH tok AS MATERIALIZED (
+                SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+                FROM documents),
+            g AS MATERIALIZED (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+                         WHEN len(ts) <= 8 THEN [array_to_string(ts, ' ')]
+                         ELSE list_transform(range(1, len(ts) - 6),
+                              i -> array_to_string(ts[i:i+7], ' '))
+                    END) AS gram
+                FROM tok),
+            bg AS MATERIALIZED (
+                SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+            cont AS MATERIALIZED (
+                SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)
+                WHERE g.doc_id % 20 <> 0)
+            SELECT d.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
+            WHERE d.doc_id % 20 <> 0
+        """,
+        # same deterministic PII planting, same frozen RE2-safe
+        # patterns in the same order (email -> ip -> phone); counts are
+        # taken on each step's input exactly like re.subn
+        "text_scrub_pii": r"""
+            WITH planted AS MATERIALIZED (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@mail.example.com from host 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7 call +1 555 '
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            AS t0
+                FROM documents),
+            s1 AS MATERIALIZED (
+                SELECT doc_id,
+                       regexp_replace(t0,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1,
+                       len(regexp_extract_all(t0,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                           AS n_email
+                FROM planted),
+            s2 AS MATERIALIZED (
+                SELECT doc_id, n_email,
+                       regexp_replace(t1,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g') AS t2,
+                       len(regexp_extract_all(t1,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                           AS n_ip
+                FROM s1)
+            SELECT doc_id,
+                   regexp_replace(t2, '\+\d[\d\- ]{7,}\d',
+                                  '<PHONE>', 'g') AS text,
+                   n_email, n_ip,
+                   len(regexp_extract_all(t2, '\+\d[\d\- ]{7,}\d'))
+                       AS n_phone
+            FROM s2
         """,
     }

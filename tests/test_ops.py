@@ -684,3 +684,71 @@ def test_pack_sequences_semantics(ray_session):
     assert row["bin_offset"] == 0
     assert (df[(df["bucket"] == row["bucket"])
                & (df["bin"] == row["bin"])].shape[0]) == 1
+
+
+def test_decontaminate_flags_ngram_overlap(ray_session):
+    """Docs sharing an 8-gram with the benchmark are flagged; clean docs
+    are not; short docs only match exactly; drop mode keeps full rows."""
+    import ray.data as rd
+
+    from wikilinks_ray.ops.dedup import decontaminate
+
+    bench_text = ("the quick brown fox jumps over the lazy dog while "
+                  "seven wizards brew quartz potions at midnight")
+    rows = [
+        # verbatim 8-gram lift from the benchmark -> contaminated
+        {"doc_id": 0, "text": "intro " + bench_text + " outro"},
+        # partial lift shorter than 8 tokens -> clean
+        {"doc_id": 1, "text": "the quick brown fox jumps over distinct "
+                              "endings entirely unrelated here now"},
+        {"doc_id": 2, "text": "completely unrelated content about ray "
+                              "datasets and arrow batches streaming"},
+        # short doc, exact benchmark short doc -> contaminated
+        {"doc_id": 3, "text": "tiny snippet"},
+        # short doc, not in benchmark -> clean
+        {"doc_id": 4, "text": "other snippet"},
+        {"doc_id": 5, "text": ""},
+    ]
+    docs = rd.from_items(rows).repartition(2)
+    flags = {r["doc_id"]: r["contaminated"]
+             for r in decontaminate(docs, [bench_text, "tiny snippet"],
+                                    k=8).take_all()}
+    assert flags == {0: True, 1: False, 2: False, 3: True, 4: False,
+                     5: False}
+
+    kept = decontaminate(docs, [bench_text, "tiny snippet"], k=8,
+                         mode="drop").take_all()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2, 4, 5]
+    assert all("text" in r for r in kept)
+
+    # Dataset benchmark side == list benchmark side
+    bench_ds = rd.from_items([{"doc_id": 100, "text": bench_text},
+                              {"doc_id": 101, "text": "tiny snippet"}])
+    flags2 = {r["doc_id"]: r["contaminated"]
+              for r in decontaminate(docs, bench_ds, k=8).take_all()}
+    assert flags2 == flags
+
+
+def test_scrub_pii(ray_session):
+    import ray.data as rd
+
+    from wikilinks_ray.ops.text import scrub_pii
+
+    rows = [
+        {"doc_id": 0, "text": "mail bob.smith+x@corp.example.org now"},
+        {"doc_id": 1, "text": "server at 192.168.001.12 port 80"},
+        {"doc_id": 2, "text": "call +1 555 867 5309 or +44-20-7946-0958"},
+        {"doc_id": 3, "text": "nothing sensitive 3.14 here v1.2.3"},
+        {"doc_id": 4, "text": "a@b.io and 10.0.0.1 and +12 3456 7890"},
+        {"doc_id": 5, "text": ""},
+    ]
+    out = {r["doc_id"]: r for r in
+           scrub_pii(rd.from_items(rows).repartition(2)).take_all()}
+    assert out[0]["text"] == "mail <EMAIL> now"
+    assert out[0]["n_email"] == 1 and out[0]["n_ip"] == 0
+    assert out[1]["text"] == "server at <IP> port 80"
+    assert out[2]["text"] == "call <PHONE> or <PHONE>"
+    assert out[2]["n_phone"] == 2
+    assert out[3]["text"] == rows[3]["text"]  # version strings survive
+    assert out[4]["text"] == "<EMAIL> and <IP> and <PHONE>"
+    assert out[5]["text"] == ""

@@ -1,4 +1,5 @@
-from .text import TextAnalyzer, token_count_expr  # noqa: F401
+from .text import (PIIScrubber, TextAnalyzer, scrub_pii,  # noqa: F401
+                   token_count_expr)
 from .dedup import (  # noqa: F401
     exact_dedup_keep_min,
     ngram_jaccard_pairs,
@@ -6,6 +7,7 @@ from .dedup import (  # noqa: F401
     simhash_signatures,
     simhash_near_dup_pairs_ds,
     embedding_near_dup_pairs,
+    decontaminate,
 )
 from .similarity import (brute_force_top_k, build_ivf_index,  # noqa: F401
                          ivf_top_k, lsh_top_k, train_centroids)

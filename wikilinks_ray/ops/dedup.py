@@ -130,6 +130,119 @@ class ShingleSignatures:
         })
 
 
+def benchmark_gram_hashes(benchmark, k: int = 8, *,
+                          text_col: str = "text",
+                          concurrency: int = 2) -> np.ndarray:
+    """Sorted distinct word-k-gram hashes of a benchmark corpus.
+
+    ``benchmark`` is a Dataset or a plain list of strings. The result is
+    collected to the driver — the benchmark side of a decontamination
+    pass is small BY DEFINITION (eval suites are thousands of
+    documents, the corpus is the 100 TB side), which is exactly why the
+    right shape is broadcast-benchmark + stream-corpus rather than a
+    shuffle join on gram hashes."""
+    if isinstance(benchmark, (list, tuple)):
+        hasher = _TokenHasher()
+        parts = [hasher.shingles(_WORD_RE.findall((t or "").lower()), k)
+                 for t in benchmark]
+        parts = [p for p in parts if len(p)]
+        return (np.unique(np.concatenate(parts)) if parts
+                else np.empty(0, np.uint64))
+
+    def grams(t: pa.Table) -> pa.Table:
+        hasher = _TokenHasher()
+        parts = [hasher.shingles(_WORD_RE.findall((x or "").lower()), k)
+                 for x in t.column(text_col).to_pylist()]
+        parts = [p for p in parts if len(p)]
+        u = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, np.uint64))
+        return pa.table({"gram": pa.array(u, pa.uint64())})
+
+    got = benchmark.map_batches(grams, batch_format="pyarrow",
+                                concurrency=concurrency).take_all()
+    if not got:
+        return np.empty(0, np.uint64)
+    return np.unique(np.fromiter((r["gram"] for r in got),
+                                 dtype=np.uint64, count=len(got)))
+
+
+class _ContaminationFlagger:
+    """Per-doc any-gram-in-benchmark membership via searchsorted on the
+    broadcast sorted benchmark gram array. A callable INSTANCE (task
+    pool, like ShingleSignatures) — an actor pool sized near the CPU
+    count can starve the read stage on small machines; the benchmark
+    array travels as an object ref and is ray.get (zero-copy) per
+    task."""
+
+    def __init__(self, bench_ref, k: int, id_col: str, text_col: str):
+        self.bench_ref = bench_ref
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+        self.hasher = _TokenHasher()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bench = ray.get(self.bench_ref)  # sorted uint64, zero-copy
+        flags = []
+        for x in t.column(self.text_col).to_pylist():
+            sh = self.hasher.shingles(
+                _WORD_RE.findall((x or "").lower()), self.k)
+            if len(sh) == 0 or len(bench) == 0:
+                flags.append(False)
+                continue
+            idx = np.searchsorted(bench, sh)
+            idx[idx == len(bench)] = len(bench) - 1
+            flags.append(bool(np.any(bench[idx] == sh)))
+        return pa.table({
+            self.id_col: t.column(self.id_col),
+            "contaminated": pa.array(flags, pa.bool_()),
+        })
+
+
+class _CleanFilter(_ContaminationFlagger):
+    """mode="drop": pass through only uncontaminated full rows."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        f = (super().__call__(t).column("contaminated")
+             .to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(~f))
+
+
+def decontaminate(
+    docs: "ray.data.Dataset",
+    benchmark,
+    *,
+    k: int = 8,
+    mode: str = "flag",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Benchmark decontamination: a document is contaminated when it
+    shares at least one word-k-gram with the benchmark corpus (the
+    standard n-gram-overlap eval-leak check; k=8 is the usual window
+    for verbatim leakage).
+
+    ``mode="flag"`` returns (id_col, contaminated); ``mode="drop"``
+    returns the surviving full rows. The benchmark gram set is hashed
+    once, sorted, broadcast via ``ray.put`` and probed per batch with
+    ``searchsorted`` — one streaming pass over the corpus, no shuffle,
+    no benchmark re-ship per batch. Documents shorter than k tokens
+    hash as one whole-document gram (same rule as the dedup shingles),
+    so a short doc is flagged only on an exact short-doc match."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be flag|drop, got {mode!r}")
+    bench = benchmark_gram_hashes(benchmark, k, text_col=text_col)
+    bref = ray.put(bench)
+    if mode == "flag":
+        return docs.map_batches(
+            _ContaminationFlagger(bref, k, id_col, text_col),
+            batch_format="pyarrow", concurrency=concurrency)
+    return docs.map_batches(
+        _CleanFilter(bref, k, id_col, text_col),
+        batch_format="pyarrow", concurrency=concurrency)
+
+
 def ngram_jaccard_pairs(
     docs: "ray.data.Dataset",
     *,

@@ -106,3 +106,58 @@ class TextAnalyzer:
                   .append_column("quality_score", pa.array(q, pa.float64())) \
                   .append_column("lang_pred", pa.array(lp, pa.string())) \
                   .append_column("fingerprint", pa.array(fp, pa.uint64()))
+
+
+# --- PII scrubbing ---------------------------------------------------
+#
+# Patterns are frozen to the RE2-compatible subset (no backrefs, no
+# lookaround) so the DuckDB oracle's regexp_replace(..., 'g') applies
+# byte-identical rewrites. Replacement order matters and is fixed:
+# emails first (their local parts contain dots and digits an IP/phone
+# pattern could chew on), then IPs, then phones.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+class PIIScrubber:
+    """Redact emails / IPv4 addresses / international-format phone
+    numbers from a text column. Passed as a callable instance (task
+    pool — compiled patterns ship once in the transform spec); each
+    batch is one pass of C-speed ``re.subn`` per pattern. Emits the scrubbed text plus a per-kind redaction count so
+    downstream filters can drop PII-dense documents instead of just
+    masking them."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.pats = [(name, re.compile(p), repl)
+                     for name, p, repl in PII_PATTERNS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        clean = []
+        counts: dict[str, list[int]] = {name: [] for name, _, _ in self.pats}
+        for text in texts:
+            t = text or ""
+            for name, pat, repl in self.pats:
+                t, n = pat.subn(repl, t)
+                counts[name].append(n)
+            clean.append(t)
+        out = batch.drop_columns([self.text_col])
+        out = out.append_column(self.text_col, pa.array(clean, pa.string()))
+        for name, _, _ in self.pats:
+            out = out.append_column(f"n_{name}",
+                                    pa.array(counts[name], pa.int64()))
+        return out
+
+
+def scrub_pii(docs, *, text_col: str = "text",
+              concurrency: int = 4):
+    """Distributed PII redaction over a documents Dataset; see
+    :class:`PIIScrubber` for the frozen patterns and column contract."""
+    return docs.map_batches(PIIScrubber(text_col=text_col),
+                            batch_format="pyarrow",
+                            concurrency=concurrency)
