@@ -923,6 +923,19 @@ def q_text_decontaminate(sf_dir: str):
     return decontaminate(corpus, bench, k=8).to_pandas()
 
 
+def q_text_repetition(sf_dir: str):
+    """Intra-document repetition fractions (ops/text.py
+    RepetitionStats): share of word 2-grams / 3-grams that repeat an
+    earlier gram of the same document. Engine compares rolling-hash
+    grams; the oracle compares literal gram strings — identical w.h.p.
+    at 64 bits, so hash-gated."""
+    from wikilinks_ray.ops.text import repetition_stats
+
+    _quiet()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_stats(docs).to_pandas()
+
+
 def q_text_scrub_pii(sf_dir: str):
     """PII redaction (ops/text.py scrub_pii). PII is planted
     deterministically from doc_id on BOTH sides (the synthetic corpus
@@ -994,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_counts": q_text_token_counts,
         "text_langid": q_text_langid,
         "text_decontaminate": q_text_decontaminate,
+        "text_repetition": q_text_repetition,
         "text_scrub_pii": q_text_scrub_pii,
         "sample_mix": q_sample_mix,
         "pack_sequences": q_pack_sequences,
@@ -1684,6 +1698,32 @@ def oracle_sql() -> dict[str, str]:
                         'was','were','be','been','it','this','that')))
                        * 1.0 / greatest(len(ts), 1), 6) AS stopword_ratio
             FROM toks
+        """,
+        # repeat-gram fraction = 1 - distinct/total per document; the
+        # same float64 expression (int/int divide, subtract, round 6)
+        # on both sides
+        "text_repetition": r"""
+            WITH tok AS MATERIALIZED (
+                SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+                FROM documents),
+            g AS MATERIALIZED (
+                SELECT doc_id,
+                       CASE WHEN len(ts) < 2 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(ts)),
+                                 i -> ts[i] || ' ' || ts[i+1]) END AS g2,
+                       CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(ts) - 1),
+                                 i -> ts[i] || ' ' || ts[i+1] || ' '
+                                      || ts[i+2]) END AS g3
+                FROM tok)
+            SELECT doc_id,
+                   CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+                        round(1.0 - len(list_distinct(g2)) * 1.0 / len(g2),
+                              6) END AS dup_2gram_frac,
+                   CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+                        round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3),
+                              6) END AS dup_3gram_frac
+            FROM g
         """,
         # word-8-gram overlap vs the doc_id%20==0 "benchmark suite";
         # docs shorter than 8 tokens contribute one whole-doc gram

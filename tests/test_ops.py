@@ -752,3 +752,30 @@ def test_scrub_pii(ray_session):
     assert out[3]["text"] == rows[3]["text"]  # version strings survive
     assert out[4]["text"] == "<EMAIL> and <IP> and <PHONE>"
     assert out[5]["text"] == ""
+
+
+def test_repetition_stats(ray_session):
+    import ray.data as rd
+
+    from wikilinks_ray.ops.text import repetition_stats
+
+    rows = [
+        {"doc_id": 0, "text": "a b a b"},      # g2 [ab,ba,ab] -> 1/3 dup
+        {"doc_id": 1, "text": "x y z"},        # no repeats
+        {"doc_id": 2, "text": "w w w w w"},    # all grams identical
+        {"doc_id": 3, "text": "solo"},         # < 2 tokens
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": "p q r p q r p q r"},
+    ]
+    out = {r["doc_id"]: r for r in
+           repetition_stats(rd.from_items(rows).repartition(2)).take_all()}
+    assert out[0]["dup_2gram_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert out[0]["dup_3gram_frac"] == 0.0  # aba, bab distinct
+    assert out[1]["dup_2gram_frac"] == 0.0
+    assert out[2]["dup_2gram_frac"] == pytest.approx(1 - 1 / 4, abs=1e-6)
+    assert out[2]["dup_3gram_frac"] == pytest.approx(1 - 1 / 3, abs=1e-6)
+    assert out[3]["dup_2gram_frac"] == 0.0
+    assert out[4]["dup_2gram_frac"] == 0.0
+    # p q r x3: 8 2-grams, 3 distinct; 7 3-grams, 3 distinct
+    assert out[5]["dup_2gram_frac"] == pytest.approx(1 - 3 / 8, abs=1e-6)
+    assert out[5]["dup_3gram_frac"] == pytest.approx(1 - 3 / 7, abs=1e-6)

@@ -161,3 +161,54 @@ def scrub_pii(docs, *, text_col: str = "text",
     return docs.map_batches(PIIScrubber(text_col=text_col),
                             batch_format="pyarrow",
                             concurrency=concurrency)
+
+
+# --- intra-document repetition ---------------------------------------
+
+class RepetitionStats:
+    """Per-document repetition signals used by web-scale quality
+    filters: the fraction of word 2-grams / 3-grams that are repeats of
+    an earlier gram in the same document (0 = no repetition, ->1 =
+    loops/boilerplate). Grams are compared by 64-bit rolling-polynomial
+    hashes of md5 token hashes (equal strings collide, unequal don't,
+    w.h.p.) — one vectorized pass per document, no gram strings built.
+    Callable instance (task pool); the token-hash cache rides along."""
+
+    def __init__(self, text_col: str = "text"):
+        from .dedup import _POLY, _TokenHasher, _WORD_RE
+
+        self.text_col = text_col
+        self.hasher = _TokenHasher()
+        self.poly = _POLY
+        self.word_re = _WORD_RE
+
+    def _dup_frac(self, h: np.ndarray, k: int) -> float:
+        n = len(h)
+        if n < k:
+            return 0.0
+        g = h[:n - k + 1].copy()
+        for j in range(1, k):
+            g = g * self.poly + h[j:j + n - k + 1]
+        return float(np.round(1.0 - len(np.unique(g)) / len(g), 6))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        f2, f3 = [], []
+        for text in batch.column(self.text_col).to_pylist():
+            toks = self.word_re.findall((text or "").lower())
+            h = self.hasher.token_hashes(toks)
+            f2.append(self._dup_frac(h, 2))
+            f3.append(self._dup_frac(h, 3))
+        return pa.table({
+            "doc_id": ids,
+            "dup_2gram_frac": pa.array(f2, pa.float64()),
+            "dup_3gram_frac": pa.array(f3, pa.float64()),
+        })
+
+
+def repetition_stats(docs, *, text_col: str = "text",
+                     concurrency: int = 4):
+    """Distributed repetition scoring; see :class:`RepetitionStats`."""
+    return docs.map_batches(RepetitionStats(text_col=text_col),
+                            batch_format="pyarrow",
+                            concurrency=concurrency)
