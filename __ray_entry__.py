@@ -716,6 +716,21 @@ def q_dedup_simhash_pairs(sf_dir: str):
     return simhash_near_dup_pairs_ds(sigs, max_hamming=8)
 
 
+def q_dedup_spans(sf_dir: str):
+    """Exact-substring duplicated spans (ops/dedup.py duplicate_spans,
+    the ExactSubstr pass of Lee et al. 2022 via hashed 8-gram posting
+    lists): maximal token intervals covered by a word-8-gram that
+    occurs at >= 2 sites anywhere in the corpus. Engine flags gram
+    sites by rolling hash; the oracle rebuilds literal gram strings and
+    merges islands with window functions — identical w.h.p. at 64 bits,
+    so hash-gated."""
+    from wikilinks_ray.ops.dedup import duplicate_spans
+
+    _quiet()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_spans(docs, k=8).to_pandas()
+
+
 def q_embedding_near_dups(sf_dir: str):
     # threshold 0.45: the synthetic embeddings have no true near-dups
     # (max pairwise cosine ≈ 0.51), so a production-style 0.9 threshold
@@ -998,6 +1013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_spans": q_dedup_spans,
         "embedding_near_dups": q_embedding_near_dups,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
@@ -1600,6 +1616,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        # literal 8-gram strings, HAVING count(*)>=2 over ALL sites
+        # (cross-doc and within-doc), gaps-and-islands merge with the
+        # same break rule as the engine (gap > k starts a new span)
+        "dedup_spans": r"""
+            WITH tok AS MATERIALIZED (
+                SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+                FROM documents),
+            g AS MATERIALIZED (
+                SELECT doc_id, i - 1 AS pos,
+                       array_to_string(list_slice(ts, i, i + 7), ' ') AS gram
+                FROM tok, UNNEST(range(1, greatest(len(ts) - 8 + 2, 1))) AS u(i)
+                WHERE len(ts) >= 8),
+            dup AS MATERIALIZED (
+                SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            sites AS MATERIALIZED (
+                SELECT doc_id, pos FROM g
+                WHERE gram IN (SELECT gram FROM dup)),
+            marked AS MATERIALIZED (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w > 8
+                            THEN 1 ELSE 0 END AS brk
+                FROM sites WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            isl AS MATERIALIZED (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM marked)
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+            FROM isl GROUP BY doc_id, grp
         """,
         "embedding_near_dups": """
             SELECT e1.vec_id AS a, e2.vec_id AS b

@@ -779,3 +779,28 @@ def test_repetition_stats(ray_session):
     # p q r x3: 8 2-grams, 3 distinct; 7 3-grams, 3 distinct
     assert out[5]["dup_2gram_frac"] == pytest.approx(1 - 3 / 8, abs=1e-6)
     assert out[5]["dup_3gram_frac"] == pytest.approx(1 - 3 / 7, abs=1e-6)
+
+
+def test_duplicate_spans(ray_session):
+    import ray.data as rd
+
+    from wikilinks_ray.ops.dedup import duplicate_spans
+
+    rows = [
+        {"doc_id": 0, "text": "one two three four five"},
+        {"doc_id": 1, "text": "zz one two three qq"},   # shares one gram w/ 0
+        {"doc_id": 2, "text": "one two three four five"},  # exact copy of 0
+        {"doc_id": 3, "text": "a b"},                   # < k tokens: nothing
+        {"doc_id": 4, "text": "p q r p q r"},           # within-doc repeat
+        {"doc_id": 5, "text": "m n o x1 x2 x3 x4 m n o"},  # far repeat: 2 spans
+    ]
+    out = duplicate_spans(rd.from_items(rows).repartition(3), k=3,
+                          num_buckets=4).take_all()
+    got = sorted((r["doc_id"], r["span_start"], r["span_end"]) for r in out)
+    assert got == [
+        (0, 0, 5),   # every gram of 0 repeats in 2 -> one maximal span
+        (1, 1, 4),   # just "one two three"
+        (2, 0, 5),
+        (4, 0, 6),   # "p q r" at 0 and 3: gap 3 == k merges into one span
+        (5, 0, 3), (5, 7, 10),  # gap 7 > k stays two spans
+    ]

@@ -827,3 +827,148 @@ def _near_dup_pairs_lsh(emb, threshold, id_col, vec_col,
     # a pair can collide in several tables — grouped-max dedups (cosine
     # is identical each time; max is just the dedup reducer)
     return grouped_agg(cand, ["a", "b"], "cosine", "max", out_col="cosine")
+
+
+# --- exact-substring (duplicated-span) detection ----------------------
+
+class GramSites:
+    """documents -> one row per word-k-gram OCCURRENCE: (gram, doc_id,
+    pos). Unlike :class:`ShingleSignatures` this keeps positions and
+    duplicates (the span detector needs every site, not the distinct
+    set) and is STRICT about k — documents shorter than k tokens emit
+    nothing (they cannot contain a k-token span)."""
+
+    def __init__(self, k: int, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+        self.hasher = _TokenHasher()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        k = self.k
+        ids = t.column(self.id_col).to_pylist()
+        out_g, out_d, out_p = [], [], []
+        for i, text in zip(ids, t.column(self.text_col).to_pylist()):
+            h = self.hasher.token_hashes(
+                _WORD_RE.findall((text or "").lower()))
+            n = len(h)
+            if n < k:
+                continue
+            g = h[:n - k + 1].copy()
+            for j in range(1, k):
+                g = g * _POLY + h[j:j + n - k + 1]
+            out_g.append(g)
+            out_d.append(np.full(len(g), i, dtype=np.int64))
+            out_p.append(np.arange(len(g), dtype=np.int64))
+        if not out_g:
+            return pa.table({"gram": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        return pa.table({
+            "gram": pa.array(np.concatenate(out_g), pa.uint64()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "pos": pa.array(np.concatenate(out_p), pa.int64()),
+        })
+
+
+def duplicate_spans(
+    docs: "ray.data.Dataset",
+    *,
+    k: int = 8,
+    min_sites: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Exact-substring duplicate detection (the ExactSubstr pass of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", 2022, done with hashed k-gram posting lists instead of a
+    suffix array): find every maximal token span that is part of some
+    word-k-gram occurring at >= ``min_sites`` sites anywhere in the
+    corpus (across documents or repeated within one), i.e. the spans an
+    ExactSubstr-style cleaner would cut.
+
+    Returns (doc_id, span_start, span_end): token-index intervals
+    [start, end) per document, overlapping/adjacent duplicated grams
+    merged into maximal spans.
+
+    Plan — two bucketed passes, no pair generation anywhere (unlike
+    near-dup Jaccard this needs only the per-gram site COUNT, so the
+    O(m^2) posting-list blowup never exists and no stop-gram cap is
+    needed):
+
+    1. gram sites (one row per token position, 24 B/row — the honest
+       O(corpus tokens) cost of the exact algorithm; the text itself
+       never shuffles) -> hash-bucket by gram -> per bucket, sort by
+       gram and keep rows of runs with >= min_sites sites;
+    2. surviving (doc_id, pos) rows -> hash-bucket by doc_id -> per
+       bucket, sort by (doc, pos) and merge sites into maximal spans
+       with the vectorized gaps-and-islands kernel (break when
+       pos - prev_pos > k).
+
+    Both buckets scale by raising ``num_buckets`` (a bucket holds
+    ~tokens/num_buckets rows, independent of skew: a gram repeated a
+    billion times is still just counted, never paired)."""
+    from ..stages.agg import _bucket_of
+
+    sites = docs.map_batches(
+        GramSites(k, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def part_by_gram(t: pa.Table) -> pa.Table:
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        return t.append_column("__part", pa.array(
+            _bucket_of(g.astype(np.int64), num_buckets=num_buckets)))
+
+    def bucket_dup_sites(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["gram"].to_numpy().astype(np.uint64)
+        d = g["doc_id"].to_numpy().astype(np.int64)
+        p = g["pos"].to_numpy().astype(np.int64)
+        order = np.argsort(s, kind="stable")
+        s_s = s[order]
+        n = len(s_s)
+        if n == 0:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "pos": np.empty(0, np.int64)})
+        new = np.concatenate(([True], s_s[1:] != s_s[:-1]))
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        keep = run_len[run_id] >= min_sites
+        idx = order[keep]
+        return pd.DataFrame({"doc_id": d[idx], "pos": p[idx]})
+
+    dup_sites = (sites.map_batches(part_by_gram, batch_format="pyarrow")
+                 .groupby("__part")
+                 .map_groups(bucket_dup_sites, batch_format="pandas"))
+
+    def part_by_doc(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("__part", pa.array(
+            _bucket_of(d.astype(np.int64), num_buckets=num_buckets)))
+
+    def bucket_spans(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["doc_id"].to_numpy().astype(np.int64)
+        p = g["pos"].to_numpy().astype(np.int64)
+        order = np.lexsort((p, d))
+        d_s, p_s = d[order], p[order]
+        n = len(d_s)
+        if n == 0:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "span_start": np.empty(0, np.int64),
+                                 "span_end": np.empty(0, np.int64)})
+        # islands: a site extends the current span unless the doc
+        # changes or the gap exceeds k (intervals [p, p+k) overlap or
+        # touch exactly when next_p - prev_p <= k)
+        brk = np.concatenate(([True], (d_s[1:] != d_s[:-1])
+                              | (p_s[1:] - p_s[:-1] > k)))
+        first = np.flatnonzero(brk)
+        last = np.concatenate((first[1:], [n])) - 1
+        return pd.DataFrame({"doc_id": d_s[first],
+                             "span_start": p_s[first],
+                             "span_end": p_s[last] + k})
+
+    return (dup_sites.map_batches(part_by_doc, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(bucket_spans, batch_format="pandas"))
