@@ -889,11 +889,11 @@ def q_pack_sequences(sf_dir: str):
 
 
 def q_text_token_counts(sf_dir: str):
-    from wikilinks_ray.ops.text import TextAnalyzer
+    from wikilinks_ray.ops.text import analyze_text
 
     _quiet()
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = docs.map_batches(TextAnalyzer, batch_format="pyarrow", concurrency=2)
+    out = docs.map_batches(analyze_text, batch_format="pyarrow", concurrency=2)
     df = out.to_pandas()[["doc_id", "token_count", "stopword_ratio"]]
     df["stopword_ratio"] = df["stopword_ratio"].round(6)
     return df
@@ -904,11 +904,11 @@ def q_text_langid(sf_dir: str):
     SQL-expressible (regex character classes; md5_number_upper equals
     the engine's little-endian first-8-bytes md5), so this is fully
     oracle-gated."""
-    from wikilinks_ray.ops.text import TextAnalyzer
+    from wikilinks_ray.ops.text import analyze_text
 
     _quiet()
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = docs.map_batches(TextAnalyzer, batch_format="pyarrow", concurrency=2)
+    out = docs.map_batches(analyze_text, batch_format="pyarrow", concurrency=2)
     return out.to_pandas()[["doc_id", "lang_pred", "fingerprint"]]
 
 

@@ -41,7 +41,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     from wikilinks_ray.ops.dedup import ngram_jaccard_pairs
     from wikilinks_ray.ops.similarity import brute_force_top_k
-    from wikilinks_ray.ops.text import TextAnalyzer
+    from wikilinks_ray.ops.text import analyze_text
     from wikilinks_ray.pipelines.bfs import multi_source_bfs
     from wikilinks_ray.pipelines.build import build_graph
     from wikilinks_ray.pipelines.components import connected_components, symmetrize_edges
@@ -142,7 +142,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timings["dedup_ngram_jaccard"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    docs.map_batches(TextAnalyzer, batch_format="pyarrow",
+    docs.map_batches(analyze_text, batch_format="pyarrow",
                      concurrency=max(2, num_cpus // 2)).count()
     timings["text_analysis"] = time.perf_counter() - t0
 

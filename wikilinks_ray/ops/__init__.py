@@ -1,5 +1,5 @@
-from .text import (PIIScrubber, TextAnalyzer, scrub_pii,  # noqa: F401
-                   token_count_expr)
+from .text import (PIIScrubber, TextAnalyzer, analyze_text,  # noqa: F401
+                   scrub_pii, token_count_expr)
 from .dedup import (  # noqa: F401
     exact_dedup_keep_min,
     ngram_jaccard_pairs,

@@ -547,8 +547,22 @@ class SimHasher:
                          "simhash": pa.array(out, pa.uint64())})
 
 
+_SIMHASHER: SimHasher | None = None
+
+
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool form of :class:`SimHasher`: lazily-built per-worker
+    singleton keeps the token-md5 cache alive across tasks in the same
+    worker process while tasks retry from lineage instead of depending
+    on an object-store copy of actor constructor args (ray#53727)."""
+    global _SIMHASHER
+    if _SIMHASHER is None:
+        _SIMHASHER = SimHasher()
+    return _SIMHASHER(batch)
+
+
 def simhash_signatures(docs: "ray.data.Dataset", *, concurrency: int = 4) -> "ray.data.Dataset":
-    return docs.map_batches(SimHasher, batch_format="pyarrow",
+    return docs.map_batches(_simhash_batch, batch_format="pyarrow",
                             concurrency=concurrency)
 
 
