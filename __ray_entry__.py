@@ -166,6 +166,24 @@ def q_graph_pagerank(sf_dir: str):
                              "pagerank_scaled": ranks[g.vertices]})
 
 
+def q_graph_ppr(sf_dir: str):
+    """EXACT-match personalized PageRank (random walk with restart):
+    20 fixed iterations in scaled int64 arithmetic, teleport + dangling
+    mass restricted to the seed set = the 8 smallest vertex ids. Same
+    distributed scatter as graph_pagerank (the combiner exchange is
+    personalization-agnostic); the seed-aware reducer is what's under
+    the value-hash gate here."""
+    from wikilinks_ray.pipelines.derived import DerivedGraph
+    from wikilinks_ray.pipelines.pagerank import personalized_pagerank_int
+
+    _quiet()
+    with DerivedGraph(sf_dir, num_shards=4) as g:
+        seeds = g.vertices[:8]
+        ranks = personalized_pagerank_int(g.actors, g.n, seeds, iters=20)
+        return pd.DataFrame({"vertex": g.vertices,
+                             "ppr_scaled": ranks[g.vertices]})
+
+
 def q_graph_labelprop(sf_dir: str):
     """Rows-only (deterministic; exactness pinned by pytest oracle)."""
     from wikilinks_ray.pipelines.derived import DerivedGraph
@@ -987,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": q_graph_triangles,
         "graph_bfs": q_graph_bfs,
         "graph_pagerank": q_graph_pagerank,
+        "graph_ppr": q_graph_ppr,
         "graph_labelprop": q_graph_labelprop,
         "graph_kcore": q_graph_kcore,
         "wiki_vertices": q_wiki_vertices,
@@ -1104,6 +1123,46 @@ def _pagerank_oracle_sql(iters: int = 20, scale: int = 10**12) -> str:
             f"FROM verts v LEFT JOIN s{k} s ON s.v = v.v)")
     return ("WITH " + ",\n".join(ctes) +
             f"\nSELECT v AS vertex, r AS pagerank_scaled FROM pr{iters} "
+            "WHERE v IN (SELECT v FROM pverts)")
+
+
+def _ppr_oracle_sql(iters: int = 20, scale: int = 10**12,
+                    n_seeds: int = 8) -> str:
+    """SQL twin of pipelines.pagerank.personalized_pagerank_int: the
+    pagerank recurrence with teleport + dangling mass restricted to the
+    seed set (the ``n_seeds`` smallest vertex ids present in the edge
+    table), unrolled into chained CTEs of BIGINT floor arithmetic."""
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "maxv AS MATERIALIZED (SELECT max(greatest(src, dst))::BIGINT AS m FROM edges)",
+        "verts AS MATERIALIZED (SELECT unnest(generate_series(0, (SELECT m FROM maxv))) AS v)",
+        "outdeg AS MATERIALIZED (SELECT src AS v, count(*)::BIGINT AS deg FROM edges GROUP BY src)",
+        "pverts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges UNION SELECT DISTINCT dst FROM edges)",
+        f"seeds AS MATERIALIZED (SELECT v FROM pverts ORDER BY v LIMIT {n_seeds})",
+        "ns AS MATERIALIZED (SELECT count(*)::BIGINT AS k FROM seeds)",
+        f"pr0 AS MATERIALIZED (SELECT v.v, CASE WHEN s.v IS NOT NULL "
+        f"THEN {scale}::BIGINT // (SELECT k FROM ns) ELSE 0::BIGINT END AS r "
+        f"FROM verts v LEFT JOIN seeds s ON s.v = v.v)",
+    ]
+    k_ = "(SELECT k FROM ns)"
+    for k in range(1, iters + 1):
+        p = f"pr{k - 1}"
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(p.r), 0)::BIGINT AS dm FROM {p} p "
+            f"LEFT JOIN outdeg o ON p.v = o.v WHERE o.v IS NULL)")
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT e.dst AS v, sum(p.r // o.deg)::BIGINT AS s "
+            f"FROM edges e JOIN {p} p ON e.src = p.v "
+            f"JOIN outdeg o ON o.v = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"pr{k} AS MATERIALIZED (SELECT v.v, CASE WHEN sd.v IS NOT NULL THEN "
+            f"(15::BIGINT * {scale}::BIGINT) // (100::BIGINT * {k_}) "
+            f"+ (85::BIGINT * (coalesce(s.s, 0)::BIGINT + (SELECT dm FROM d{k}) // {k_})) // 100::BIGINT "
+            f"ELSE (85::BIGINT * coalesce(s.s, 0)::BIGINT) // 100::BIGINT END AS r "
+            f"FROM verts v LEFT JOIN s{k} s ON s.v = v.v "
+            f"LEFT JOIN seeds sd ON sd.v = v.v)")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT v AS vertex, r AS ppr_scaled FROM pr{iters} "
             "WHERE v IN (SELECT v FROM pverts)")
 
 
@@ -1333,6 +1392,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT in_degree, count(*) AS n_vertices FROM ind GROUP BY in_degree
         """,
         "graph_pagerank": _pagerank_oracle_sql(iters=20),
+        "graph_ppr": _ppr_oracle_sql(iters=20),
         "graph_kcore": _kcore_oracle_sql(k=30, rounds=48),
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "similarity_lsh": _similarity_lsh_oracle_sql(),

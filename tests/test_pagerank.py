@@ -237,3 +237,49 @@ def test_sparse_partial_transport_matches_dense(ray_session, tmp_path):
     assert isinstance(half, np.ndarray)
     sp = pack_partial(np.arange(4), np.ones(4), 10)
     assert isinstance(sp, tuple)
+
+
+def test_personalized_pagerank_int_exact_vs_dense(graph_actors):
+    """PPR (random walk with restart): the distributed seed-aware
+    reducer reproduces a driver-side integer recurrence bit-for-bit,
+    and restricting teleport to the seeds concentrates mass on them."""
+    from wikilinks_ray.pipelines.pagerank import (pagerank_int,
+                                                  personalized_pagerank_int)
+
+    actors, n, res = graph_actors
+    scale, iters = 10**12, 20
+    seeds = np.array([0, 1, 5], dtype=np.int64)
+    got = personalized_pagerank_int(actors, n, seeds, iters=iters,
+                                    scale=scale)
+
+    ep = res.edges().to_pandas()
+    src = ep["src"].to_numpy().astype(np.int64)
+    dst = ep["dst"].to_numpy().astype(np.int64)
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, src, 1)
+    n_s = len(seeds)
+    r = np.zeros(n, dtype=np.int64)
+    r[seeds] = scale // n_s
+    base = (15 * scale) // (100 * n_s)
+    is_seed = np.zeros(n, dtype=bool)
+    is_seed[seeds] = True
+    for _ in range(iters):
+        contrib = np.zeros(n, dtype=np.int64)
+        nz = deg > 0
+        contrib[nz] = r[nz] // deg[nz]
+        dangling = int(r[~nz].sum())
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, dst, contrib[src])
+        r = (85 * s) // 100
+        r[is_seed] = base + (85 * (s[is_seed] + dangling // n_s)) // 100
+    assert (got == r).all()
+
+    # personalization semantics: seed mass exceeds the uniform case's,
+    # and total mass stays ~scale (floor-division leakage only)
+    uni = pagerank_int(actors, n, iters=iters, scale=scale)
+    assert got[seeds].sum() > uni[seeds].sum()
+    assert 0.9 * scale < got.sum() <= scale
+
+    # degenerate seed set is rejected
+    with pytest.raises(ValueError):
+        personalized_pagerank_int(actors, n, np.array([], dtype=np.int64))

@@ -62,6 +62,76 @@ def _reduce_rank_int(q_size: int, n: int, n_shards: int, scale: int,
     return base + (85 * (acc + dangling // n)) // 100
 
 
+@ray.remote
+def _reduce_ppr_int(q_size: int, n_seeds: int, n_shards: int, scale: int,
+                    seed_idx: np.ndarray, *dangling_and_partials
+                    ) -> np.ndarray:
+    """Personalized variant of ``_reduce_rank_int``: teleport AND
+    dangling mass land only on the seed set (``seed_idx`` = range-local
+    offsets of seeds inside this dst range), everything else receives
+    pure link mass. Same order-independent int64 arithmetic."""
+    dangling = int(sum(dangling_and_partials[:n_shards]))
+    acc = np.zeros(q_size, dtype=np.int64)
+    for p in dangling_and_partials[n_shards:]:
+        accum_sum(acc, p)
+    out = (85 * acc) // 100
+    if len(seed_idx):
+        base = (15 * scale) // (100 * n_seeds)
+        out[seed_idx] = base + (85 * (acc[seed_idx]
+                                      + dangling // n_seeds)) // 100
+    return out
+
+
+def personalized_pagerank_int(actors: list, n_vertices: int,
+                              seeds: np.ndarray, *, iters: int = 20,
+                              scale: int = 10**12) -> np.ndarray:
+    """Fixed-iteration personalized PageRank (random walk with restart
+    to a seed set) in scaled int64 arithmetic. Per superstep::
+
+        c[u]  = r[u] // out_deg[u]
+        D     = sum(r[u] for out_deg[u] == 0)
+        r'[v] = [v in S] * ( (15*scale) // (100*|S|)
+                             + (85 * (S_in[v] + D // |S|)) // 100 )
+              + [v not in S] * (85 * S_in[v]) // 100
+
+    i.e. the uniform-teleport terms of :func:`pagerank_int` restricted
+    to the seed set — the standard RWR formulation. Reuses the exact
+    same ``scatter_int`` combiner exchange (the scatter side is
+    personalization-agnostic); only the reducer differs. Every op is
+    order-independent integer arithmetic, so the DuckDB oracle
+    (``__ray_entry__._ppr_oracle_sql``) reproduces identical integers.
+
+    ``seeds`` must be unique vertex ids in ``[0, n_vertices)``.
+    """
+    P = len(actors)
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    n_s = len(seeds)
+    if n_s == 0:
+        raise ValueError("personalized PageRank needs a non-empty seed set")
+    bounds = vertex_ranges(n_vertices, P)
+    sizes = [int(bounds[p + 1] - bounds[p]) for p in range(P)]
+    r0 = [np.zeros(sizes[p], dtype=np.int64) for p in range(P)]
+    seed_idx_refs = []
+    for p in range(P):
+        lo, hi = int(bounds[p]), int(bounds[p + 1])
+        local = seeds[(seeds >= lo) & (seeds < hi)] - lo
+        r0[p][local] = scale // n_s
+        seed_idx_refs.append(ray.put(local))
+    chunk_refs = [ray.put(c) for c in r0]
+    for _ in range(iters):
+        scatter = [a.scatter_int.options(num_returns=P + 1).remote(chunk_refs[p])
+                   for p, a in enumerate(actors)]
+        dangling_refs = [s[P] for s in scatter]
+        chunk_refs = [
+            _reduce_ppr_int.remote(
+                sizes[q], n_s, P, scale, seed_idx_refs[q],
+                *dangling_refs, *[scatter[p][q] for p in range(P)])
+            for q in range(P)
+        ]
+    chunks = ray.get(chunk_refs)
+    return np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+
+
 def pagerank_int(actors: list, n_vertices: int, *, iters: int = 20,
                  scale: int = 10**12) -> np.ndarray:
     """Fixed-iteration PageRank in scaled int64 arithmetic — the
