@@ -184,6 +184,23 @@ def q_graph_ppr(sf_dir: str):
                              "ppr_scaled": ranks[g.vertices]})
 
 
+def q_graph_hits(sf_dir: str):
+    """EXACT-match HITS (hubs & authorities): 10 alternating
+    half-supersteps in scaled int64 arithmetic with floor-divided SUM
+    normalization, run over BOTH CSR pools (forward scatter for
+    authority mass, reverse scatter for hub mass) — the only query
+    exercising cross-pool chunk handoff outside the route family."""
+    from wikilinks_ray.pipelines.derived import DerivedGraph
+    from wikilinks_ray.pipelines.hits import hits_int
+
+    _quiet()
+    with DerivedGraph(sf_dir, num_shards=4, reverse=True) as g:
+        auth, hub = hits_int(g.actors, g.rev_actors, g.n, iters=10)
+        return pd.DataFrame({"vertex": g.vertices,
+                             "auth_scaled": auth[g.vertices],
+                             "hub_scaled": hub[g.vertices]})
+
+
 def q_graph_labelprop(sf_dir: str):
     """Rows-only (deterministic; exactness pinned by pytest oracle)."""
     from wikilinks_ray.pipelines.derived import DerivedGraph
@@ -1006,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs": q_graph_bfs,
         "graph_pagerank": q_graph_pagerank,
         "graph_ppr": q_graph_ppr,
+        "graph_hits": q_graph_hits,
         "graph_labelprop": q_graph_labelprop,
         "graph_kcore": q_graph_kcore,
         "wiki_vertices": q_wiki_vertices,
@@ -1164,6 +1182,46 @@ def _ppr_oracle_sql(iters: int = 20, scale: int = 10**12,
     return ("WITH " + ",\n".join(ctes) +
             f"\nSELECT v AS vertex, r AS ppr_scaled FROM pr{iters} "
             "WHERE v IN (SELECT v FROM pverts)")
+
+
+def _hits_oracle_sql(iters: int = 10, scale: int = 10**9) -> str:
+    """SQL twin of pipelines.hits.hits_int: alternating authority/hub
+    sums with floor-divided scalar sum-normalization, unrolled. Chunks
+    travel unnormalized with a pending denominator on both sides, so
+    every per-edge contribution is ``value // denom`` — BIGINT floor
+    ops only, identical integers to the engine's cross-pool exchange."""
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "maxv AS MATERIALIZED (SELECT max(greatest(src, dst))::BIGINT AS m FROM edges)",
+        "verts AS MATERIALIZED (SELECT unnest(generate_series(0, (SELECT m FROM maxv))) AS v)",
+        "pverts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges UNION SELECT DISTINCT dst FROM edges)",
+        f"hu0 AS MATERIALIZED (SELECT v, {scale}::BIGINT AS s FROM verts)",
+        "hd0 AS MATERIALIZED (SELECT 1::BIGINT AS d)",
+    ]
+    for k in range(1, iters + 1):
+        hp, hd = f"hu{k - 1}", f"hd{k - 1}"
+        ctes.append(
+            f"au{k} AS MATERIALIZED (SELECT e.dst AS v, "
+            f"sum(h.s // (SELECT d FROM {hd}))::BIGINT AS s "
+            f"FROM edges e JOIN {hp} h ON e.src = h.v GROUP BY e.dst)")
+        ctes.append(
+            f"ad{k} AS MATERIALIZED (SELECT greatest(1::BIGINT, "
+            f"(SELECT coalesce(sum(s), 0)::BIGINT FROM au{k}) // {scale}::BIGINT) AS d)")
+        ctes.append(
+            f"hu{k} AS MATERIALIZED (SELECT e.src AS v, "
+            f"sum(a.s // (SELECT d FROM ad{k}))::BIGINT AS s "
+            f"FROM edges e JOIN au{k} a ON e.dst = a.v GROUP BY e.src)")
+        ctes.append(
+            f"hd{k} AS MATERIALIZED (SELECT greatest(1::BIGINT, "
+            f"(SELECT coalesce(sum(s), 0)::BIGINT FROM hu{k}) // {scale}::BIGINT) AS d)")
+    return ("WITH " + ",\n".join(ctes) +
+            f"""
+            SELECT p.v AS vertex,
+                   coalesce(a.s, 0) // (SELECT d FROM ad{iters}) AS auth_scaled,
+                   coalesce(h.s, 0) // (SELECT d FROM hd{iters}) AS hub_scaled
+            FROM pverts p
+            LEFT JOIN au{iters} a ON a.v = p.v
+            LEFT JOIN hu{iters} h ON h.v = p.v""")
 
 
 def _labelprop_oracle_sql(iters: int = 5) -> str:
@@ -1393,6 +1451,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(iters=20),
         "graph_ppr": _ppr_oracle_sql(iters=20),
+        "graph_hits": _hits_oracle_sql(iters=10),
         "graph_kcore": _kcore_oracle_sql(k=30, rounds=48),
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "similarity_lsh": _similarity_lsh_oracle_sql(),

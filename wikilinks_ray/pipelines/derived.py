@@ -60,6 +60,7 @@ class DerivedGraph:
     /tmp (resumable shard layout), torn down explicitly."""
 
     def __init__(self, sf_dir: str, *, num_shards: int = 4, symmetric: bool = False,
+                 reverse: bool = False,
                  work_root: str = "/tmp/wikilinks_ray_derived"):
         import os
 
@@ -78,11 +79,21 @@ class DerivedGraph:
             es = symmetrize_edges(self.edges)
         paths = shard_edges(es, self.n, num_shards, shard_dir, by="src")
         self.actors, self.bounds = create_shard_actors(paths, self.n)
+        self.rev_actors = []
+        if reverse:
+            # by-dst shards over the same vertex_ranges: reverse pool
+            # range q owns exactly the dst range forward reducers emit,
+            # so chunks flow between pools without re-partitioning
+            rev_paths = shard_edges(es, self.n, num_shards,
+                                    shard_dir + "_rev", by="dst")
+            self.rev_actors, _ = create_shard_actors(rev_paths, self.n,
+                                                     key="dst")
 
     def close(self):
-        for a in self.actors:
+        for a in self.actors + self.rev_actors:
             ray.kill(a)
         self.actors = []
+        self.rev_actors = []
 
     def __enter__(self):
         return self

@@ -303,6 +303,35 @@ class CSRShardActor:
         out.append(dangling)
         return out
 
+    def scatter_sum_int(self, value_chunk: np.ndarray, denom: int):
+        """Unweighted integer scatter (HITS supersteps): contributions
+        are ``value_chunk // denom`` — the sum-normalization of the
+        PREVIOUS half-step folded into this scatter, so chunks travel
+        unnormalized with a pending scalar denominator and no extra
+        pass touches them. No out-degree division, no dangling tail:
+        returns P per-range partials only. On a forward shard this
+        computes authority mass (dst <- sum of hub[src]); on a reverse
+        shard (key=\"dst\"), hub mass (src <- sum of auth[dst])."""
+        csr = self.csr
+        contrib = value_chunk // denom
+        edge_vals = csr.edge_values_by_dst(contrib)
+        out = []
+        for q in range(len(self.bounds) - 1):
+            a, b = self.segs[q], self.segs[q + 1]
+            if a == b:
+                out.append(None)
+                continue
+            d = csr.dst_sorted_dst[a:b]
+            first = np.empty(b - a, dtype=bool)
+            first[0] = True
+            first[1:] = d[1:] != d[:-1]
+            idx = np.flatnonzero(first)
+            out.append(pack_partial(
+                d[idx] - self.bounds[q],
+                np.add.reduceat(edge_vals[a:b], idx),
+                int(self.bounds[q + 1] - self.bounds[q])))
+        return out if len(out) > 1 else out[0]
+
     def min_push(self, label_chunk: np.ndarray):
         """Hash-min combiner: per-dst-range elementwise-min of incoming
         src labels (connected components superstep)."""
