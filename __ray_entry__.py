@@ -201,6 +201,46 @@ def q_graph_hits(sf_dir: str):
                              "hub_scaled": hub[g.vertices]})
 
 
+def q_graph_clustering(sf_dir: str):
+    """Per-vertex triangle counts + local clustering coefficient in
+    scaled integer arithmetic: lcc_scaled = (2*T(v)*10^6) // (d(v) *
+    (d(v)-1)) over the undirected simple graph, 0 when d < 2. The
+    triangle side is the fused degree-ordered wedge/closure pass with
+    per-corner crediting; the whole formula is integer, so the DuckDB
+    triple-join re-derivation hash-matches exactly."""
+    from wikilinks_ray.pipelines.derived import derived_edges
+    from wikilinks_ray.pipelines.triangles import (_canonical_edges,
+                                                   triangle_count)
+    from wikilinks_ray.stages.agg import grouped_agg
+
+    _quiet()
+    edges = derived_edges(sf_dir)
+    pv = triangle_count(edges, num_partitions=4, per_vertex=True)
+
+    und = _canonical_edges(edges, 4)
+
+    def explode(t):
+        import numpy as np
+        import pyarrow as pa
+
+        lo = t.column("lo").to_numpy(zero_copy_only=False)
+        hi = t.column("hi").to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(np.concatenate([lo, hi]),
+                                       pa.int64())})
+
+    deg = grouped_agg(und.map_batches(explode, batch_format="pyarrow"),
+                      ["v"], None, "count", out_col="deg")
+    # two O(V) per-vertex tables; the heavy O(E)+wedge work is done
+    ddf = deg.to_pandas()
+    pdf = pv.to_pandas()
+    df = ddf.merge(pdf, on="v", how="left").fillna({"triangles": 0})
+    t = df["triangles"].astype("int64")
+    d = df["deg"].astype("int64")
+    lcc = np.where(d >= 2, (2 * t * 10**6) // (d * (d - 1)), 0)
+    return pd.DataFrame({"vertex": df["v"], "triangles": t,
+                         "lcc_scaled": lcc.astype("int64")})
+
+
 def q_graph_labelprop(sf_dir: str):
     """Rows-only (deterministic; exactness pinned by pytest oracle)."""
     from wikilinks_ray.pipelines.derived import DerivedGraph
@@ -1024,6 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_ppr": q_graph_ppr,
         "graph_hits": q_graph_hits,
+        "graph_clustering": q_graph_clustering,
         "graph_labelprop": q_graph_labelprop,
         "graph_kcore": q_graph_kcore,
         "wiki_vertices": q_wiki_vertices,
@@ -1452,6 +1493,27 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle_sql(iters=20),
         "graph_ppr": _ppr_oracle_sql(iters=20),
         "graph_hits": _hits_oracle_sql(iters=10),
+        "graph_clustering": f"""
+            WITH edges AS MATERIALIZED ({_EDGES}),
+            und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS x,
+                   greatest(src, dst) AS y FROM edges WHERE src != dst),
+            deg AS MATERIALIZED (SELECT v, count(*)::BIGINT AS d FROM
+                   (SELECT x AS v FROM und UNION ALL SELECT y FROM und)
+                   GROUP BY v),
+            tri AS MATERIALIZED (
+                SELECT e1.x AS a, e1.y AS b, e2.y AS c FROM und e1
+                JOIN und e2 ON e2.x = e1.x AND e2.y > e1.y
+                JOIN und e3 ON e3.x = e1.y AND e3.y = e2.y),
+            pv AS MATERIALIZED (SELECT v, count(*)::BIGINT AS t FROM
+                   (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri) GROUP BY v)
+            SELECT dg.v AS vertex, coalesce(p.t, 0) AS triangles,
+                   CASE WHEN dg.d >= 2 THEN
+                     (2::BIGINT * coalesce(p.t, 0) * 1000000::BIGINT)
+                     // (dg.d * (dg.d - 1))
+                   ELSE 0::BIGINT END AS lcc_scaled
+            FROM deg dg LEFT JOIN pv p ON p.v = dg.v
+        """,
         "graph_kcore": _kcore_oracle_sql(k=30, rounds=48),
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "similarity_lsh": _similarity_lsh_oracle_sql(),

@@ -254,3 +254,23 @@ def test_k_core_forced_distributed(rand_graph):
     want = sorted(nx.k_core(g, k).nodes())
     got = k_core(ds, k, broadcast_max=0).tolist()
     assert got == want
+
+
+def test_per_vertex_triangles_vs_networkx(rand_graph):
+    """per_vertex=True credits each triangle's three corners exactly,
+    on BOTH the fused-broadcast and bucketed-merge fallback paths, and
+    the corner sum equals 3x the scalar count."""
+    import networkx as nx
+
+    _n, pairs, ds, _fwd, _symA = rand_graph
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    want = nx.triangles(g)
+    total = sum(want.values()) // 3
+
+    for limit in (50_000_000, 0):  # broadcast path, then join fallback
+        pv = triangle_count(ds, num_partitions=4, per_vertex=True,
+                            broadcast_degree_limit=limit).to_pandas()
+        got = dict(zip(pv["v"], pv["triangles"]))
+        assert all(want[v] == got.get(v, 0) for v in want)
+        assert pv["triangles"].sum() == 3 * total

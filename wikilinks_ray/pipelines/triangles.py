@@ -43,9 +43,16 @@ def _canonical_edges(edges: "ray.data.Dataset", num_partitions: int) -> "ray.dat
 
 
 def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8,
-                   broadcast_degree_limit: int = 50_000_000) -> int:
+                   broadcast_degree_limit: int = 50_000_000,
+                   per_vertex: bool = False):
     """Exact triangle count of the undirected simple graph underlying
     ``edges(src, dst)``.
+
+    With ``per_vertex=True`` returns a Dataset of ``(v, triangles)``
+    rows (vertices in >= 1 triangle) instead of the scalar total: each
+    closed wedge credits its three corners, accumulated per bucket and
+    summed with one small groupby — the basis for local clustering
+    coefficients. Same wedge/closure work either way.
 
     Degree attachment: the degree table is one int per vertex — tiny
     next to the edge table — so up to ``broadcast_degree_limit``
@@ -132,8 +139,8 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8,
     from ..stages.agg import sorted_run_pairs
 
     def _wedge_arrays(g: pd.DataFrame):
-        """Vectorized ordered-wedge endpoints (a, b) for one apex
-        bucket, or None when the bucket yields no wedges."""
+        """Vectorized ordered wedges (apex, a, b) for one apex bucket,
+        or None when the bucket yields no wedges."""
         u = g["u"].to_numpy()
         v = g["v"].to_numpy()
         vd = g["vdeg"].to_numpy()
@@ -144,7 +151,8 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8,
         a_idx, b_idx, _ = sorted_run_pairs([u_s])
         if len(a_idx) == 0:
             return None
-        return v_s[a_idx].astype(np.int64), v_s[b_idx].astype(np.int64)
+        return (u_s[a_idx].astype(np.int64), v_s[a_idx].astype(np.int64),
+                v_s[b_idx].astype(np.int64))
 
     # Fast path: when ids fit 32 bits (dense ids hold to 4e9 vertices)
     # and the oriented edge list fits the broadcast budget, pack each
@@ -178,25 +186,35 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8,
         def wedge_close_count(g: pd.DataFrame) -> pd.DataFrame:
             w = _wedge_arrays(g)
             if w is None:
-                return pd.DataFrame({"n": [0]})
-            a, b = w
+                return (pd.DataFrame({"v": np.empty(0, np.int64),
+                                      "n": np.empty(0, np.int64)})
+                        if per_vertex else pd.DataFrame({"n": [0]}))
+            apex, a, b = w
             ks = _ray.get(keys_ref)
             packed = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
             idx = np.searchsorted(ks, packed)
             found = (idx < len(ks)) & (ks[np.minimum(idx, len(ks) - 1)] == packed)
-            return pd.DataFrame({"n": [int(found.sum())]})
+            if not per_vertex:
+                return pd.DataFrame({"n": [int(found.sum())]})
+            # each closed wedge is one triangle on (apex, a, b)
+            tv = np.concatenate([apex[found], a[found], b[found]])
+            vs, cnt = np.unique(tv, return_counts=True)
+            return pd.DataFrame({"v": vs, "n": cnt.astype(np.int64)})
 
         parts = (oriented.map_batches(part_by_u, batch_format="pyarrow")
                  .groupby("__part")
                  .map_groups(wedge_close_count, batch_format="pandas"))
+        if per_vertex:
+            return grouped_agg(parts, ["v"], "n", "sum", out_col="triangles")
         return int(sum(r["n"] for r in parts.take_all()))
 
     def gen_wedges(g: pd.DataFrame) -> pd.DataFrame:
         w = _wedge_arrays(g)
         if w is None:
-            return pd.DataFrame({"a": np.empty(0, np.int64),
+            return pd.DataFrame({"apex": np.empty(0, np.int64),
+                                 "a": np.empty(0, np.int64),
                                  "b": np.empty(0, np.int64)})
-        return pd.DataFrame({"a": w[0], "b": w[1]})
+        return pd.DataFrame({"apex": w[0], "a": w[1], "b": w[2]})
 
     wed = (oriented.map_batches(part_by_u, batch_format="pyarrow")
            .groupby("__part").map_groups(gen_wedges, batch_format="pandas"))
@@ -205,9 +223,12 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8,
         def fn(t: pa.Table) -> pa.Table:
             a = t.column("a" if is_edge == 0 else "u").to_numpy(zero_copy_only=False)
             b = t.column("b" if is_edge == 0 else "v").to_numpy(zero_copy_only=False)
+            apex = (t.column("apex").to_numpy(zero_copy_only=False)
+                    if is_edge == 0 else np.full(len(a), -1, np.int64))
             return pa.table({
                 "a": pa.array(a, pa.int64()),
                 "b": pa.array(b, pa.int64()),
+                "apex": pa.array(apex, pa.int64()),
                 "__e": pa.array(np.full(len(a), is_edge, np.int8)),
                 "__part": pa.array(_bucket_of(a.astype(np.int64),
                                               b.astype(np.int64),
@@ -220,10 +241,20 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8,
                    .map_batches(tag(1), batch_format="pyarrow")))
 
     def close_count(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[g["__e"] == 1]
+        e = g[g["__e"] == 1][["a", "b"]]
         w = g[g["__e"] == 0]
-        c = len(w.merge(e, on=["a", "b"])) if len(e) and len(w) else 0
-        return pd.DataFrame({"n": [c]})
+        if not (len(e) and len(w)):
+            m = w.iloc[:0]
+        else:
+            m = w.merge(e, on=["a", "b"])
+        if not per_vertex:
+            return pd.DataFrame({"n": [len(m)]})
+        tv = np.concatenate([m["apex"].to_numpy(), m["a"].to_numpy(),
+                             m["b"].to_numpy()])
+        vs, cnt = np.unique(tv, return_counts=True)
+        return pd.DataFrame({"v": vs, "n": cnt.astype(np.int64)})
 
     parts = both.groupby("__part").map_groups(close_count, batch_format="pandas")
+    if per_vertex:
+        return grouped_agg(parts, ["v"], "n", "sum", out_col="triangles")
     return int(sum(r["n"] for r in parts.take_all()))
