@@ -241,6 +241,48 @@ def q_graph_clustering(sf_dir: str):
                          "lcc_scaled": lcc.astype("int64")})
 
 
+def q_graph_host_contraction(sf_dir: str):
+    """Host-graph rollup: contract the derived page graph through a
+    host mapping (here the deterministic v % 50 stand-in for a
+    url->host lookup) and keep weighted host-level edges, self-loops
+    (intra-host links) included. The per-batch map + combiner
+    pre-aggregation is what's under the hash gate."""
+    from wikilinks_ray.pipelines.derived import derived_edges
+    from wikilinks_ray.pipelines.hostgraph import contract_edges
+
+    _quiet()
+    out = contract_edges(derived_edges(sf_dir), lambda v: v % 50)
+    return out.to_pandas()
+
+
+def q_url_host_parse(sf_dir: str):
+    """URL decomposition over a deterministic multi-host url table
+    synthesized from lineitem keys (40 hosts; the single-host flagship
+    corpus can't exercise host diversity): the engine's frozen URL
+    regex (pipelines/hostgraph.py) vs DuckDB regexp_extract of the
+    same pattern, byte-identical per row."""
+    from wikilinks_ray.pipelines.hostgraph import parse_url_batch
+
+    _quiet()
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def synth(t):
+        import pyarrow as pa
+
+        pk = t.column("l_partkey").to_pandas().astype("int64")
+        ln = t.column("l_linenumber").to_pandas().astype("int64")
+        u = ("https://host" + (pk % 40).astype(str) + ".example.com/p/"
+             + pk.astype(str) + "/x" + ln.astype(str))
+        return t.append_column("url", pa.array(u, pa.string()))
+
+    out = (li.map_batches(synth, batch_format="pyarrow")
+             .map_batches(parse_url_batch, batch_format="pyarrow"))
+    df = out.to_pandas()
+    return df[["l_orderkey", "l_linenumber", "scheme", "host",
+               "path_depth"]]
+
+
 def q_graph_labelprop(sf_dir: str):
     """Rows-only (deterministic; exactness pinned by pytest oracle)."""
     from wikilinks_ray.pipelines.derived import DerivedGraph
@@ -1065,6 +1107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_ppr": q_graph_ppr,
         "graph_hits": q_graph_hits,
         "graph_clustering": q_graph_clustering,
+        "graph_host_contraction": q_graph_host_contraction,
+        "url_host_parse": q_url_host_parse,
         "graph_labelprop": q_graph_labelprop,
         "graph_kcore": q_graph_kcore,
         "wiki_vertices": q_wiki_vertices,
@@ -1493,6 +1537,25 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle_sql(iters=20),
         "graph_ppr": _ppr_oracle_sql(iters=20),
         "graph_hits": _hits_oracle_sql(iters=10),
+        "graph_host_contraction": f"""
+            WITH edges AS MATERIALIZED ({_EDGES})
+            SELECT src % 50 AS src_h, dst % 50 AS dst_h,
+                   count(*)::BIGINT AS weight
+            FROM edges GROUP BY 1, 2
+        """,
+        "url_host_parse": """
+            WITH u AS (SELECT l_orderkey, l_linenumber,
+                'https://host' || (l_partkey % 40) || '.example.com/p/'
+                || l_partkey || '/x' || l_linenumber AS url
+                FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                regexp_extract(url, '^([a-z][a-z0-9+.-]*)://([^/?#]+)([^?#]*)', 1) AS scheme,
+                regexp_extract(url, '^([a-z][a-z0-9+.-]*)://([^/?#]+)([^?#]*)', 2) AS host,
+                length(regexp_replace(
+                    regexp_extract(url, '^([a-z][a-z0-9+.-]*)://([^/?#]+)([^?#]*)', 3),
+                    '[^/]', '', 'g'))::BIGINT AS path_depth
+            FROM u
+        """,
         "graph_clustering": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),
             und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS x,
