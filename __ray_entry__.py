@@ -283,6 +283,20 @@ def q_url_host_parse(sf_dir: str):
                "path_depth"]]
 
 
+def q_graph_reciprocity(sf_dir: str):
+    """Mutual-link fraction of the derived directed graph in scaled
+    integers: one bucketed unordered-key pass (no self-join), only P
+    two-int rows reach the driver."""
+    from wikilinks_ray.pipelines.reciprocity import reciprocity_counts
+    from wikilinks_ray.pipelines.derived import derived_edges
+
+    _quiet()
+    m, d = reciprocity_counts(derived_edges(sf_dir), num_partitions=4)
+    return pd.DataFrame({"mutual": [m], "directed": [d],
+                         "reciprocity_scaled":
+                             [(m * 10**6) // d if d else 0]})
+
+
 def q_graph_labelprop(sf_dir: str):
     """Rows-only (deterministic; exactness pinned by pytest oracle)."""
     from wikilinks_ray.pipelines.derived import DerivedGraph
@@ -1108,6 +1122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_hits": q_graph_hits,
         "graph_clustering": q_graph_clustering,
         "graph_host_contraction": q_graph_host_contraction,
+        "graph_reciprocity": q_graph_reciprocity,
         "url_host_parse": q_url_host_parse,
         "graph_labelprop": q_graph_labelprop,
         "graph_kcore": q_graph_kcore,
@@ -1537,6 +1552,18 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle_sql(iters=20),
         "graph_ppr": _ppr_oracle_sql(iters=20),
         "graph_hits": _hits_oracle_sql(iters=10),
+        "graph_reciprocity": f"""
+            WITH edges AS MATERIALIZED ({_EDGES}),
+            nl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src != dst),
+            m AS (SELECT count(*)::BIGINT AS mutual FROM nl a
+                  JOIN nl b ON a.src = b.dst AND a.dst = b.src),
+            d AS (SELECT count(*)::BIGINT AS directed FROM nl)
+            SELECT mutual, directed,
+                   CASE WHEN directed > 0
+                        THEN (mutual * 1000000::BIGINT) // directed
+                        ELSE 0::BIGINT END AS reciprocity_scaled
+            FROM m, d
+        """,
         "graph_host_contraction": f"""
             WITH edges AS MATERIALIZED ({_EDGES})
             SELECT src % 50 AS src_h, dst % 50 AS dst_h,

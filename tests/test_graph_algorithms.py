@@ -274,3 +274,25 @@ def test_per_vertex_triangles_vs_networkx(rand_graph):
         got = dict(zip(pv["v"], pv["triangles"]))
         assert all(want[v] == got.get(v, 0) for v in want)
         assert pv["triangles"].sum() == 3 * total
+
+
+def test_reciprocity_vs_networkx(rand_graph):
+    import networkx as nx
+
+    from wikilinks_ray.pipelines.reciprocity import reciprocity_counts
+
+    _n, pairs, ds, _fwd, _symA = rand_graph
+    m, d = reciprocity_counts(ds, num_partitions=4)
+    g = nx.DiGraph()
+    g.add_edges_from((int(a), int(b)) for a, b in pairs if a != b)
+    assert d == g.number_of_edges()
+    # networkx overall_reciprocity = mutual / directed on the same graph
+    assert m / d == pytest.approx(nx.overall_reciprocity(g))
+    # self-loops and duplicate rows must not perturb either count
+    import pyarrow as pa
+    import ray.data as rd
+
+    noisy = ds.union(rd.from_arrow(pa.table({
+        "src": pa.array([1, 1, 2], pa.int64()),
+        "dst": pa.array([1, 1, 2], pa.int64())})))
+    assert reciprocity_counts(noisy, num_partitions=4) == (m, d)
