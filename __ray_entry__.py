@@ -283,6 +283,56 @@ def q_url_host_parse(sf_dir: str):
                "path_depth"]]
 
 
+def q_supplier_approx_distinct(sf_dir: str):
+    """HyperLogLog approx COUNT(DISTINCT l_partkey) per supplier: the
+    sketch path whose shuffle carries <= 64 register rows per group
+    regardless of cardinality. Deterministic (md5 hashes + frozen
+    integer estimator), so the DuckDB re-derivation hash-matches the
+    distributed register max-merge exactly."""
+    from wikilinks_ray.stages.agg import grouped_approx_distinct
+
+    _quiet()
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    out = grouped_approx_distinct(li, "l_suppkey", "l_partkey")
+    return out.to_pandas()
+
+
+def _hll_oracle_sql() -> str:
+    """SQL twin of stages.agg.grouped_approx_distinct, built from the
+    SAME frozen constants so the sides cannot drift."""
+    from wikilinks_ray.stages.agg import (HLL_ALPHA_DEN, HLL_ALPHA_NUM,
+                                          HLL_K, HLL_LC, HLL_LC_SHIFT,
+                                          HLL_M)
+
+    lc_rows = ", ".join(f"({v + 1}, {x})" for v, x in enumerate(HLL_LC))
+    return f"""
+        WITH h AS (SELECT l_suppkey AS k,
+                          md5_number_upper(CAST(l_partkey AS VARCHAR)) AS h
+                   FROM lineitem),
+        br AS (SELECT k, (h >> 58)::BIGINT AS b,
+                 CASE WHEN (h & 4294967295::UBIGINT) = 0 THEN 33::BIGINT
+                      ELSE 32 - floor(log2((h & 4294967295::UBIGINT)::DOUBLE))::BIGINT
+                 END AS rho
+               FROM h),
+        regs AS (SELECT k, b, max(rho)::BIGINT AS r FROM br GROUP BY k, b),
+        agg AS (SELECT k,
+                  (sum(1::BIGINT << ({HLL_K} - r))
+                   + ({HLL_M} - count(*)) * (1::BIGINT << {HLL_K}))::BIGINT AS z,
+                  ({HLL_M} - count(*))::BIGINT AS v
+                FROM regs GROUP BY k),
+        raw AS (SELECT k, v,
+                  (({HLL_ALPHA_NUM}::BIGINT * {HLL_M * HLL_M}) << {HLL_K})
+                    // ({HLL_ALPHA_DEN}::BIGINT * z) AS raw
+                FROM agg),
+        lc(v, val) AS (VALUES {lc_rows})
+        SELECT r.k AS l_suppkey,
+               CASE WHEN r.v > 0 AND r.raw <= {(5 * HLL_M) // 2}
+                    THEN ({HLL_M}::BIGINT * lc.val) >> {HLL_LC_SHIFT}
+                    ELSE r.raw END AS approx_distinct
+        FROM raw r LEFT JOIN lc ON lc.v = r.v
+    """
+
+
 def q_graph_reciprocity(sf_dir: str):
     """Mutual-link fraction of the derived directed graph in scaled
     integers: one bucketed unordered-key pass (no self-join), only P
@@ -1123,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_clustering": q_graph_clustering,
         "graph_host_contraction": q_graph_host_contraction,
         "graph_reciprocity": q_graph_reciprocity,
+        "supplier_approx_distinct": q_supplier_approx_distinct,
         "url_host_parse": q_url_host_parse,
         "graph_labelprop": q_graph_labelprop,
         "graph_kcore": q_graph_kcore,
@@ -1552,6 +1603,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle_sql(iters=20),
         "graph_ppr": _ppr_oracle_sql(iters=20),
         "graph_hits": _hits_oracle_sql(iters=10),
+        "supplier_approx_distinct": _hll_oracle_sql(),
         "graph_reciprocity": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),
             nl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src != dst),

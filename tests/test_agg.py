@@ -155,3 +155,40 @@ def test_sorted_run_pairs_kernel():
     v2 = np.array([5, 5, 6, 6], dtype=np.int64)
     a, b, _ = sorted_run_pairs([k2, v2])
     assert sorted(zip(a.tolist(), b.tolist())) == [(0, 1)]
+
+
+def test_grouped_approx_distinct_accuracy_and_merge(ray_session):
+    """HLL estimates land within the standard error envelope of the
+    exact counts, and the register max-merge is partition-invariant
+    (same answer whatever block layout the rows arrive in)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wikilinks_ray.stages.agg import (grouped_approx_distinct,
+                                          grouped_distinct_count)
+
+    rng = np.random.default_rng(5)
+    # three groups with very different cardinalities
+    keys, vals = [], []
+    for k, n_distinct, n_rows in ((1, 40, 400), (2, 800, 2400),
+                                  (3, 5000, 9000)):
+        keys.append(np.full(n_rows, k))
+        vals.append(rng.integers(0, n_distinct, n_rows) + k * 10**6)
+    t = pa.table({"k": pa.array(np.concatenate(keys), pa.int64()),
+                  "v": pa.array(np.concatenate(vals), pa.int64())})
+
+    ds1 = rd.from_arrow(t)
+    got = (grouped_approx_distinct(ds1, "k", "v").to_pandas()
+           .set_index("k")["approx_distinct"])
+    exact = (grouped_distinct_count(ds1, "k", "v").to_pandas()
+             .set_index("k")["n_distinct"])
+    for k in (1, 2, 3):
+        # 64 registers => sigma ~ 13%; allow 3.5 sigma plus LC floor
+        assert abs(got[k] - exact[k]) <= max(0.45 * exact[k], 8), \
+            (k, got[k], exact[k])
+
+    # partition invariance: 16-way split must merge to identical ints
+    ds16 = rd.from_arrow(t).repartition(16)
+    got16 = (grouped_approx_distinct(ds16, "k", "v").to_pandas()
+             .set_index("k")["approx_distinct"])
+    assert (got16.sort_index() == got.sort_index()).all()

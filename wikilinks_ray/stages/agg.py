@@ -314,3 +314,111 @@ def grouped_topk(ds: "ray.data.Dataset", key_col: str, val_col: str, k: int,
     return (ds.select_columns([key_col, val_col, tie_col])
             .map_batches(local_topk, batch_format="pyarrow")
             .groupby("__part").map_groups(final_topk, batch_format="pandas"))
+
+
+# --- HyperLogLog approx distinct (frozen integer semantics) -----------
+#
+# 64 registers (p=6), md5-derived hashes (same little-endian first-8-
+# bytes convention as every other oracle twin here: DuckDB's
+# md5_number_upper). The geometric tail uses the LOW 32 bits only so
+# floor(log2(x)) is exact in float64 on both engines (at 52+ bits,
+# log2(2^k - 1) rounds UP to k and the floor flips; at <= 32 bits the
+# nearest integer gap is ~1e-10 vs ~1e-15 ulp). The estimator is the
+# standard alpha_m * m^2 / Z with linear counting below 2.5m, all in
+# scaled-integer arithmetic with FROZEN constants, so the distributed
+# register max-merge is value-hash reproducible in SQL.
+HLL_P = 6
+HLL_M = 1 << HLL_P           # 64 registers
+HLL_K = 34                   # Z scale: 2^(K - reg), reg in [0, 33]
+HLL_ALPHA_NUM = 70934        # round(0.7213 / (1 + 1.079/64) * 1e5)
+HLL_ALPHA_DEN = 100000
+HLL_LC_SHIFT = 20            # LC[v] = round(ln(64/v) * 2^20), v = 1..64
+HLL_LC = (4360905, 3634087, 3208927, 2907270, 2673287, 2482109, 2320470,
+          2180452, 2056948, 1946470, 1846530, 1755292, 1671361, 1593653,
+          1521309, 1453635, 1390065, 1330131, 1273437, 1219652, 1168492,
+          1119712, 1073101, 1028474, 985669, 944543, 904970, 866835,
+          830039, 794491, 760108, 726817, 694551, 663248, 632852, 603313,
+          574583, 546619, 519382, 492835, 466942, 441674, 417001, 392895,
+          369330, 346284, 323733, 301657, 280036, 258852, 238087, 217726,
+          197752, 178152, 158912, 140018, 121458, 103222, 85297, 67674,
+          50341, 33291, 16513, 0)
+
+
+def hll_estimate(z: int, v_zero: int) -> int:
+    """Frozen integer HLL estimator from Z = sum(2^(K-reg)) and the
+    zero-register count. Python ints: the raw numerator is ~5e18."""
+    raw = (HLL_ALPHA_NUM * HLL_M * HLL_M << HLL_K) // (HLL_ALPHA_DEN * z)
+    if v_zero > 0 and raw <= (5 * HLL_M) // 2:
+        return (HLL_M * HLL_LC[v_zero - 1]) >> HLL_LC_SHIFT
+    return raw
+
+
+def grouped_approx_distinct(ds: "ray.data.Dataset", key_col: str,
+                            val_col: str, *, num_buckets: int = 64,
+                            out_col: str = "approx_distinct"
+                            ) -> "ray.data.Dataset":
+    """APPROXIMATE COUNT(DISTINCT val) GROUP BY key via per-group
+    HyperLogLog sketches — the scale path where the exact
+    :func:`grouped_distinct_count` would shuffle one row per distinct
+    pair: here the shuffle carries at most 64 register rows per group
+    REGARDLESS of cardinality, and the register merge (elementwise max)
+    is a perfect combiner, so a trillion-row group costs the same
+    exchange as a thousand-row one.
+
+    Deterministic by construction (md5 hashes, frozen integer
+    estimator), hence value-hash oracle-able; expected error is the
+    standard ~1.04/sqrt(64) ~ 13% (use the exact op when that
+    matters)."""
+    import hashlib
+
+    def sketch(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vals = t.column(val_col).to_pylist()
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8],
+                            "little") for v in vals),
+            dtype=np.uint64, count=len(vals))
+        bucket = (hs >> np.uint64(64 - HLL_P)).astype(np.int64)
+        rem = hs & np.uint64(0xFFFFFFFF)
+        rho = np.where(
+            rem == 0, 33,
+            32 - np.floor(np.log2(np.maximum(rem, 1)
+                                  .astype(np.float64))).astype(np.int64))
+        # per-batch combine: max rho per (key, bucket) before the shuffle
+        out_keys, r_s = _rle_reduce([keys, bucket], rho.astype(np.int64),
+                                    "max")
+        return pa.table({key_col: pa.array(out_keys[0], pa.int64()),
+                         "__bucket": pa.array(out_keys[1], pa.int64()),
+                         "__rho": pa.array(r_s, pa.int64())})
+
+    regs = grouped_agg(ds.select_columns([key_col, val_col])
+                       .map_batches(sketch, batch_format="pyarrow"),
+                       [key_col, "__bucket"], "__rho", "max",
+                       num_buckets=num_buckets, out_col="__reg")
+
+    def part_by_key(t: pa.Table) -> pa.Table:
+        kk = t.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return t.append_column("__part", pa.array(
+            _bucket_of(kk, num_buckets=num_buckets)))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy().astype(np.int64)
+        r = g["__reg"].to_numpy().astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k_s, r_s = k[order], r[order]
+        new = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(k_s)))
+        pow_terms = np.int64(1) << (HLL_K - r_s)
+        z_present = np.add.reduceat(pow_terms, starts)
+        v_zero = HLL_M - lens
+        z = z_present + v_zero.astype(np.int64) * (np.int64(1) << HLL_K)
+        est = np.fromiter(
+            (hll_estimate(int(zz), int(vv)) for zz, vv in zip(z, v_zero)),
+            dtype=np.int64, count=len(z))
+        return pd.DataFrame({key_col: k_s[starts], out_col: est})
+
+    return (regs.map_batches(part_by_key, batch_format="pyarrow")
+            .groupby("__part").map_groups(fold, batch_format="pandas"))
