@@ -333,6 +333,73 @@ def _hll_oracle_sql() -> str:
     """
 
 
+def q_graph_host_pagerank(sf_dir: str):
+    """Weighted PageRank over the contracted 50-host graph (weights =
+    link multiplicities): exercises the weight-carrying CSR shards and
+    the per-edge (r*w)//W scatter in scaled int64 — hash-matched
+    against an unrolled weighted recurrence in SQL."""
+    import hashlib as _hl
+
+    from wikilinks_ray.pipelines.derived import derived_edges
+    from wikilinks_ray.pipelines.hostgraph import contract_edges
+    from wikilinks_ray.pipelines.pagerank import weighted_pagerank_int
+    from wikilinks_ray.state.csr import create_shard_actors, shard_edges
+    from wikilinks_ray.stages.util import rename_cols
+
+    _quiet()
+    n_hosts = 50
+    hg = rename_cols(contract_edges(derived_edges(sf_dir),
+                                    lambda v: v % n_hosts),
+                     {"src_h": "src", "dst_h": "dst"})
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    paths = shard_edges(hg, n_hosts, 4,
+                        f"/tmp/wl_hostpr_{tag}", by="src",
+                        weight_col="weight")
+    actors, _ = create_shard_actors(paths, n_hosts)
+    try:
+        ranks = weighted_pagerank_int(actors, n_hosts, iters=20)
+    finally:
+        import ray as _ray
+
+        for a in actors:
+            _ray.kill(a)
+    return pd.DataFrame({"host": np.arange(n_hosts, dtype=np.int64),
+                         "wpr_scaled": ranks})
+
+
+def _host_pagerank_oracle_sql(iters: int = 20, scale: int = 10**12,
+                              n_hosts: int = 50) -> str:
+    """SQL twin of weighted_pagerank_int over the contracted host
+    graph: per-edge floor contributions (r*w)//W, dangling = zero-out-
+    weight mass, uniform teleport — unrolled chained CTEs."""
+    n = n_hosts
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        f"hedges AS MATERIALIZED (SELECT src % {n} AS src, dst % {n} AS dst, "
+        f"count(*)::BIGINT AS w FROM edges GROUP BY 1, 2)",
+        f"verts AS MATERIALIZED (SELECT unnest(generate_series(0, {n - 1})) AS v)",
+        "outw AS MATERIALIZED (SELECT src AS v, sum(w)::BIGINT AS tw "
+        "FROM hedges GROUP BY src)",
+        f"pr0 AS MATERIALIZED (SELECT v, {scale}::BIGINT // {n} AS r FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"pr{k - 1}"
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(p.r), 0)::BIGINT AS dm FROM {p} p "
+            f"LEFT JOIN outw o ON p.v = o.v WHERE o.v IS NULL)")
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT e.dst AS v, "
+            f"sum((p.r * e.w) // o.tw)::BIGINT AS s "
+            f"FROM hedges e JOIN {p} p ON e.src = p.v "
+            f"JOIN outw o ON o.v = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"pr{k} AS MATERIALIZED (SELECT v.v, (15::BIGINT * {scale}::BIGINT) // (100::BIGINT * {n}) "
+            f"+ (85::BIGINT * (coalesce(s.s, 0)::BIGINT + (SELECT dm FROM d{k}) // {n})) // 100::BIGINT AS r "
+            f"FROM verts v LEFT JOIN s{k} s ON s.v = v.v)")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT v AS host, r AS wpr_scaled FROM pr{iters}")
+
+
 def q_graph_reciprocity(sf_dir: str):
     """Mutual-link fraction of the derived directed graph in scaled
     integers: one bucketed unordered-key pass (no self-join), only P
@@ -1173,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_clustering": q_graph_clustering,
         "graph_host_contraction": q_graph_host_contraction,
         "graph_reciprocity": q_graph_reciprocity,
+        "graph_host_pagerank": q_graph_host_pagerank,
         "supplier_approx_distinct": q_supplier_approx_distinct,
         "url_host_parse": q_url_host_parse,
         "graph_labelprop": q_graph_labelprop,
@@ -1604,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_ppr": _ppr_oracle_sql(iters=20),
         "graph_hits": _hits_oracle_sql(iters=10),
         "supplier_approx_distinct": _hll_oracle_sql(),
+        "graph_host_pagerank": _host_pagerank_oracle_sql(iters=20),
         "graph_reciprocity": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),
             nl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src != dst),

@@ -283,3 +283,63 @@ def test_personalized_pagerank_int_exact_vs_dense(graph_actors):
     # degenerate seed set is rejected
     with pytest.raises(ValueError):
         personalized_pagerank_int(actors, n, np.array([], dtype=np.int64))
+
+
+def test_weighted_pagerank_int_exact_vs_dense(ray_session, tmp_path):
+    """Weighted CSR shards + (r*w)//W per-edge scatter reproduce a
+    driver-side dense integer recurrence bit-for-bit; with all weights
+    equal the result collapses to the unweighted pagerank_int."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wikilinks_ray.pipelines.pagerank import (pagerank_int,
+                                                  weighted_pagerank_int)
+
+    rng = np.random.default_rng(9)
+    n, m = 120, 900
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = rng.integers(1, 40, m).astype(np.int64)
+    # collapse duplicate (src, dst) pairs by summing weights (the
+    # contraction op emits distinct weighted pairs)
+    import pandas as pd
+
+    edf = (pd.DataFrame({"src": src, "dst": dst, "weight": w})
+           .groupby(["src", "dst"], as_index=False)["weight"].sum())
+    ds = rd.from_arrow(pa.Table.from_pandas(edf, preserve_index=False))
+
+    paths = shard_edges(ds, n, 4, str(tmp_path / "wsh"), by="src",
+                        weight_col="weight")
+    actors, _ = create_shard_actors(paths, n)
+    scale, iters = 10**12, 20
+    got = weighted_pagerank_int(actors, n, iters=iters, scale=scale)
+
+    W = np.zeros(n, dtype=np.int64)
+    np.add.at(W, edf["src"].to_numpy(), edf["weight"].to_numpy())
+    r = np.full(n, scale // n, dtype=np.int64)
+    base = (15 * scale) // (100 * n)
+    es, ed, ew = (edf["src"].to_numpy(), edf["dst"].to_numpy(),
+                  edf["weight"].to_numpy())
+    for _ in range(iters):
+        dangling = int(r[W == 0].sum())
+        contrib = (r[es] * ew) // W[es]
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, ed, contrib)
+        r = base + (85 * (s + dangling // n)) // 100
+    assert (got == r).all()
+
+    # uniform weights == unweighted
+    edf1 = edf.assign(weight=1)
+    ds1 = rd.from_arrow(pa.Table.from_pandas(edf1, preserve_index=False))
+    p1 = shard_edges(ds1, n, 4, str(tmp_path / "wsh1"), by="src",
+                     weight_col="weight")
+    a1, _ = create_shard_actors(p1, n)
+    p0 = shard_edges(ds1.select_columns(["src", "dst"]), n, 4,
+                     str(tmp_path / "wsh0"), by="src")
+    a0, _ = create_shard_actors(p0, n)
+    assert (weighted_pagerank_int(a1, n, iters=10)
+            == pagerank_int(a0, n, iters=10)).all()
+    import ray as _ray
+
+    for a in actors + a1 + a0:
+        _ray.kill(a)

@@ -62,6 +62,36 @@ def _reduce_rank_int(q_size: int, n: int, n_shards: int, scale: int,
     return base + (85 * (acc + dangling // n)) // 100
 
 
+def weighted_pagerank_int(actors: list, n_vertices: int, *,
+                          iters: int = 20, scale: int = 10**12
+                          ) -> np.ndarray:
+    """Fixed-iteration WEIGHTED PageRank in scaled int64 arithmetic over
+    weight-carrying CSR shards (``shard_edges(weight_col=...)``): each
+    edge contributes ``(r[u] * w_e) // W[u]`` with ``W[u]`` the total
+    out-weight, dangling = zero-out-weight mass, teleport uniform. The
+    natural rank for a host graph, where contracted edge weights are
+    link multiplicities. Same reducer as :func:`pagerank_int` — only the
+    scatter differs (``scatter_weighted_int``)."""
+    P = len(actors)
+    bounds = vertex_ranges(n_vertices, P)
+    sizes = [int(bounds[p + 1] - bounds[p]) for p in range(P)]
+    chunk_refs = [ray.put(np.full(sizes[p], scale // n_vertices,
+                                  dtype=np.int64)) for p in range(P)]
+    for _ in range(iters):
+        scatter = [a.scatter_weighted_int.options(
+            num_returns=P + 1).remote(chunk_refs[p])
+            for p, a in enumerate(actors)]
+        dangling_refs = [s[P] for s in scatter]
+        chunk_refs = [
+            _reduce_rank_int.remote(
+                sizes[q], n_vertices, P, scale,
+                *dangling_refs, *[scatter[p][q] for p in range(P)])
+            for q in range(P)
+        ]
+    chunks = ray.get(chunk_refs)
+    return np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+
+
 @ray.remote
 def _reduce_ppr_int(q_size: int, n_seeds: int, n_shards: int, scale: int,
                     seed_idx: np.ndarray, *dangling_and_partials

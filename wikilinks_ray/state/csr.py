@@ -114,6 +114,7 @@ def shard_edges(
     out_dir: str,
     *,
     by: str = "src",
+    weight_col: str | None = None,
     overwrite: bool = False,
 ) -> list[str]:
     """Range-partition the edge table by ``by`` ∈ {src, dst} and write one
@@ -130,7 +131,7 @@ def shard_edges(
     # written for a different (num_shards, n_vertices, by) would hand out
     # paths partitioned with stale range bounds (missing files / negative
     # src-lo bincounts) — rebuild on any mismatch
-    stamp = f"{num_shards}:{n_vertices}:{by}\n"
+    stamp = f"{num_shards}:{n_vertices}:{by}:{weight_col or ''}\n"
     if not overwrite and os.path.exists(done):
         with open(done) as f:
             if f.read() == stamp:
@@ -150,10 +151,14 @@ def shard_edges(
         # pyarrow sort_by on the two int64 columns is the same ordering
         # (ties are identical rows) without leaving Arrow.
         p = int(g.column("__part")[0].as_py())
-        tbl = pa.table({
+        cols = {
             by: g.column(by).cast(pa.int64()),
             other: g.column(other).cast(pa.int64()),
-        }).sort_by([(by, "ascending"), (other, "ascending")])
+        }
+        if weight_col is not None:
+            cols["weight"] = g.column(weight_col).cast(pa.int64())
+        tbl = pa.table(cols).sort_by([(by, "ascending"),
+                                      (other, "ascending")])
         tmp = paths[p] + ".tmp"
         pq.write_table(tbl, tmp)
         os.replace(tmp, paths[p])
@@ -169,11 +174,11 @@ def shard_edges(
     # empty ranges still need a shard file
     for p in range(num_shards):
         if p not in written:
-            pq.write_table(
-                pa.table({by: pa.array([], pa.int64()),
-                          other: pa.array([], pa.int64())}),
-                paths[p],
-            )
+            empty = {by: pa.array([], pa.int64()),
+                     other: pa.array([], pa.int64())}
+            if weight_col is not None:
+                empty["weight"] = pa.array([], pa.int64())
+            pq.write_table(pa.table(empty), paths[p])
     with open(done, "w") as f:
         f.write(stamp)
     return paths
@@ -203,6 +208,17 @@ class CSRShardData:
         order = np.argsort(dsts, kind="stable")
         self.dst_sorted_dst = dsts[order]
         self.dst_sorted_src = srcs[order]
+        # optional per-edge weights (shard written with weight_col):
+        # out_wt replaces out_deg as the scatter normalizer
+        if "weight" in t.column_names:
+            w = t.column("weight").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            self.dst_sorted_weight = w[order]
+            self.out_wt = np.bincount(srcs - lo, weights=w,
+                                      minlength=hi - lo).astype(np.int64)
+        else:
+            self.dst_sorted_weight = None
+            self.out_wt = None
 
     @property
     def num_edges(self) -> int:
@@ -285,6 +301,43 @@ class CSRShardActor:
         contrib[nz] = rank_chunk[nz] // csr.out_deg[nz]
         dangling = int(rank_chunk[~nz].sum())
         edge_vals = csr.edge_values_by_dst(contrib)
+        out = []
+        for q in range(len(self.bounds) - 1):
+            a, b = self.segs[q], self.segs[q + 1]
+            if a == b:
+                out.append(None)
+                continue
+            d = csr.dst_sorted_dst[a:b]
+            first = np.empty(b - a, dtype=bool)
+            first[0] = True
+            first[1:] = d[1:] != d[:-1]
+            idx = np.flatnonzero(first)
+            out.append(pack_partial(
+                d[idx] - self.bounds[q],
+                np.add.reduceat(edge_vals[a:b], idx),
+                int(self.bounds[q + 1] - self.bounds[q])))
+        out.append(dangling)
+        return out
+
+    def scatter_weighted_int(self, rank_chunk: np.ndarray):
+        """Weighted-integer PageRank scatter: per-EDGE contributions
+        ``(rank[u] * w_e) // out_wt[u]`` (floor applied per edge — the
+        SQL twin divides per edge row too), dangling = rank mass of
+        zero-out-weight vertices. Same P partials + dangling-last
+        return shape as ``scatter_int``. Requires the shard to have
+        been written with ``weight_col``; rank*weight must fit int64
+        (scale 10^12 leaves ~6 decimal digits of weight headroom)."""
+        csr = self.csr
+        if csr.dst_sorted_weight is None:
+            raise ValueError("shard has no weights; write with weight_col")
+        nz = csr.out_wt > 0
+        dangling = int(rank_chunk[~nz].sum())
+        src_rank = rank_chunk[csr.dst_sorted_src - csr.lo]
+        src_wt = csr.out_wt[csr.dst_sorted_src - csr.lo]
+        edge_vals = np.zeros_like(src_rank, dtype=np.int64)
+        wnz = src_wt > 0
+        edge_vals[wnz] = (src_rank[wnz]
+                          * csr.dst_sorted_weight[wnz]) // src_wt[wnz]
         out = []
         for q in range(len(self.bounds) - 1):
             a, b = self.segs[q], self.segs[q + 1]
