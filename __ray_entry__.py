@@ -400,6 +400,35 @@ def _host_pagerank_oracle_sql(iters: int = 20, scale: int = 10**12,
             f"\nSELECT v AS host, r AS wpr_scaled FROM pr{iters}")
 
 
+def _sssp_oracle_sql(iters: int = 40) -> str:
+    """SQL twin of pipelines.sssp.sssp_int over the derived weighted
+    graph: unrolled min-plus relaxation rounds, same int64 arithmetic,
+    same 2^62 unreached sentinel (INF + w never beats a finite or
+    INF-valued slot, exactly as in CSRShardActor.min_plus_push)."""
+    inf = 1 << 62
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT src, dst, "
+        f"((src * 31 + dst) % 97) + 1 AS w FROM ({_EDGES}))",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges)",
+        f"d0 AS MATERIALIZED (SELECT v, CASE WHEN "
+        f"v = (SELECT min(v) FROM verts) THEN 0::BIGINT "
+        f"ELSE {inf}::BIGINT END AS dist FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"d{k - 1}"
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT e.dst AS v, "
+            f"min(p.dist + e.w)::BIGINT AS m "
+            f"FROM edges e JOIN {p} p ON p.v = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT p.v, "
+            f"least(p.dist, coalesce(r.m, {inf}))::BIGINT AS dist "
+            f"FROM {p} p LEFT JOIN r{k} r ON r.v = p.v)")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT v AS vertex, dist FROM d{iters} WHERE dist < {inf}")
+
+
 def q_graph_reciprocity(sf_dir: str):
     """Mutual-link fraction of the derived directed graph in scaled
     integers: one bucketed unordered-key pass (no self-join), only P
@@ -441,6 +470,53 @@ def q_graph_kcore(sf_dir: str):
     _quiet()
     ids = k_core(derived_edges(sf_dir), k=30)
     return pd.DataFrame({"vertex": ids})
+
+
+def q_graph_sssp(sf_dir: str):
+    """EXACT-match weighted single-source shortest paths: Bellman-Ford
+    min-plus supersteps in int64 over weight-carrying CSR shards
+    (``CSRShardActor.min_plus_push``), deterministic edge weights
+    ``w = (src*31 + dst) % 97 + 1``, source = min vertex id. The DuckDB
+    oracle unrolls the same relaxation for 40 rounds; the engine runs
+    to convergence and asserts depth <= 40, and extra unrolled rounds
+    are no-ops at the fixpoint — same argument as the k-core oracle.
+    Only reached vertices (dist < 2^62) are emitted on both sides."""
+    import hashlib as _hl
+
+    import ray as _ray
+
+    from wikilinks_ray.pipelines.derived import (derived_edges,
+                                                 derived_vertices)
+    from wikilinks_ray.pipelines.sssp import SSSP_INF, sssp_int
+    from wikilinks_ray.state.csr import create_shard_actors, shard_edges
+
+    _quiet()
+    edges = derived_edges(sf_dir).materialize()
+
+    def add_w(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        w = (s * 31 + d) % 97 + 1
+        return t.append_column("weight", pa.array(w.astype(np.int64)))
+
+    verts = derived_vertices(edges)
+    n = int(verts.max()) + 1
+    source = int(verts.min())
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    paths = shard_edges(edges.map_batches(add_w, batch_format="pyarrow"),
+                        n, 4, f"/tmp/wl_sssp_{tag}", by="src",
+                        weight_col="weight")
+    actors, _ = create_shard_actors(paths, n)
+    try:
+        res = sssp_int(actors, n, source, weighted=True, max_iter=40)
+    finally:
+        for a in actors:
+            _ray.kill(a)
+    assert res.converged, "SSSP exceeded the oracle's 40-round unroll"
+    dist = res.distances
+    reach = np.flatnonzero(dist < SSSP_INF)
+    return pd.DataFrame({"vertex": reach.astype(np.int64),
+                         "dist": dist[reach]})
 
 
 # ---- flagship wikitext family (driver-oracled via the deterministic ------
@@ -1240,6 +1316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_clustering": q_graph_clustering,
         "graph_host_contraction": q_graph_host_contraction,
         "graph_reciprocity": q_graph_reciprocity,
+        "graph_sssp": q_graph_sssp,
         "graph_host_pagerank": q_graph_host_pagerank,
         "supplier_approx_distinct": q_supplier_approx_distinct,
         "url_host_parse": q_url_host_parse,
@@ -1673,6 +1750,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": _hits_oracle_sql(iters=10),
         "supplier_approx_distinct": _hll_oracle_sql(),
         "graph_host_pagerank": _host_pagerank_oracle_sql(iters=20),
+        "graph_sssp": _sssp_oracle_sql(iters=40),
         "graph_reciprocity": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),
             nl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src != dst),

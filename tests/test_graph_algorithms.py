@@ -296,3 +296,56 @@ def test_reciprocity_vs_networkx(rand_graph):
         "src": pa.array([1, 1, 2], pa.int64()),
         "dst": pa.array([1, 1, 2], pa.int64())})))
     assert reciprocity_counts(noisy, num_partitions=4) == (m, d)
+
+
+def test_sssp_weighted_vs_networkx(rand_graph, tmp_path_factory):
+    """Weighted Bellman-Ford supersteps vs networkx Dijkstra (positive
+    integer weights, so both compute the same metric) — exact int64
+    distances, unreached = SSSP_INF on our side / absent in networkx."""
+    import networkx as nx
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from wikilinks_ray.pipelines.sssp import SSSP_INF, sssp_int
+
+    n, pairs, _ds, _fwd, _symA = rand_graph
+    w = (pairs[:, 0] * 31 + pairs[:, 1]) % 97 + 1
+    wds = rd.from_arrow(pa.table({
+        "src": pa.array(pairs[:, 0], pa.int64()),
+        "dst": pa.array(pairs[:, 1], pa.int64()),
+        "weight": pa.array(w, pa.int64())}))
+    d = tmp_path_factory.mktemp("ssspw")
+    actors, _ = create_shard_actors(
+        shard_edges(wds, n, 3, str(d), by="src", weight_col="weight"), n)
+    try:
+        res = sssp_int(actors, n, source=0, weighted=True)
+    finally:
+        for a in actors:
+            ray.kill(a)
+    assert res.converged
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_weighted_edges_from(
+        (int(a), int(b), int(x)) for (a, b), x in zip(pairs, w))
+    want = nx.single_source_dijkstra_path_length(g, 0, weight="weight")
+    for v in range(n):
+        assert res.distances[v] == want.get(v, SSSP_INF)
+
+
+def test_sssp_unweighted_equals_bfs(rand_graph):
+    """weighted=False min-plus (+1 per edge) on UNWEIGHTED shards must
+    reproduce the frontier BFS's hop counts exactly — a differential
+    oracle between two independent traversal implementations."""
+    import ray
+
+    from wikilinks_ray.pipelines.sssp import SSSP_INF, sssp_int
+
+    n, pairs, _ds, fwd, _symA = rand_graph
+    src = int(pairs[0, 0])
+    res = sssp_int(fwd, n, source=src, weighted=False)
+    assert res.converged
+    bfs = multi_source_bfs(fwd, n, [src])
+    dist = bfs.distances()[:, 0]
+    ours = np.where(res.distances == SSSP_INF, -1, res.distances)
+    assert np.array_equal(ours, dist)

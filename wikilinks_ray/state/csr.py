@@ -408,6 +408,44 @@ class CSRShardActor:
                 fill=np.iinfo(np.int64).max))
         return out if len(out) > 1 else out[0]
 
+    def min_plus_push(self, dist_chunk: np.ndarray, weighted: bool = False):
+        """Min-plus (tropical) relaxation combiner — the SSSP superstep:
+        per-dst-range elementwise MIN of ``dist[src] + w_e`` (Bellman-
+        Ford over the distributed CSR). Unreached sources carry the
+        ``SSSP_INF = 2^62`` sentinel; their relaxations land at
+        ``INF + w`` which can never beat a stored value (reached values
+        are < INF and an unreached slot holds exactly INF), so no mask
+        is needed and the arithmetic stays order-independent int64 —
+        exactly reproducible by the unrolled SQL relaxation in
+        ``__ray_entry__._sssp_oracle_sql``. ``weighted=True`` uses the
+        shard's per-edge weights (``shard_edges(weight_col=...)``),
+        else hop count (+1 per edge)."""
+        csr = self.csr
+        edge_vals = csr.edge_values_by_dst(dist_chunk)
+        if weighted:
+            if csr.dst_sorted_weight is None:
+                raise ValueError("shard has no weights; write with weight_col")
+            edge_vals = edge_vals + csr.dst_sorted_weight
+        else:
+            edge_vals = edge_vals + 1
+        out = []
+        for q in range(len(self.bounds) - 1):
+            a, b = self.segs[q], self.segs[q + 1]
+            if a == b:
+                out.append(None)
+                continue
+            d = csr.dst_sorted_dst[a:b]
+            first = np.empty(b - a, dtype=bool)
+            first[0] = True
+            first[1:] = d[1:] != d[:-1]
+            idx = np.flatnonzero(first)
+            out.append(pack_partial(
+                d[idx] - self.bounds[q],
+                np.minimum.reduceat(edge_vals[a:b], idx),
+                int(self.bounds[q + 1] - self.bounds[q]),
+                fill=np.iinfo(np.int64).max))
+        return out if len(out) > 1 else out[0]
+
     def gather_neighbors(self, frontier: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(dst, parent_src) pairs for frontier vertices owned by this
         shard — the BFS expansion (PageMapper analog, WikiRoutes.kt:102-124)."""
