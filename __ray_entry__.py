@@ -400,6 +400,48 @@ def _host_pagerank_oracle_sql(iters: int = 20, scale: int = 10**12,
             f"\nSELECT v AS host, r AS wpr_scaled FROM pr{iters}")
 
 
+def q_graph_walks(sf_dir: str):
+    """EXACT-match deterministic random walks (DeepWalk-style corpus
+    generation): 64 seed walks of 8 steps; next hop = the
+    ``H(v, t) % out_deg``-th smallest out-neighbor with the frozen
+    integer hash of pipelines/walks.py. Walks end early at dangling
+    vertices. The SQL twin replays each step as a join against a
+    row_number()-ranked neighbor table — one CTE per step."""
+    from wikilinks_ray.pipelines.derived import DerivedGraph
+    from wikilinks_ray.pipelines.walks import random_walks
+
+    _quiet()
+    with DerivedGraph(sf_dir, num_shards=4) as g:
+        seeds = g.vertices[:64]
+        wid, step, v = random_walks(g.actors, g.bounds, seeds, length=8)
+    return pd.DataFrame({"walk": seeds[wid], "step": step, "vertex": v})
+
+
+def _walks_oracle_sql(length: int = 8, n_seeds: int = 64) -> str:
+    """SQL twin of pipelines.walks.random_walks over the derived graph:
+    step t's hop replayed as a join on rank == H(v, t) % deg."""
+    from wikilinks_ray.pipelines.walks import WALK_ADD, WALK_MOD, WALK_MUL
+
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges)",
+        "nbr AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk, "
+        "count(*) OVER (PARTITION BY src) AS deg FROM edges)",
+        f"w0 AS MATERIALIZED (SELECT v AS walk, v FROM "
+        f"(SELECT v FROM verts ORDER BY v LIMIT {n_seeds}))",
+    ]
+    for t in range(length):
+        ctes.append(
+            f"w{t + 1} AS MATERIALIZED (SELECT w.walk, n.dst AS v "
+            f"FROM w{t} w JOIN nbr n ON n.src = w.v AND n.rnk = "
+            f"((w.v % {WALK_MOD}) * {WALK_MUL} + {t} * {WALK_ADD}) % n.deg)")
+    selects = [f"SELECT walk, {t}::BIGINT AS step, v AS vertex FROM w{t}"
+               for t in range(length + 1)]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def _sssp_oracle_sql(iters: int = 40) -> str:
     """SQL twin of pipelines.sssp.sssp_int over the derived weighted
     graph: unrolled min-plus relaxation rounds, same int64 arithmetic,
@@ -1317,6 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_host_contraction": q_graph_host_contraction,
         "graph_reciprocity": q_graph_reciprocity,
         "graph_sssp": q_graph_sssp,
+        "graph_walks": q_graph_walks,
         "graph_host_pagerank": q_graph_host_pagerank,
         "supplier_approx_distinct": q_supplier_approx_distinct,
         "url_host_parse": q_url_host_parse,
@@ -1751,6 +1794,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_approx_distinct": _hll_oracle_sql(),
         "graph_host_pagerank": _host_pagerank_oracle_sql(iters=20),
         "graph_sssp": _sssp_oracle_sql(iters=40),
+        "graph_walks": _walks_oracle_sql(length=8, n_seeds=64),
         "graph_reciprocity": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),
             nl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src != dst),

@@ -349,3 +349,38 @@ def test_sssp_unweighted_equals_bfs(rand_graph):
     dist = bfs.distances()[:, 0]
     ours = np.where(res.distances == SSSP_INF, -1, res.distances)
     assert np.array_equal(ours, dist)
+
+
+def test_random_walks_match_pure_python_replay(rand_graph):
+    """Deterministic walks vs an independent driver-side replay over a
+    sorted adjacency dict — every emitted (walk, step, vertex) row and
+    every early termination must agree."""
+    from collections import defaultdict
+
+    from wikilinks_ray.pipelines.walks import random_walks, walk_hash
+    from wikilinks_ray.state.csr import vertex_ranges
+
+    n, pairs, _ds, fwd, _symA = rand_graph
+    adj = defaultdict(list)
+    for a, b in pairs:
+        adj[int(a)].append(int(b))
+    for v in adj:
+        adj[v].sort()
+
+    seeds = np.unique(pairs[:, 0])[:32]
+    bounds = vertex_ranges(n, len(fwd))
+    wid, step, vert = random_walks(fwd, bounds, seeds, length=6)
+    got = {(int(seeds[w]), int(s)): int(x)
+           for w, s, x in zip(wid, step, vert)}
+
+    want = {}
+    for s0 in seeds:
+        v = int(s0)
+        want[(v, 0)] = v
+        for t in range(6):
+            nbrs = adj.get(v)
+            if not nbrs:
+                break
+            v = nbrs[int(walk_hash(np.array([v]), t)[0] % len(nbrs))]
+            want[(int(s0), t + 1)] = v
+    assert got == want

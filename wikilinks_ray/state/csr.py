@@ -446,6 +446,24 @@ class CSRShardActor:
                 fill=np.iinfo(np.int64).max))
         return out if len(out) > 1 else out[0]
 
+    def walk_next(self, vs: np.ndarray, step: int) -> np.ndarray:
+        """Deterministic-walk hop: for each (owned) vertex in ``vs``,
+        the ``H(v, step) % out_deg``-th smallest out-neighbor (CSR
+        indices are dst-sorted within src by construction), or -1 when
+        the vertex has no out-edges. Hash frozen in pipelines/walks.py
+        (shared SQL twin)."""
+        from ..pipelines.walks import walk_hash
+
+        csr = self.csr
+        f = vs - csr.lo
+        deg = csr.out_deg[f]
+        nxt = np.full(len(f), -1, dtype=np.int64)
+        has = deg > 0
+        if has.any():
+            rnk = walk_hash(vs[has], step) % deg[has]
+            nxt[has] = csr.indices[csr.indptr[f[has]] + rnk]
+        return nxt
+
     def gather_neighbors(self, frontier: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(dst, parent_src) pairs for frontier vertices owned by this
         shard — the BFS expansion (PageMapper analog, WikiRoutes.kt:102-124)."""
