@@ -400,6 +400,66 @@ def _host_pagerank_oracle_sql(iters: int = 20, scale: int = 10**12,
             f"\nSELECT v AS host, r AS wpr_scaled FROM pr{iters}")
 
 
+def q_graph_anf(sf_dir: str):
+    """EXACT-match HyperANF (Boldi-Vigna neighborhood function): 4
+    register-max-merge supersteps over the frozen 64-register integer
+    HLL of stages/agg.py, yielding each vertex's approximate 4-hop
+    in-ball size. The SQL twin max-merges (v, bucket, rho) rows per
+    iteration and applies the same scaled-integer estimator, so the
+    whole sketch exchange is under the value-hash gate."""
+    from wikilinks_ray.pipelines.anf import hyper_anf
+    from wikilinks_ray.pipelines.derived import DerivedGraph
+
+    _quiet()
+    with DerivedGraph(sf_dir, num_shards=4) as g:
+        est = hyper_anf(g.actors, g.n, iters=4)
+        return pd.DataFrame({"vertex": g.vertices,
+                             "ball_est": est[g.vertices]})
+
+
+def _anf_oracle_sql(iters: int = 4) -> str:
+    """SQL twin of pipelines.anf.hyper_anf: per-iteration register
+    max-merge + the estimator CTEs of _hll_oracle_sql, same frozen
+    constants."""
+    from wikilinks_ray.stages.agg import (HLL_ALPHA_DEN, HLL_ALPHA_NUM,
+                                          HLL_K, HLL_LC, HLL_LC_SHIFT,
+                                          HLL_M, HLL_P)
+
+    lc_rows = ", ".join(f"({v + 1}, {x})" for v, x in enumerate(HLL_LC))
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges)",
+        "h AS (SELECT v, md5_number_upper(CAST(v AS VARCHAR)) AS h "
+        "FROM verts)",
+        f"r0 AS MATERIALIZED (SELECT v, (h >> {64 - HLL_P})::BIGINT AS b, "
+        "CASE WHEN (h & 4294967295::UBIGINT) = 0 THEN 33::BIGINT "
+        "ELSE 32 - floor(log2((h & 4294967295::UBIGINT)::DOUBLE))::BIGINT "
+        "END AS r FROM h)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"r{t + 1} AS MATERIALIZED (SELECT v, b, max(r)::BIGINT AS r "
+            f"FROM (SELECT v, b, r FROM r{t} UNION ALL "
+            f"SELECT e.dst AS v, s.b, s.r FROM edges e "
+            f"JOIN r{t} s ON s.v = e.src) u GROUP BY v, b)")
+    ctes += [
+        f"agg AS (SELECT v, (sum(1::BIGINT << ({HLL_K} - r)) "
+        f"+ ({HLL_M} - count(*)) * (1::BIGINT << {HLL_K}))::BIGINT AS z, "
+        f"({HLL_M} - count(*))::BIGINT AS vz FROM r{iters} GROUP BY v)",
+        f"raw AS (SELECT v, vz, (({HLL_ALPHA_NUM}::BIGINT * "
+        f"{HLL_M * HLL_M}) << {HLL_K}) // ({HLL_ALPHA_DEN}::BIGINT * z) "
+        "AS raw FROM agg)",
+        f"lc(v, val) AS (VALUES {lc_rows})",
+    ]
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT r.v AS vertex,
+               CASE WHEN r.vz > 0 AND r.raw <= {(5 * HLL_M) // 2}
+                    THEN ({HLL_M}::BIGINT * lc.val) >> {HLL_LC_SHIFT}
+                    ELSE r.raw END AS ball_est
+        FROM raw r LEFT JOIN lc ON lc.v = r.vz""")
+
+
 def q_graph_walks(sf_dir: str):
     """EXACT-match deterministic random walks (DeepWalk-style corpus
     generation): 64 seed walks of 8 steps; next hop = the
@@ -1360,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_reciprocity": q_graph_reciprocity,
         "graph_sssp": q_graph_sssp,
         "graph_walks": q_graph_walks,
+        "graph_anf": q_graph_anf,
         "graph_host_pagerank": q_graph_host_pagerank,
         "supplier_approx_distinct": q_supplier_approx_distinct,
         "url_host_parse": q_url_host_parse,
@@ -1795,6 +1856,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_host_pagerank": _host_pagerank_oracle_sql(iters=20),
         "graph_sssp": _sssp_oracle_sql(iters=40),
         "graph_walks": _walks_oracle_sql(length=8, n_seeds=64),
+        "graph_anf": _anf_oracle_sql(iters=4),
         "graph_reciprocity": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),
             nl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src != dst),

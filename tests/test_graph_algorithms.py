@@ -384,3 +384,41 @@ def test_random_walks_match_pure_python_replay(rand_graph):
             v = nbrs[int(walk_hash(np.array([v]), t)[0] % len(nbrs))]
             want[(int(s0), t + 1)] = v
     assert got == want
+
+
+def test_hyper_anf_matches_dense_reference(rand_graph):
+    """HyperANF's distributed register exchange vs an independent dense
+    numpy replay (np.maximum.at over the raw edge list) — exact match
+    (both deterministic), plus a loose accuracy envelope vs exact
+    4-hop in-ball sizes from networkx."""
+    import networkx as nx
+
+    from wikilinks_ray.pipelines.anf import hyper_anf, vertex_registers
+    from wikilinks_ray.stages.agg import HLL_K, hll_estimate
+
+    n, pairs, _ds, fwd, _symA = rand_graph
+    got = hyper_anf(fwd, n, iters=4)
+
+    regs = vertex_registers(np.arange(n, dtype=np.int64))
+    for _ in range(4):
+        new = regs.copy()
+        np.maximum.at(new, pairs[:, 1], regs[pairs[:, 0]])
+        regs = new
+    r = regs.astype(np.int64)
+    z = (np.int64(1) << (HLL_K - r)).sum(axis=1)
+    vz = (r == 0).sum(axis=1)
+    want = np.fromiter((hll_estimate(int(a), int(b)) for a, b in zip(z, vz)),
+                       dtype=np.int64, count=n)
+    assert np.array_equal(got, want)
+
+    # accuracy: HLL with 64 registers ~ 13% std error; require the mean
+    # relative error over true 4-hop in-balls to stay under 25%
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(pairs)
+    rev = g.reverse()
+    exact = np.array([
+        len(nx.single_source_shortest_path_length(rev, v, cutoff=4))
+        for v in range(n)], dtype=np.int64)
+    rel = np.abs(got - exact) / np.maximum(exact, 1)
+    assert rel.mean() < 0.25

@@ -1,0 +1,104 @@
+"""HyperANF: approximate neighborhood function via HLL register
+max-merge supersteps (Boldi, Rosa & Vigna, "HyperANF: Approximating the
+Neighbourhood Function of Very Large Graphs on a Budget", WWW 2011).
+
+No reference implementation (SURVEY.md §2.12). Each vertex carries a
+64-register HyperLogLog sketch of its K-hop IN-ball
+``{u : dist(u -> v) <= K}``; one superstep unions every vertex's sketch
+into its out-neighbors' (register-wise max — a perfect idempotent
+combiner, so the exchange is O(P · n · 64 bytes) per superstep
+regardless of |E| or ball sizes, the whole point of sketching the
+neighborhood function instead of materializing frontiers per source:
+exact all-pairs would be O(V) BFS runs).
+
+The sketch machinery is the FROZEN integer HLL of stages/agg.py
+(md5-derived hashes, 64 registers, scaled-integer estimator), so every
+superstep and the final per-vertex ball estimate are bit-reproducible
+by the unrolled SQL max-merge in ``__ray_entry__._anf_oracle_sql``.
+
+Summing ``ball_est`` over vertices at iteration t gives the
+neighborhood function N(t) (number of pairs within distance t) — the
+standard route to effective-diameter estimates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+import ray
+
+from ..stages.agg import HLL_K, HLL_M, HLL_P, hll_estimate
+from ..state.csr import vertex_ranges
+
+
+def vertex_registers(ids: np.ndarray) -> np.ndarray:
+    """Initial sketch of ``{v}`` per id: uint8 (len, 64) registers with
+    one slot set — bucket = top ``HLL_P`` hash bits, value = rho of the
+    low 32 bits. Identical hash convention to grouped_approx_distinct
+    (md5 little-endian first 8 bytes == DuckDB md5_number_upper)."""
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(int(v)).encode()).digest()[:8],
+                        "little") for v in ids),
+        dtype=np.uint64, count=len(ids))
+    bucket = (hs >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rem = hs & np.uint64(0xFFFFFFFF)
+    rho = np.where(
+        rem == 0, 33,
+        32 - np.floor(np.log2(np.maximum(rem, 1)
+                              .astype(np.float64))).astype(np.int64))
+    regs = np.zeros((len(ids), HLL_M), dtype=np.uint8)
+    regs[np.arange(len(ids)), bucket] = rho.astype(np.uint8)
+    return regs
+
+
+@ray.remote
+def _init_regs(lo: int, hi: int) -> np.ndarray:
+    return vertex_registers(np.arange(lo, hi, dtype=np.int64))
+
+
+@ray.remote
+def _merge_regs(old: np.ndarray, *partials) -> np.ndarray:
+    acc = old.copy()
+    for p in partials:
+        if p is None:
+            continue
+        # block may be a read-only object-store view — never write it
+        offsets, block = p
+        acc[offsets] = np.maximum(acc[offsets], block)
+    return acc
+
+
+@ray.remote
+def _estimate_chunk(reg_chunk: np.ndarray) -> np.ndarray:
+    r = reg_chunk.astype(np.int64)
+    z = (np.int64(1) << (HLL_K - r)).sum(axis=1)
+    v_zero = (r == 0).sum(axis=1)
+    return np.fromiter(
+        (hll_estimate(int(zz), int(vv)) for zz, vv in zip(z, v_zero)),
+        dtype=np.int64, count=len(z))
+
+
+def hyper_anf(actors: list, n_vertices: int, *, iters: int = 4
+              ) -> np.ndarray:
+    """K-hop in-ball size estimates, int64[n]. Register state lives in
+    the object store as per-range (chunk, 64) uint8 blocks; the driver
+    never touches a sketch."""
+    P = len(actors)
+    bounds = vertex_ranges(n_vertices, P)
+    chunk_refs = [_init_regs.remote(int(bounds[p]), int(bounds[p + 1]))
+                  for p in range(P)]
+    for _ in range(iters):
+        if P > 1:
+            push = [a.sketch_push.options(num_returns=P)
+                     .remote(chunk_refs[p]) for p, a in enumerate(actors)]
+        else:
+            push = [[a.sketch_push.remote(chunk_refs[p])]
+                    for p, a in enumerate(actors)]
+        chunk_refs = [
+            _merge_regs.remote(chunk_refs[q], *[push[p][q] for p in range(P)])
+            for q in range(P)
+        ]
+    ests = ray.get([_estimate_chunk.remote(c) for c in chunk_refs])
+    return np.concatenate(ests) if ests else np.empty(0, np.int64)

@@ -446,6 +446,31 @@ class CSRShardActor:
                 fill=np.iinfo(np.int64).max))
         return out if len(out) > 1 else out[0]
 
+    def sketch_push(self, reg_chunk: np.ndarray):
+        """HyperANF register push (pipelines/anf.py): per-dst-range
+        ``(local_offsets, reg_block)`` where the block is the
+        register-wise MAX over incoming src sketches — same
+        unique-dst ``reduceat`` shape as scatter/min_push, lifted to
+        the (edges, HLL_M) uint8 register matrix. Always ships sparse:
+        a dst-range's touched rows are bounded by its in-degree
+        support, and rows are 64 bytes each."""
+        csr = self.csr
+        edge_regs = reg_chunk[csr.dst_sorted_src - csr.lo]
+        out = []
+        for q in range(len(self.bounds) - 1):
+            a, b = self.segs[q], self.segs[q + 1]
+            if a == b:
+                out.append(None)
+                continue
+            d = csr.dst_sorted_dst[a:b]
+            first = np.empty(b - a, dtype=bool)
+            first[0] = True
+            first[1:] = d[1:] != d[:-1]
+            idx = np.flatnonzero(first)
+            out.append((d[idx] - self.bounds[q],
+                        np.maximum.reduceat(edge_regs[a:b], idx, axis=0)))
+        return out if len(out) > 1 else out[0]
+
     def walk_next(self, vs: np.ndarray, step: int) -> np.ndarray:
         """Deterministic-walk hop: for each (owned) vertex in ``vs``,
         the ``H(v, step) % out_deg``-th smallest out-neighbor (CSR
