@@ -400,6 +400,48 @@ def _host_pagerank_oracle_sql(iters: int = 20, scale: int = 10**12,
             f"\nSELECT v AS host, r AS wpr_scaled FROM pr{iters}")
 
 
+def q_graph_modularity(sf_dir: str):
+    """EXACT-match directed modularity stats of the ``v % 50``
+    host-style partition: per community, intra-edge count, out-/in-
+    degree mass, and the exact integer numerator term
+    ``intra*m - kout*kin`` (Q = sum(term)/m^2, no division on either
+    side). One combiner map pass + a |C|-row bucketed sum."""
+    from wikilinks_ray.pipelines.derived import derived_edges
+    from wikilinks_ray.pipelines.modularity import community_stats
+
+    _quiet()
+    stats = community_stats(derived_edges(sf_dir),
+                            lambda v: v % 50).to_pandas()
+    m = int(stats["kout"].sum())
+    stats["term"] = (stats["intra_edges"].astype("int64") * m
+                     - stats["kout"].astype("int64")
+                     * stats["kin"].astype("int64"))
+    return stats.sort_values("community").reset_index(drop=True)
+
+
+_MODULARITY_SQL = """
+    WITH edges AS MATERIALIZED ({edges}),
+    m AS (SELECT count(*)::BIGINT AS m FROM edges),
+    ko AS (SELECT src % 50 AS c, count(*)::BIGINT AS kout
+           FROM edges GROUP BY 1),
+    ki AS (SELECT dst % 50 AS c, count(*)::BIGINT AS kin
+           FROM edges GROUP BY 1),
+    ie AS (SELECT src % 50 AS c, count(*)::BIGINT AS intra_edges
+           FROM edges WHERE src % 50 = dst % 50 GROUP BY 1),
+    cs AS (SELECT c FROM ko UNION SELECT c FROM ki UNION SELECT c FROM ie)
+    SELECT cs.c AS community,
+           coalesce(ie.intra_edges, 0)::BIGINT AS intra_edges,
+           coalesce(ko.kout, 0)::BIGINT AS kout,
+           coalesce(ki.kin, 0)::BIGINT AS kin,
+           (coalesce(ie.intra_edges, 0)::BIGINT * (SELECT m FROM m)
+            - coalesce(ko.kout, 0)::BIGINT
+              * coalesce(ki.kin, 0)::BIGINT)::BIGINT AS term
+    FROM cs LEFT JOIN ko ON ko.c = cs.c
+            LEFT JOIN ki ON ki.c = cs.c
+            LEFT JOIN ie ON ie.c = cs.c
+"""
+
+
 def q_graph_anf(sf_dir: str):
     """EXACT-match HyperANF (Boldi-Vigna neighborhood function): 4
     register-max-merge supersteps over the frozen 64-register integer
@@ -1421,6 +1463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp": q_graph_sssp,
         "graph_walks": q_graph_walks,
         "graph_anf": q_graph_anf,
+        "graph_modularity": q_graph_modularity,
         "graph_host_pagerank": q_graph_host_pagerank,
         "supplier_approx_distinct": q_supplier_approx_distinct,
         "url_host_parse": q_url_host_parse,
@@ -1857,6 +1900,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp": _sssp_oracle_sql(iters=40),
         "graph_walks": _walks_oracle_sql(length=8, n_seeds=64),
         "graph_anf": _anf_oracle_sql(iters=4),
+        "graph_modularity": _MODULARITY_SQL.format(edges=_EDGES),
         "graph_reciprocity": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),
             nl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src != dst),

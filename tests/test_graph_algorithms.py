@@ -422,3 +422,25 @@ def test_hyper_anf_matches_dense_reference(rand_graph):
         for v in range(n)], dtype=np.int64)
     rel = np.abs(got - exact) / np.maximum(exact, 1)
     assert rel.mean() < 0.25
+
+
+def test_directed_modularity_vs_networkx(rand_graph):
+    """Engine directed modularity (combiner pass + exact integer terms)
+    vs networkx's community.modularity on the same DiGraph/partition."""
+    import networkx as nx
+
+    from wikilinks_ray.pipelines.modularity import directed_modularity
+
+    n, pairs, ds, _fwd, _symA = rand_graph
+    q, stats = directed_modularity(ds, lambda v: v % 7)
+    df = stats.to_pandas()
+    m = len(pairs)
+    assert df["kout"].sum() == m and df["kin"].sum() == m
+    assert (df["term"] == df["intra_edges"] * m - df["kout"] * df["kin"]).all()
+
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(pairs)
+    comms = [set(v for v in range(n) if v % 7 == c) for c in range(7)]
+    want = nx.community.modularity(g, comms)
+    assert q == pytest.approx(want, abs=1e-12)
