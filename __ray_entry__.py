@@ -400,6 +400,77 @@ def _host_pagerank_oracle_sql(iters: int = 20, scale: int = 10**12,
             f"\nSELECT v AS host, r AS wpr_scaled FROM pr{iters}")
 
 
+def q_graph_mis(sf_dir: str):
+    """EXACT-match maximal independent set (deterministic Luby rounds):
+    injective per-round hash priorities, two min_push exchanges per
+    round over the symmetrized self-loop-free graph. The SQL twin
+    replays 12 unrolled rounds (the engine asserts it finished within
+    12; exhausted rounds are no-ops). Ghost ids of the dense [0, n)
+    space join trivially (degree 0) and are filtered to real vertices
+    on both sides."""
+    import hashlib as _hl
+
+    import ray as _ray
+
+    from wikilinks_ray.pipelines.components import symmetrize_edges
+    from wikilinks_ray.pipelines.derived import (derived_edges,
+                                                 derived_vertices)
+    from wikilinks_ray.pipelines.mis import (drop_self_loops,
+                                             maximal_independent_set)
+    from wikilinks_ray.state.csr import create_shard_actors, shard_edges
+
+    _quiet()
+    edges = drop_self_loops(derived_edges(sf_dir)).materialize()
+    verts = derived_vertices(edges)
+    n = int(verts.max()) + 1
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    paths = shard_edges(symmetrize_edges(edges), n, 4,
+                        f"/tmp/wl_mis_{tag}", by="src")
+    actors, _ = create_shard_actors(paths, n)
+    try:
+        mis, _rounds, done = maximal_independent_set(actors, n,
+                                                     max_rounds=12)
+    finally:
+        for a in actors:
+            _ray.kill(a)
+    assert done, "MIS exceeded the oracle's 12-round unroll"
+    mis = mis[np.isin(mis, verts)]
+    return pd.DataFrame({"vertex": mis})
+
+
+def _mis_oracle_sql(rounds: int = 12) -> str:
+    """SQL twin of pipelines.mis.maximal_independent_set: per round,
+    active vertices beating every active neighbor's key join; selected
+    vertices and their neighbors deactivate."""
+    from wikilinks_ray.pipelines.mis import _PRI_MOD
+    from wikilinks_ray.pipelines.walks import WALK_ADD, WALK_MOD, WALK_MUL
+
+    ctes = [_UND.strip().rstrip(","),
+            "a0 AS MATERIALIZED (SELECT v FROM verts)"]
+    for t in range(rounds):
+        ctes.append(
+            f"k{t} AS MATERIALIZED (SELECT v, "
+            f"((((v % {WALK_MOD}) * {WALK_MUL} + {t} * {WALK_ADD}) "
+            f"% {_PRI_MOD}) * 4294967296 + v)::BIGINT AS key FROM a{t})")
+        ctes.append(
+            f"n{t} AS MATERIALIZED (SELECT u.b AS v, min(k.key) AS nk "
+            f"FROM und u JOIN k{t} k ON k.v = u.a GROUP BY u.b)")
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT k.v FROM k{t} k "
+            f"LEFT JOIN n{t} n ON n.v = k.v "
+            f"WHERE n.nk IS NULL OR k.key < n.nk)")
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT DISTINCT u.b AS v FROM und u "
+            f"JOIN s{t} s ON s.v = u.a)")
+        ctes.append(
+            f"a{t + 1} AS MATERIALIZED (SELECT v FROM a{t} WHERE "
+            f"v NOT IN (SELECT v FROM s{t}) "
+            f"AND v NOT IN (SELECT v FROM d{t}))")
+    sel = " UNION ALL ".join(f"SELECT v FROM s{t}" for t in range(rounds))
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT v AS vertex FROM ({sel}) all_sel")
+
+
 def q_graph_modularity(sf_dir: str):
     """EXACT-match directed modularity stats of the ``v % 50``
     host-style partition: per community, intra-edge count, out-/in-
@@ -1464,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_walks": q_graph_walks,
         "graph_anf": q_graph_anf,
         "graph_modularity": q_graph_modularity,
+        "graph_mis": q_graph_mis,
         "graph_host_pagerank": q_graph_host_pagerank,
         "supplier_approx_distinct": q_supplier_approx_distinct,
         "url_host_parse": q_url_host_parse,
@@ -1901,6 +1973,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_walks": _walks_oracle_sql(length=8, n_seeds=64),
         "graph_anf": _anf_oracle_sql(iters=4),
         "graph_modularity": _MODULARITY_SQL.format(edges=_EDGES),
+        "graph_mis": _mis_oracle_sql(rounds=12),
         "graph_reciprocity": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),
             nl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src != dst),

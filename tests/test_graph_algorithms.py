@@ -444,3 +444,45 @@ def test_directed_modularity_vs_networkx(rand_graph):
     comms = [set(v for v in range(n) if v % 7 == c) for c in range(7)]
     want = nx.community.modularity(g, comms)
     assert q == pytest.approx(want, abs=1e-12)
+
+
+def test_mis_independent_maximal_and_deterministic(rand_graph):
+    """Luby MIS: (1) independence — no edge inside the set; (2)
+    maximality — every outside vertex has an inside neighbor; (3) exact
+    match vs an independent driver-side round replay with the same
+    frozen keys."""
+    from wikilinks_ray.pipelines.mis import maximal_independent_set, mis_key
+
+    n, pairs, _ds, _fwd, symA = rand_graph
+    got, rounds, done = maximal_independent_set(symA, n)
+    assert done and rounds >= 1
+    in_mis = np.zeros(n, dtype=bool)
+    in_mis[got] = True
+    a, b = pairs[:, 0], pairs[:, 1]
+    assert not (in_mis[a] & in_mis[b]).any()
+
+    nbr_in_mis = np.zeros(n, dtype=bool)
+    np.logical_or.at(nbr_in_mis, a, in_mis[b])
+    np.logical_or.at(nbr_in_mis, b, in_mis[a])
+    # every non-member is blocked by a member (isolated ids are members)
+    assert (in_mis | nbr_in_mis).all()
+
+    # dense replay of the same rounds
+    sa = np.concatenate([a, b])
+    sb = np.concatenate([b, a])
+    active = np.ones(n, dtype=bool)
+    mis = np.zeros(n, dtype=bool)
+    INF = np.iinfo(np.int64).max
+    t = 0
+    while active.any():
+        keys = np.where(active, mis_key(np.arange(n, dtype=np.int64), t), INF)
+        nbr_min = np.full(n, INF, dtype=np.int64)
+        np.minimum.at(nbr_min, sb, keys[sa])
+        new = active & (keys < nbr_min)
+        mis |= new
+        blocked = np.zeros(n, dtype=bool)
+        np.logical_or.at(blocked, sb, new[sa])
+        active &= ~new & ~blocked
+        t += 1
+    assert np.array_equal(np.flatnonzero(mis), got)
+    assert t == rounds
