@@ -400,6 +400,43 @@ def _host_pagerank_oracle_sql(iters: int = 20, scale: int = 10**12,
             f"\nSELECT v AS host, r AS wpr_scaled FROM pr{iters}")
 
 
+def q_graph_linkpred(sf_dir: str):
+    """EXACT-match link prediction: common-out-neighbor counts +
+    scaled-integer Jaccard for vertex pairs with >= 10 shared
+    successors — the n-gram-Jaccard posting-list plan re-targeted at
+    the adjacency relation, degrees broadcast for the denominator."""
+    from wikilinks_ray.pipelines.derived import derived_edges
+    from wikilinks_ray.pipelines.linkpred import common_neighbor_pairs
+
+    _quiet()
+    out = common_neighbor_pairs(derived_edges(sf_dir), min_common=10)
+    return out.to_pandas()
+
+
+def _linkpred_oracle_sql(min_common: int = 10, max_posting: int = 100_000,
+                         scale: int = 10**6) -> str:
+    """SQL twin of pipelines.linkpred.common_neighbor_pairs: self-join
+    on shared dst (posting-cap filter first), full out-degrees for the
+    Jaccard denominator."""
+    return f"""
+        WITH edges AS MATERIALIZED ({_EDGES}),
+        ind AS (SELECT dst, count(*)::BIGINT AS c FROM edges GROUP BY dst),
+        fe AS MATERIALIZED (SELECT e.src, e.dst FROM edges e
+                            JOIN ind i ON i.dst = e.dst
+                            WHERE i.c <= {max_posting}),
+        deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+        pairs AS (SELECT e1.src AS u, e2.src AS v, count(*)::BIGINT AS common
+                  FROM fe e1 JOIN fe e2
+                    ON e1.dst = e2.dst AND e1.src < e2.src
+                  GROUP BY 1, 2 HAVING count(*) >= {min_common})
+        SELECT p.u, p.v, p.common,
+               (p.common * {scale}) // (du.d + dv.d - p.common)
+                   AS jaccard_scaled
+        FROM pairs p JOIN deg du ON du.src = p.u
+                     JOIN deg dv ON dv.src = p.v
+    """
+
+
 def q_graph_mis(sf_dir: str):
     """EXACT-match maximal independent set (deterministic Luby rounds):
     injective per-round hash priorities, two min_push exchanges per
@@ -1536,6 +1573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_anf": q_graph_anf,
         "graph_modularity": q_graph_modularity,
         "graph_mis": q_graph_mis,
+        "graph_linkpred": q_graph_linkpred,
         "graph_host_pagerank": q_graph_host_pagerank,
         "supplier_approx_distinct": q_supplier_approx_distinct,
         "url_host_parse": q_url_host_parse,
@@ -1974,6 +2012,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_anf": _anf_oracle_sql(iters=4),
         "graph_modularity": _MODULARITY_SQL.format(edges=_EDGES),
         "graph_mis": _mis_oracle_sql(rounds=12),
+        "graph_linkpred": _linkpred_oracle_sql(min_common=10),
         "graph_reciprocity": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),
             nl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src != dst),

@@ -486,3 +486,43 @@ def test_mis_independent_maximal_and_deterministic(rand_graph):
         t += 1
     assert np.array_equal(np.flatnonzero(mis), got)
     assert t == rounds
+
+
+def test_linkpred_vs_naive_sets(rand_graph):
+    """Common-neighbor/Jaccard pairs vs a naive per-vertex set oracle,
+    including the posting-cap exclusion semantics."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from wikilinks_ray.pipelines.linkpred import common_neighbor_pairs
+
+    _n, pairs, ds, _fwd, _symA = rand_graph
+    out = common_neighbor_pairs(ds, min_common=2).to_pandas()
+    got = {(int(r.u), int(r.v)): (int(r.common), int(r.jaccard_scaled))
+           for r in out.itertuples()}
+
+    nbrs = defaultdict(set)
+    for a, b in pairs:
+        nbrs[int(a)].add(int(b))
+    want = {}
+    for u, v in combinations(sorted(nbrs), 2):
+        c = len(nbrs[u] & nbrs[v])
+        if c >= 2:
+            want[(u, v)] = (c, c * 10**6 // (len(nbrs[u]) + len(nbrs[v]) - c))
+    assert got == want
+
+    # a tiny posting cap must drop hub dsts whole-list, exactly
+    capped = common_neighbor_pairs(ds, min_common=1, max_posting=3
+                                   ).to_pandas()
+    indeg = defaultdict(int)
+    for _a, b in pairs:
+        indeg[int(b)] += 1
+    nbrs_c = defaultdict(set)
+    for a, b in pairs:
+        if indeg[int(b)] <= 3:
+            nbrs_c[int(a)].add(int(b))
+    want_c = set()
+    for u, v in combinations(sorted(nbrs_c), 2):
+        if nbrs_c[u] & nbrs_c[v]:
+            want_c.add((u, v))
+    assert {(int(r.u), int(r.v)) for r in capped.itertuples()} == want_c
