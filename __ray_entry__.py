@@ -400,6 +400,40 @@ def _host_pagerank_oracle_sql(iters: int = 20, scale: int = 10**12,
             f"\nSELECT v AS host, r AS wpr_scaled FROM pr{iters}")
 
 
+def q_graph_scc(sf_dir: str):
+    """EXACT-match strongly connected components (distributed coloring:
+    forward max-label fixpoint + backward color-constrained BFS over
+    the range-aligned reverse pool), canonical min-member labels. The
+    DuckDB oracle derives SCCs from first principles — the recursive
+    reachability closure joined with its transpose — so the two sides
+    share no algorithmic structure at all."""
+    from wikilinks_ray.pipelines.derived import DerivedGraph
+    from wikilinks_ray.pipelines.scc import (min_relabel,
+                                             strongly_connected_components)
+
+    _quiet()
+    with DerivedGraph(sf_dir, num_shards=4, reverse=True) as g:
+        res = strongly_connected_components(g.actors, g.rev_actors, g.n)
+        labels = min_relabel(res.to_array())
+        return pd.DataFrame({"vertex": g.vertices,
+                             "scc": labels[g.vertices]})
+
+
+_SCC_ORACLE_SQL = """
+    WITH RECURSIVE edges AS ({edges}),
+    verts AS (SELECT DISTINCT src AS v FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    reach(a, b) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    )
+    SELECT r1.a AS vertex, min(r1.b) AS scc
+    FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    GROUP BY r1.a
+"""
+
+
 def q_graph_linkpred(sf_dir: str):
     """EXACT-match link prediction: common-out-neighbor counts +
     scaled-integer Jaccard for vertex pairs with >= 10 shared
@@ -1388,8 +1422,8 @@ def q_media_decode(sf_dir: str):
     import ray.data
 
     from wikilinks_ray.ops.multimodal import (
-        DecodeAudio,
-        DecodeImage,
+        decode_audio_batch,
+        decode_image_batch,
         encode_pgm,
         encode_wav,
     )
@@ -1412,10 +1446,12 @@ def q_media_decode(sf_dir: str):
             "payload": pa.array([p for _, p in rows], pa.binary()),
         }))
 
-    imgs = tbl(img_rows).map_batches(DecodeImage, batch_format="pyarrow",
-                                     batch_size=8, concurrency=2).to_pandas()
-    wavs = tbl(wav_rows).map_batches(DecodeAudio, batch_format="pyarrow",
-                                     batch_size=4, concurrency=2).to_pandas()
+    imgs = tbl(img_rows).map_batches(decode_image_batch,
+                                     batch_format="pyarrow",
+                                     batch_size=8).to_pandas()
+    wavs = tbl(wav_rows).map_batches(decode_audio_batch,
+                                     batch_format="pyarrow",
+                                     batch_size=4).to_pandas()
     imgs["rms"] = np.nan
     out = pd.concat([imgs[["media_id", "width", "height"]].assign(kind="image"),
                      wavs[["media_id", "duration_ms"]].assign(kind="audio")],
@@ -1574,6 +1610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_modularity": q_graph_modularity,
         "graph_mis": q_graph_mis,
         "graph_linkpred": q_graph_linkpred,
+        "graph_scc": q_graph_scc,
         "graph_host_pagerank": q_graph_host_pagerank,
         "supplier_approx_distinct": q_supplier_approx_distinct,
         "url_host_parse": q_url_host_parse,
@@ -2013,6 +2050,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_modularity": _MODULARITY_SQL.format(edges=_EDGES),
         "graph_mis": _mis_oracle_sql(rounds=12),
         "graph_linkpred": _linkpred_oracle_sql(min_common=10),
+        "graph_scc": _SCC_ORACLE_SQL.format(edges=_EDGES),
         "graph_reciprocity": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),
             nl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src != dst),

@@ -526,3 +526,34 @@ def test_linkpred_vs_naive_sets(rand_graph):
         if nbrs_c[u] & nbrs_c[v]:
             want_c.add((u, v))
     assert {(int(r.u), int(r.v)) for r in capped.itertuples()} == want_c
+
+
+def test_scc_vs_networkx(rand_graph, tmp_path_factory):
+    """Coloring-algorithm SCC vs networkx strongly_connected_components
+    — exact partition match under canonical min-member labels."""
+    import networkx as nx
+
+    from wikilinks_ray.pipelines.scc import (min_relabel,
+                                             strongly_connected_components)
+
+    n, pairs, ds, fwd, _symA = rand_graph
+    d = tmp_path_factory.mktemp("sccrev")
+    rev = create_shard_actors(
+        shard_edges(ds, n, 3, str(d), by="dst"), n, key="dst")[0]
+    try:
+        res = strongly_connected_components(fwd, rev, n)
+    finally:
+        import ray
+
+        for a in rev:
+            ray.kill(a)
+    got = min_relabel(res.to_array())
+    assert res.rounds >= 1
+
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(pairs)
+    want = np.empty(n, dtype=np.int64)
+    for comp in nx.strongly_connected_components(g):
+        want[list(comp)] = min(comp)
+    assert np.array_equal(got, want)

@@ -263,3 +263,33 @@ class FrameSampler:
             "frame_index": pa.array(f_out, pa.int64()),
             "payload": pa.array(p_out, pa.binary()),
         })
+
+
+# --- task-pool wrappers ----------------------------------------------
+#
+# The decode stages are stateless once constructed (codec probe only),
+# so plain functions with a per-worker-process singleton give the same
+# throughput as an actor pool with strictly better fault tolerance —
+# retries re-execute from lineage instead of depending on an
+# object-store copy of actor constructor args (ray#53727). The classes
+# above remain the configurable API (fake codecs, resize targets);
+# these wrappers are the default-config hot path.
+
+_IMG_DECODER = None
+_AUD_DECODER = None
+
+
+def decode_image_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool form of :class:`DecodeImage` (default config)."""
+    global _IMG_DECODER
+    if _IMG_DECODER is None:
+        _IMG_DECODER = DecodeImage()
+    return _IMG_DECODER(batch)
+
+
+def decode_audio_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool form of :class:`DecodeAudio` (default config)."""
+    global _AUD_DECODER
+    if _AUD_DECODER is None:
+        _AUD_DECODER = DecodeAudio()
+    return _AUD_DECODER(batch)

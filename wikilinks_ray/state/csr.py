@@ -94,6 +94,17 @@ def accum_sum(acc: np.ndarray, partial) -> None:
         acc += partial
 
 
+def accum_max(acc: np.ndarray, partial) -> None:
+    """acc = max(acc, partial) for either transport form."""
+    if partial is None:
+        return
+    if isinstance(partial, tuple):
+        offsets, values = partial
+        acc[offsets] = np.maximum(acc[offsets], values)
+    else:
+        np.maximum(acc, partial, out=acc)
+
+
 def accum_min(acc: np.ndarray, partial) -> None:
     """acc = min(acc, partial) for either transport form."""
     if partial is None:
@@ -406,6 +417,30 @@ class CSRShardActor:
                 np.minimum.reduceat(edge_vals[a:b], idx),
                 int(self.bounds[q + 1] - self.bounds[q]),
                 fill=np.iinfo(np.int64).max))
+        return out if len(out) > 1 else out[0]
+
+    def max_push(self, label_chunk: np.ndarray):
+        """Hash-MAX combiner: min_push's mirror (SCC forward coloring,
+        pipelines/scc.py — callers mask inactive vertices to int64-min
+        so they never win a max)."""
+        csr = self.csr
+        edge_vals = csr.edge_values_by_dst(label_chunk)
+        out = []
+        for q in range(len(self.bounds) - 1):
+            a, b = self.segs[q], self.segs[q + 1]
+            if a == b:
+                out.append(None)
+                continue
+            d = csr.dst_sorted_dst[a:b]
+            first = np.empty(b - a, dtype=bool)
+            first[0] = True
+            first[1:] = d[1:] != d[:-1]
+            idx = np.flatnonzero(first)
+            out.append(pack_partial(
+                d[idx] - self.bounds[q],
+                np.maximum.reduceat(edge_vals[a:b], idx),
+                int(self.bounds[q + 1] - self.bounds[q]),
+                fill=np.iinfo(np.int64).min))
         return out if len(out) > 1 else out[0]
 
     def min_plus_push(self, dist_chunk: np.ndarray, weighted: bool = False):
