@@ -644,6 +644,76 @@ def _anf_oracle_sql(iters: int = 4) -> str:
         FROM raw r LEFT JOIN lc ON lc.v = r.vz""")
 
 
+def q_graph_harmonic(sf_dir: str):
+    """EXACT-match approximate harmonic centrality (HyperBall,
+    Boldi-Vigna 2013): hop-t ball-size deltas from the HyperANF
+    trajectory, each shell weighted 1/t in floor-divided scaled
+    integers (deltas clamped at 0 — see pipelines/anf.py)."""
+    from wikilinks_ray.pipelines.anf import harmonic_from_anf, hyper_anf
+    from wikilinks_ray.pipelines.derived import DerivedGraph
+
+    _quiet()
+    with DerivedGraph(sf_dir, num_shards=4) as g:
+        traj = hyper_anf(g.actors, g.n, iters=4, per_iteration=True)
+        h = harmonic_from_anf(traj)
+        return pd.DataFrame({"vertex": g.vertices,
+                             "harmonic_scaled": h[g.vertices]})
+
+
+def _harmonic_oracle_sql(iters: int = 4, scale: int = 10**6) -> str:
+    """SQL twin of hyper_anf(per_iteration=True) + harmonic_from_anf:
+    the ANF register CTEs with one estimator block per iteration, then
+    the clamped floor-divided shell sum."""
+    from wikilinks_ray.stages.agg import (HLL_ALPHA_DEN, HLL_ALPHA_NUM,
+                                          HLL_K, HLL_LC, HLL_LC_SHIFT,
+                                          HLL_M, HLL_P)
+
+    lc_rows = ", ".join(f"({v + 1}, {x})" for v, x in enumerate(HLL_LC))
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges)",
+        "h AS (SELECT v, md5_number_upper(CAST(v AS VARCHAR)) AS h "
+        "FROM verts)",
+        f"r0 AS MATERIALIZED (SELECT v, (h >> {64 - HLL_P})::BIGINT AS b, "
+        "CASE WHEN (h & 4294967295::UBIGINT) = 0 THEN 33::BIGINT "
+        "ELSE 32 - floor(log2((h & 4294967295::UBIGINT)::DOUBLE))::BIGINT "
+        "END AS r FROM h)",
+        f"lc(v, val) AS (VALUES {lc_rows})",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"r{t + 1} AS MATERIALIZED (SELECT v, b, max(r)::BIGINT AS r "
+            f"FROM (SELECT v, b, r FROM r{t} UNION ALL "
+            f"SELECT e.dst AS v, s.b, s.r FROM edges e "
+            f"JOIN r{t} s ON s.v = e.src) u GROUP BY v, b)")
+    for t in range(iters + 1):
+        ctes.append(
+            f"agg{t} AS (SELECT v, (sum(1::BIGINT << ({HLL_K} - r)) "
+            f"+ ({HLL_M} - count(*)) * (1::BIGINT << {HLL_K}))::BIGINT "
+            f"AS z, ({HLL_M} - count(*))::BIGINT AS vz "
+            f"FROM r{t} GROUP BY v)",
+        )
+        ctes.append(
+            f"raw{t} AS (SELECT v, vz, (({HLL_ALPHA_NUM}::BIGINT * "
+            f"{HLL_M * HLL_M}) << {HLL_K}) // ({HLL_ALPHA_DEN}::BIGINT "
+            "* z) AS raw FROM agg" + str(t) + ")")
+        ctes.append(
+            f"e{t} AS (SELECT r.v, CASE WHEN r.vz > 0 AND "
+            f"r.raw <= {(5 * HLL_M) // 2} "
+            f"THEN ({HLL_M}::BIGINT * lc.val) >> {HLL_LC_SHIFT} "
+            f"ELSE r.raw END AS e FROM raw{t} r "
+            "LEFT JOIN lc ON lc.v = r.vz)")
+    terms = " + ".join(
+        f"(greatest(e{t}.e - e{t - 1}.e, 0) * {scale}) // {t}"
+        for t in range(1, iters + 1))
+    joins = " ".join(f"JOIN e{t} ON e{t}.v = e0.v"
+                     for t in range(1, iters + 1))
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT e0.v AS vertex, ({terms})::BIGINT "
+            f"AS harmonic_scaled FROM e0 {joins}")
+
+
 def q_graph_walks(sf_dir: str):
     """EXACT-match deterministic random walks (DeepWalk-style corpus
     generation): 64 seed walks of 8 steps; next hop = the
@@ -1607,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp": q_graph_sssp,
         "graph_walks": q_graph_walks,
         "graph_anf": q_graph_anf,
+        "graph_harmonic": q_graph_harmonic,
         "graph_modularity": q_graph_modularity,
         "graph_mis": q_graph_mis,
         "graph_linkpred": q_graph_linkpred,
@@ -2047,6 +2118,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp": _sssp_oracle_sql(iters=40),
         "graph_walks": _walks_oracle_sql(length=8, n_seeds=64),
         "graph_anf": _anf_oracle_sql(iters=4),
+        "graph_harmonic": _harmonic_oracle_sql(iters=4),
         "graph_modularity": _MODULARITY_SQL.format(edges=_EDGES),
         "graph_mis": _mis_oracle_sql(rounds=12),
         "graph_linkpred": _linkpred_oracle_sql(min_common=10),

@@ -557,3 +557,23 @@ def test_scc_vs_networkx(rand_graph, tmp_path_factory):
     for comp in nx.strongly_connected_components(g):
         want[list(comp)] = min(comp)
     assert np.array_equal(got, want)
+
+
+def test_harmonic_from_anf_trajectory(rand_graph):
+    """Trajectory mode: column t equals a fresh t-iteration run
+    (monotone register merges), and the harmonic shell sum matches a
+    direct recomputation from the trajectory."""
+    from wikilinks_ray.pipelines.anf import harmonic_from_anf, hyper_anf
+
+    n, _pairs, _ds, fwd, _symA = rand_graph
+    traj = hyper_anf(fwd, n, iters=3, per_iteration=True)
+    assert traj.shape == (4, n)
+    assert np.array_equal(traj[3], hyper_anf(fwd, n, iters=3))
+    assert np.array_equal(traj[0].min(), traj[0].max())  # singleton balls
+
+    h = harmonic_from_anf(traj)
+    want = sum((np.maximum(traj[t] - traj[t - 1], 0) * 10**6) // t
+               for t in range(1, 4))
+    assert np.array_equal(h, want)
+    # vertices with no in-neighbors keep a constant trajectory
+    assert (h >= 0).all()

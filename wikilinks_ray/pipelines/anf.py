@@ -80,15 +80,21 @@ def _estimate_chunk(reg_chunk: np.ndarray) -> np.ndarray:
         dtype=np.int64, count=len(z))
 
 
-def hyper_anf(actors: list, n_vertices: int, *, iters: int = 4
-              ) -> np.ndarray:
-    """K-hop in-ball size estimates, int64[n]. Register state lives in
-    the object store as per-range (chunk, 64) uint8 blocks; the driver
-    never touches a sketch."""
+def hyper_anf(actors: list, n_vertices: int, *, iters: int = 4,
+              per_iteration: bool = False) -> np.ndarray:
+    """K-hop in-ball size estimates. Register state lives in the object
+    store as per-range (chunk, 64) uint8 blocks; the driver never
+    touches a sketch. Returns int64[n] at iteration ``iters``, or the
+    full int64[iters+1, n] trajectory with ``per_iteration=True``
+    (column t = ball estimates after t hops; the deltas feed harmonic
+    centrality, :func:`harmonic_from_anf`)."""
     P = len(actors)
     bounds = vertex_ranges(n_vertices, P)
     chunk_refs = [_init_regs.remote(int(bounds[p]), int(bounds[p + 1]))
                   for p in range(P)]
+    est_rounds = []
+    if per_iteration:
+        est_rounds.append([_estimate_chunk.remote(c) for c in chunk_refs])
     for _ in range(iters):
         if P > 1:
             push = [a.sketch_push.options(num_returns=P)
@@ -100,5 +106,26 @@ def hyper_anf(actors: list, n_vertices: int, *, iters: int = 4
             _merge_regs.remote(chunk_refs[q], *[push[p][q] for p in range(P)])
             for q in range(P)
         ]
+        if per_iteration:
+            est_rounds.append([_estimate_chunk.remote(c)
+                               for c in chunk_refs])
+    if per_iteration:
+        return np.stack([np.concatenate(ray.get(r)) for r in est_rounds])
     ests = ray.get([_estimate_chunk.remote(c) for c in chunk_refs])
     return np.concatenate(ests) if ests else np.empty(0, np.int64)
+
+
+def harmonic_from_anf(traj: np.ndarray, *, scale: int = 10**6
+                      ) -> np.ndarray:
+    """Approximate harmonic (in-)centrality from a ball-size trajectory:
+    ``H(v) = sum_t max(ball_t - ball_{t-1}, 0) * scale // t`` — each
+    hop-t shell weighted 1/t (Boldi-Vigna's HyperBall centrality
+    estimator, "In-Core Computation of Geometric Centralities with
+    HyperBall", 2013). Deltas clamp at 0: the HLL estimator's
+    LC-to-raw branch switch can dip transiently, and the clamp keeps
+    all floor divisions non-negative (= SQL-portable)."""
+    out = np.zeros(traj.shape[1], dtype=np.int64)
+    for t in range(1, traj.shape[0]):
+        d = np.maximum(traj[t] - traj[t - 1], 0)
+        out += (d * scale) // t
+    return out
