@@ -58,16 +58,25 @@ def _init_regs(lo: int, hi: int) -> np.ndarray:
     return vertex_registers(np.arange(lo, hi, dtype=np.int64))
 
 
-@ray.remote
-def _merge_regs(old: np.ndarray, *partials) -> np.ndarray:
+@ray.remote(num_returns=2)
+def _merge_regs(old: np.ndarray, *partials):
+    """(merged registers, changed-row mask). The mask feeds the next
+    superstep's frontier push (sketch_push(changed=...)) — saturated
+    rows stop being re-gathered."""
     acc = old.copy()
+    touched = np.zeros(len(acc), dtype=bool)
     for p in partials:
         if p is None:
             continue
         # block may be a read-only object-store view — never write it
         offsets, block = p
         acc[offsets] = np.maximum(acc[offsets], block)
-    return acc
+        touched[offsets] = True
+    changed = touched.copy()
+    idx = np.flatnonzero(touched)
+    if len(idx):
+        changed[idx] = (acc[idx] != old[idx]).any(axis=1)
+    return acc, changed
 
 
 @ray.remote
@@ -92,20 +101,24 @@ def hyper_anf(actors: list, n_vertices: int, *, iters: int = 4,
     bounds = vertex_ranges(n_vertices, P)
     chunk_refs = [_init_regs.remote(int(bounds[p]), int(bounds[p + 1]))
                   for p in range(P)]
+    changed_refs = [None] * P  # None = first superstep, push everything
     est_rounds = []
     if per_iteration:
         est_rounds.append([_estimate_chunk.remote(c) for c in chunk_refs])
     for _ in range(iters):
         if P > 1:
             push = [a.sketch_push.options(num_returns=P)
-                     .remote(chunk_refs[p]) for p, a in enumerate(actors)]
-        else:
-            push = [[a.sketch_push.remote(chunk_refs[p])]
+                     .remote(chunk_refs[p], changed_refs[p])
                     for p, a in enumerate(actors)]
-        chunk_refs = [
+        else:
+            push = [[a.sketch_push.remote(chunk_refs[p], changed_refs[p])]
+                    for p, a in enumerate(actors)]
+        out = [
             _merge_regs.remote(chunk_refs[q], *[push[p][q] for p in range(P)])
             for q in range(P)
         ]
+        chunk_refs = [o[0] for o in out]
+        changed_refs = [o[1] for o in out]
         if per_iteration:
             est_rounds.append([_estimate_chunk.remote(c)
                                for c in chunk_refs])

@@ -481,23 +481,40 @@ class CSRShardActor:
                 fill=np.iinfo(np.int64).max))
         return out if len(out) > 1 else out[0]
 
-    def sketch_push(self, reg_chunk: np.ndarray):
+    def sketch_push(self, reg_chunk: np.ndarray, changed=None):
         """HyperANF register push (pipelines/anf.py): per-dst-range
         ``(local_offsets, reg_block)`` where the block is the
         register-wise MAX over incoming src sketches — same
         unique-dst ``reduceat`` shape as scatter/min_push, lifted to
         the (edges, HLL_M) uint8 register matrix. Always ships sparse:
         a dst-range's touched rows are bounded by its in-degree
-        support, and rows are 64 bytes each."""
+        support, and rows are 64 bytes each.
+
+        ``changed`` (optional bool mask over owned vertices) restricts
+        the push to edges whose src sketch changed last superstep — the
+        frontier form. EXACT under the idempotent monotone max-merge:
+        an unchanged src's push is identical to the one its dsts
+        already absorbed, so skipping it cannot alter any register.
+        This is what keeps late supersteps (balls saturated) from
+        re-gathering all E×64 bytes."""
         csr = self.csr
-        edge_regs = reg_chunk[csr.dst_sorted_src - csr.lo]
+        src_l = csr.dst_sorted_src - csr.lo
+        if changed is None:
+            d_all = csr.dst_sorted_dst
+            segs = self.segs
+            edge_regs = reg_chunk[src_l]
+        else:
+            keep = changed[src_l]
+            d_all = csr.dst_sorted_dst[keep]
+            segs = np.searchsorted(d_all, self.bounds)
+            edge_regs = reg_chunk[src_l[keep]]
         out = []
         for q in range(len(self.bounds) - 1):
-            a, b = self.segs[q], self.segs[q + 1]
+            a, b = segs[q], segs[q + 1]
             if a == b:
                 out.append(None)
                 continue
-            d = csr.dst_sorted_dst[a:b]
+            d = d_all[a:b]
             first = np.empty(b - a, dtype=bool)
             first[0] = True
             first[1:] = d[1:] != d[:-1]
