@@ -37,12 +37,17 @@ def symmetrize_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     return edges.union(edges.map_batches(swap, batch_format="pyarrow"))
 
 
-@ray.remote
-def _reduce_min(old_chunk: np.ndarray, *candidates) -> tuple[np.ndarray, int]:
+@ray.remote(num_returns=3)
+def _reduce_min_frontier(old_chunk: np.ndarray, *candidates):
+    """_reduce_min + the changed-slot mask that drives the next
+    superstep's frontier push (min_push(changed=...)) — vertices whose
+    label didn't improve stop re-pushing. Exact under the idempotent
+    monotone min-merge."""
     acc = old_chunk.copy()
     for c in candidates:
         accum_min(acc, c)
-    return acc, int((acc != old_chunk).sum())
+    changed = acc != old_chunk
+    return acc, int(changed.sum()), changed
 
 
 @dataclass
@@ -89,20 +94,24 @@ def connected_components(
         ]
 
     changed = changed0
+    changed_refs = [None] * P  # None = full push (first / post-resume)
     it = start_iter
     while it < max_iter and changed != 0:
         it += 1
         if P > 1:
-            push = [a.min_push.options(num_returns=P).remote(chunk_refs[p])
+            push = [a.min_push.options(num_returns=P)
+                     .remote(chunk_refs[p], changed_refs[p])
                     for p, a in enumerate(actors)]
         else:
-            push = [[a.min_push.remote(chunk_refs[p])] for p, a in enumerate(actors)]
+            push = [[a.min_push.remote(chunk_refs[p], changed_refs[p])]
+                    for p, a in enumerate(actors)]
         out = [
-            _reduce_min.options(num_returns=2).remote(
+            _reduce_min_frontier.remote(
                 chunk_refs[q], *[push[p][q] for p in range(P)])
             for q in range(P)
         ]
         chunk_refs = [o[0] for o in out]
+        changed_refs = [o[2] for o in out]
         changed = int(sum(ray.get([o[1] for o in out])))
         history.append({"iteration": it, "changed": changed})
         if checkpoint_dir and (it % checkpoint_every == 0 or changed == 0):

@@ -46,14 +46,17 @@ def _mask_inactive(color: np.ndarray, active: np.ndarray) -> np.ndarray:
     return np.where(active, color, _NEG_INF)
 
 
-@ray.remote
-def _reduce_color(old: np.ndarray, active: np.ndarray, *candidates
-                  ) -> tuple[np.ndarray, int]:
+@ray.remote(num_returns=3)
+def _reduce_color(old: np.ndarray, active: np.ndarray, *candidates):
+    """(new colors, changed count, changed mask). The mask feeds the
+    next iteration's frontier push — only vertices whose color grew
+    re-push (exact under the idempotent max-merge)."""
     acc = old.copy()
     for c in candidates:
         accum_max(acc, c)
     acc[~active] = old[~active]
-    return acc, int((acc != old).sum())
+    changed = acc != old
+    return acc, int(changed.sum()), changed
 
 
 @ray.remote(num_returns=4)
@@ -142,19 +145,22 @@ def strongly_connected_components(
         color = [ray.put(np.arange(bounds[p], bounds[p + 1], dtype=np.int64))
                  for p in range(P)]
         changed = -1
+        changed_refs = [None] * P
         while changed != 0:
             masked = [_mask_inactive.remote(color[p], active[p])
                       for p in range(P)]
             if P > 1:
-                push = [a.max_push.options(num_returns=P).remote(masked[p])
+                push = [a.max_push.options(num_returns=P)
+                         .remote(masked[p], changed_refs[p])
                         for p, a in enumerate(fwd_actors)]
             else:
-                push = [[a.max_push.remote(masked[p])]
+                push = [[a.max_push.remote(masked[p], changed_refs[p])]
                         for p, a in enumerate(fwd_actors)]
-            out = [_reduce_color.options(num_returns=2).remote(
+            out = [_reduce_color.remote(
                 color[q], active[q], *[push[p][q] for p in range(P)])
                 for q in range(P)]
             color = [o[0] for o in out]
+            changed_refs = [o[2] for o in out]
             changed = int(sum(ray.get([o[1] for o in out])))
 
         # 2) pivots seed the backward frontier

@@ -26,7 +26,7 @@ import numpy as np
 import ray
 
 from ..state.csr import vertex_ranges
-from .components import _reduce_min
+from .components import _reduce_min_frontier
 
 SSSP_INF = 1 << 62
 
@@ -65,22 +65,26 @@ def sssp_int(
         chunk_refs.append(ray.put(c))
 
     changed = -1
+    changed_refs = [None] * P  # full relaxation on the first superstep,
+    # then only out-edges of improved vertices (Bellman-Ford queue form)
     it = 0
     while it < max_iter and changed != 0:
         it += 1
         if P > 1:
             push = [a.min_plus_push.options(num_returns=P)
-                     .remote(chunk_refs[p], weighted)
+                     .remote(chunk_refs[p], weighted, changed_refs[p])
                     for p, a in enumerate(actors)]
         else:
-            push = [[a.min_plus_push.remote(chunk_refs[p], weighted)]
+            push = [[a.min_plus_push.remote(chunk_refs[p], weighted,
+                                            changed_refs[p])]
                     for p, a in enumerate(actors)]
         out = [
-            _reduce_min.options(num_returns=2).remote(
+            _reduce_min_frontier.remote(
                 chunk_refs[q], *[push[p][q] for p in range(P)])
             for q in range(P)
         ]
         chunk_refs = [o[0] for o in out]
+        changed_refs = [o[2] for o in out]
         changed = int(sum(ray.get([o[1] for o in out])))
 
     chunks = ray.get(chunk_refs)

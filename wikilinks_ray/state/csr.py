@@ -396,18 +396,17 @@ class CSRShardActor:
                 int(self.bounds[q + 1] - self.bounds[q])))
         return out if len(out) > 1 else out[0]
 
-    def min_push(self, label_chunk: np.ndarray):
-        """Hash-min combiner: per-dst-range elementwise-min of incoming
-        src labels (connected components superstep)."""
-        csr = self.csr
-        edge_vals = csr.edge_values_by_dst(label_chunk)
+    def _min_reduce_ranges(self, d_all: np.ndarray, edge_vals: np.ndarray,
+                           segs: np.ndarray):
+        """Shared tail of the min-semiring pushes: per-dst-range
+        unique-dst ``minimum.reduceat`` partials."""
         out = []
         for q in range(len(self.bounds) - 1):
-            a, b = self.segs[q], self.segs[q + 1]
+            a, b = segs[q], segs[q + 1]
             if a == b:
                 out.append(None)
                 continue
-            d = csr.dst_sorted_dst[a:b]
+            d = d_all[a:b]
             first = np.empty(b - a, dtype=bool)
             first[0] = True
             first[1:] = d[1:] != d[:-1]
@@ -419,19 +418,42 @@ class CSRShardActor:
                 fill=np.iinfo(np.int64).max))
         return out if len(out) > 1 else out[0]
 
-    def max_push(self, label_chunk: np.ndarray):
+    def _frontier_edges(self, changed):
+        """(dst array, src-local array, range segs) for the edge subset
+        whose src is flagged in ``changed`` (all edges when None) — the
+        frontier restriction shared by min_push / min_plus_push /
+        sketch_push. EXACT for idempotent monotone merges (min/max):
+        an unchanged src re-pushes values its dsts already absorbed."""
+        csr = self.csr
+        src_l = csr.dst_sorted_src - csr.lo
+        if changed is None:
+            return csr.dst_sorted_dst, src_l, self.segs, slice(None)
+        keep = changed[src_l]
+        d_all = csr.dst_sorted_dst[keep]
+        return (d_all, src_l[keep],
+                np.searchsorted(d_all, self.bounds), keep)
+
+    def min_push(self, label_chunk: np.ndarray, changed=None):
+        """Hash-min combiner: per-dst-range elementwise-min of incoming
+        src labels (connected components superstep). ``changed``
+        restricts to the frontier (see _frontier_edges)."""
+        d_all, src_l, segs, _ = self._frontier_edges(changed)
+        return self._min_reduce_ranges(d_all, label_chunk[src_l], segs)
+
+    def max_push(self, label_chunk: np.ndarray, changed=None):
         """Hash-MAX combiner: min_push's mirror (SCC forward coloring,
         pipelines/scc.py — callers mask inactive vertices to int64-min
-        so they never win a max)."""
-        csr = self.csr
-        edge_vals = csr.edge_values_by_dst(label_chunk)
+        so they never win a max). ``changed`` restricts to the frontier
+        (see _frontier_edges)."""
+        d_all, src_l, segs, _ = self._frontier_edges(changed)
+        edge_vals = label_chunk[src_l]
         out = []
         for q in range(len(self.bounds) - 1):
-            a, b = self.segs[q], self.segs[q + 1]
+            a, b = segs[q], segs[q + 1]
             if a == b:
                 out.append(None)
                 continue
-            d = csr.dst_sorted_dst[a:b]
+            d = d_all[a:b]
             first = np.empty(b - a, dtype=bool)
             first[0] = True
             first[1:] = d[1:] != d[:-1]
@@ -443,7 +465,8 @@ class CSRShardActor:
                 fill=np.iinfo(np.int64).min))
         return out if len(out) > 1 else out[0]
 
-    def min_plus_push(self, dist_chunk: np.ndarray, weighted: bool = False):
+    def min_plus_push(self, dist_chunk: np.ndarray, weighted: bool = False,
+                      changed=None):
         """Min-plus (tropical) relaxation combiner — the SSSP superstep:
         per-dst-range elementwise MIN of ``dist[src] + w_e`` (Bellman-
         Ford over the distributed CSR). Unreached sources carry the
@@ -454,32 +477,19 @@ class CSRShardActor:
         exactly reproducible by the unrolled SQL relaxation in
         ``__ray_entry__._sssp_oracle_sql``. ``weighted=True`` uses the
         shard's per-edge weights (``shard_edges(weight_col=...)``),
-        else hop count (+1 per edge)."""
+        else hop count (+1 per edge). ``changed`` restricts relaxation
+        to out-edges of improved vertices — Bellman-Ford's queue form
+        (see _frontier_edges)."""
         csr = self.csr
-        edge_vals = csr.edge_values_by_dst(dist_chunk)
+        d_all, src_l, segs, keep = self._frontier_edges(changed)
+        edge_vals = dist_chunk[src_l]
         if weighted:
             if csr.dst_sorted_weight is None:
                 raise ValueError("shard has no weights; write with weight_col")
-            edge_vals = edge_vals + csr.dst_sorted_weight
+            edge_vals = edge_vals + csr.dst_sorted_weight[keep]
         else:
             edge_vals = edge_vals + 1
-        out = []
-        for q in range(len(self.bounds) - 1):
-            a, b = self.segs[q], self.segs[q + 1]
-            if a == b:
-                out.append(None)
-                continue
-            d = csr.dst_sorted_dst[a:b]
-            first = np.empty(b - a, dtype=bool)
-            first[0] = True
-            first[1:] = d[1:] != d[:-1]
-            idx = np.flatnonzero(first)
-            out.append(pack_partial(
-                d[idx] - self.bounds[q],
-                np.minimum.reduceat(edge_vals[a:b], idx),
-                int(self.bounds[q + 1] - self.bounds[q]),
-                fill=np.iinfo(np.int64).max))
-        return out if len(out) > 1 else out[0]
+        return self._min_reduce_ranges(d_all, edge_vals, segs)
 
     def sketch_push(self, reg_chunk: np.ndarray, changed=None):
         """HyperANF register push (pipelines/anf.py): per-dst-range
@@ -497,17 +507,8 @@ class CSRShardActor:
         already absorbed, so skipping it cannot alter any register.
         This is what keeps late supersteps (balls saturated) from
         re-gathering all E×64 bytes."""
-        csr = self.csr
-        src_l = csr.dst_sorted_src - csr.lo
-        if changed is None:
-            d_all = csr.dst_sorted_dst
-            segs = self.segs
-            edge_regs = reg_chunk[src_l]
-        else:
-            keep = changed[src_l]
-            d_all = csr.dst_sorted_dst[keep]
-            segs = np.searchsorted(d_all, self.bounds)
-            edge_regs = reg_chunk[src_l[keep]]
+        d_all, src_l, segs, _ = self._frontier_edges(changed)
+        edge_regs = reg_chunk[src_l]
         out = []
         for q in range(len(self.bounds) - 1):
             a, b = segs[q], segs[q + 1]
