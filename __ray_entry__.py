@@ -400,6 +400,59 @@ def _host_pagerank_oracle_sql(iters: int = 20, scale: int = 10**12,
             f"\nSELECT v AS host, r AS wpr_scaled FROM pr{iters}")
 
 
+def q_graph_pathcount(sf_dir: str):
+    """EXACT-match shortest-path counting (the forward half of Brandes
+    betweenness): dist + sigma from the 16 smallest vertex ids, exact
+    int64 counts. The SQL twin replays the level-synchronous DP (one
+    frontier-join + accumulate pair of CTEs per level, 24 unrolled >=
+    the BFS depth, asserted engine-side)."""
+    from wikilinks_ray.pipelines.derived import DerivedGraph
+    from wikilinks_ray.pipelines.pathcount import path_count_bfs
+
+    _quiet()
+    with DerivedGraph(sf_dir, num_shards=4) as g:
+        pivots = [int(v) for v in g.vertices[:16]]
+        dist, sigma, levels = path_count_bfs(g.actors, g.n, pivots)
+    assert levels <= 24, "BFS depth exceeded the oracle's 24-level unroll"
+    vv, ss = np.nonzero(dist >= 0)
+    return pd.DataFrame({
+        "pivot": np.asarray(pivots, dtype=np.int64)[ss],
+        "vertex": vv.astype(np.int64),
+        "dist": dist[vv, ss].astype(np.int64),
+        "sigma": sigma[vv, ss],
+    })
+
+
+def _pathcount_oracle_sql(levels: int = 24, n_pivots: int = 16) -> str:
+    """SQL twin of pipelines.pathcount.path_count_bfs: per level, a
+    frontier join summing predecessor sigmas, minus already-settled
+    (s, v) pairs."""
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges)",
+        f"piv AS (SELECT v FROM verts ORDER BY v LIMIT {n_pivots})",
+        "a0 AS MATERIALIZED (SELECT v AS s, v, 0 AS dist, "
+        "1::BIGINT AS sigma FROM piv)",
+        "f0 AS MATERIALIZED (SELECT v AS s, v, 1::BIGINT AS sigma "
+        "FROM piv)",
+    ]
+    for t in range(1, levels + 1):
+        ctes.append(
+            f"n{t} AS MATERIALIZED (SELECT f.s, e.dst AS v, "
+            f"sum(f.sigma)::BIGINT AS sigma FROM f{t - 1} f "
+            f"JOIN edges e ON e.src = f.v GROUP BY f.s, e.dst)")
+        ctes.append(
+            f"f{t} AS MATERIALIZED (SELECT n.s, n.v, n.sigma FROM n{t} n "
+            f"LEFT JOIN a{t - 1} a ON a.s = n.s AND a.v = n.v "
+            "WHERE a.v IS NULL)")
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT * FROM a{t - 1} UNION ALL "
+            f"SELECT s, v, {t}, sigma FROM f{t})")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT s AS pivot, v AS vertex, dist, sigma FROM a{levels}")
+
+
 def q_graph_scc(sf_dir: str):
     """EXACT-match strongly connected components (distributed coloring:
     forward max-label fixpoint + backward color-constrained BFS over
@@ -1682,6 +1735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_mis": q_graph_mis,
         "graph_linkpred": q_graph_linkpred,
         "graph_scc": q_graph_scc,
+        "graph_pathcount": q_graph_pathcount,
         "graph_host_pagerank": q_graph_host_pagerank,
         "supplier_approx_distinct": q_supplier_approx_distinct,
         "url_host_parse": q_url_host_parse,
@@ -2123,6 +2177,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_mis": _mis_oracle_sql(rounds=12),
         "graph_linkpred": _linkpred_oracle_sql(min_common=10),
         "graph_scc": _SCC_ORACLE_SQL.format(edges=_EDGES),
+        "graph_pathcount": _pathcount_oracle_sql(levels=24, n_pivots=16),
         "graph_reciprocity": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),
             nl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src != dst),

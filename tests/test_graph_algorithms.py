@@ -577,3 +577,34 @@ def test_harmonic_from_anf_trajectory(rand_graph):
     assert np.array_equal(h, want)
     # vertices with no in-neighbors keep a constant trajectory
     assert (h >= 0).all()
+
+
+def test_path_count_bfs_vs_dense_dp(rand_graph):
+    """sigma counts vs an independent dense numpy DP replay (level
+    layering + np.add.at accumulation), and dist vs multi_source_bfs."""
+    from wikilinks_ray.pipelines.pathcount import path_count_bfs
+
+    n, pairs, _ds, fwd, _symA = rand_graph
+    pivots = [int(v) for v in np.unique(pairs[:, 0])[:5]]
+    dist, sigma, levels = path_count_bfs(fwd, n, pivots)
+    assert levels >= 1
+
+    ref = multi_source_bfs(fwd, n, pivots)
+    assert np.array_equal(dist, ref.distances().astype(np.int32))
+
+    a, b = pairs[:, 0], pairs[:, 1]
+    for sid, s in enumerate(pivots):
+        wd = np.full(n, -1, dtype=np.int64)
+        ws = np.zeros(n, dtype=np.int64)
+        wd[s] = 0
+        ws[s] = 1
+        for lev in range(1, n):
+            on = wd[a] == lev - 1
+            if not on.any():
+                break
+            cand = np.unique(b[on & (wd[b] < 0)])
+            wd[cand] = lev
+            at = on & (wd[b] == lev)
+            np.add.at(ws, b[at], ws[a[at]])
+        assert np.array_equal(dist[:, sid], wd.astype(np.int32))
+        assert np.array_equal(sigma[:, sid], ws)

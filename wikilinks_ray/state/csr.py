@@ -576,6 +576,46 @@ class CSRShardActor:
             out.append((csr.dst_sorted_dst[a:b], edge_vals[a:b]))
         return out if len(out) > 1 else out[0]
 
+    def bfs_expand_val(self, frontier_v: np.ndarray,
+                       frontier_sid: np.ndarray,
+                       frontier_val: np.ndarray):
+        """bfs_expand carrying a per-walker int64 VALUE instead of the
+        parent id: emits (dst, value, sid) candidates pre-partitioned
+        by dst range. The path-counting superstep (pipelines/
+        pathcount.py) sends sigma[parent] this way so the reducer can
+        sum path counts without a cross-range parent lookup."""
+        csr = self.csr
+        own = (frontier_v >= csr.lo) & (frontier_v < csr.hi)
+        f = frontier_v[own] - csr.lo
+        sids = frontier_sid[own]
+        vals = frontier_val[own]
+        P = len(self.bounds) - 1
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+                 np.empty(0, np.int64))
+        if len(f) == 0:
+            out = [empty] * P
+            return out if P > 1 else out[0]
+        starts, ends = csr.indptr[f], csr.indptr[f + 1]
+        counts = ends - starts
+        total = int(counts.sum())
+        if total == 0:
+            out = [empty] * P
+            return out if P > 1 else out[0]
+        idx = np.repeat(starts + counts - counts.cumsum(), counts) \
+            + np.arange(total)
+        dsts = csr.indices[idx]
+        val_rep = np.repeat(vals, counts)
+        sid_rep = np.repeat(sids, counts)
+        order = np.argsort(dsts, kind="stable")
+        dsts, val_rep, sid_rep = dsts[order], val_rep[order], sid_rep[order]
+        segs = np.searchsorted(dsts, self.bounds)
+        out = [
+            (dsts[segs[q]:segs[q + 1]], val_rep[segs[q]:segs[q + 1]],
+             sid_rep[segs[q]:segs[q + 1]])
+            for q in range(P)
+        ]
+        return out if P > 1 else out[0]
+
     def bd_reduce(self, lo: int, level: int, dist, parent, other_dist,
                   *candidates):
         """Bidirectional-BFS per-range reduce, co-located on the shard
