@@ -412,8 +412,10 @@ def q_graph_pathcount(sf_dir: str):
     _quiet()
     with DerivedGraph(sf_dir, num_shards=4) as g:
         pivots = [int(v) for v in g.vertices[:16]]
-        dist, sigma, levels = path_count_bfs(g.actors, g.n, pivots)
-    assert levels <= 24, "BFS depth exceeded the oracle's 24-level unroll"
+        res = path_count_bfs(g.actors, g.n, pivots)
+        dist, sigma = res.distances(), res.sigmas()
+    assert res.levels <= 24, \
+        "BFS depth exceeded the oracle's 24-level unroll"
     vv, ss = np.nonzero(dist >= 0)
     return pd.DataFrame({
         "pivot": np.asarray(pivots, dtype=np.int64)[ss],
@@ -423,10 +425,9 @@ def q_graph_pathcount(sf_dir: str):
     })
 
 
-def _pathcount_oracle_sql(levels: int = 24, n_pivots: int = 16) -> str:
-    """SQL twin of pipelines.pathcount.path_count_bfs: per level, a
-    frontier join summing predecessor sigmas, minus already-settled
-    (s, v) pairs."""
+def _pathcount_ctes(levels: int, n_pivots: int) -> list[str]:
+    """Forward dist/sigma DP CTEs ending in a{levels} — shared between
+    the pathcount and stress oracles."""
     ctes = [
         f"edges AS MATERIALIZED ({_EDGES})",
         "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges "
@@ -449,8 +450,57 @@ def _pathcount_oracle_sql(levels: int = 24, n_pivots: int = 16) -> str:
         ctes.append(
             f"a{t} AS MATERIALIZED (SELECT * FROM a{t - 1} UNION ALL "
             f"SELECT s, v, {t}, sigma FROM f{t})")
-    return ("WITH " + ",\n".join(ctes) +
+    return ctes
+
+
+def _pathcount_oracle_sql(levels: int = 24, n_pivots: int = 16) -> str:
+    """SQL twin of pipelines.pathcount.path_count_bfs: per level, a
+    frontier join summing predecessor sigmas, minus already-settled
+    (s, v) pairs."""
+    return ("WITH " + ",\n".join(_pathcount_ctes(levels, n_pivots)) +
             f"\nSELECT s AS pivot, v AS vertex, dist, sigma FROM a{levels}")
+
+
+def q_graph_stress(sf_dir: str):
+    """EXACT-match pivot-sampled stress centrality (Brandes two-pass,
+    integer variant): forward dist/sigma from the 16 smallest vertex
+    ids + backward suffix-count accumulation over the reverse pool;
+    stress(v) = sum over pivots s != v of sigma(s,v) * (suffix(s,v)-1).
+    Pure int64 throughout — the fractional-dependency betweenness
+    analog that IS value-hash oracle-able."""
+    from wikilinks_ray.pipelines.derived import DerivedGraph
+    from wikilinks_ray.pipelines.stress import stress_centrality
+
+    _quiet()
+    with DerivedGraph(sf_dir, num_shards=4, reverse=True) as g:
+        pivots = [int(v) for v in g.vertices[:16]]
+        vs, st = stress_centrality(g.actors, g.rev_actors, g.n, pivots)
+    return pd.DataFrame({"vertex": vs, "stress": st})
+
+
+def _stress_oracle_sql(levels: int = 24, n_pivots: int = 16) -> str:
+    """SQL twin of pipelines.stress.stress_centrality: the pathcount
+    CTEs + backward suffix DP (deepest level first) + the sigma *
+    (suffix - 1) fold over s != v."""
+    ctes = _pathcount_ctes(levels, n_pivots)
+    ctes.append(f"s{levels} AS (SELECT s, v, 1::BIGINT AS suf "
+                f"FROM a{levels} WHERE dist = {levels})")
+    for t in range(levels - 1, -1, -1):
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT a.s, a.v, "
+            f"(1 + coalesce(x.acc, 0))::BIGINT AS suf "
+            f"FROM (SELECT s, v FROM a{levels} WHERE dist = {t}) a "
+            f"LEFT JOIN (SELECT sp.s, e.src AS v, sum(sp.suf)::BIGINT "
+            f"AS acc FROM s{t + 1} sp JOIN edges e ON e.dst = sp.v "
+            f"GROUP BY sp.s, e.src) x ON x.s = a.s AND x.v = a.v)")
+    sall = " UNION ALL ".join(f"SELECT * FROM s{t}"
+                              for t in range(levels + 1))
+    ctes.append(f"sall AS ({sall})")
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT a.v AS vertex,
+               sum(a.sigma * (s.suf - 1))::BIGINT AS stress
+        FROM a{levels} a JOIN sall s ON s.s = a.s AND s.v = a.v
+        WHERE a.s <> a.v GROUP BY a.v""")
 
 
 def q_graph_scc(sf_dir: str):
@@ -1736,6 +1786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_linkpred": q_graph_linkpred,
         "graph_scc": q_graph_scc,
         "graph_pathcount": q_graph_pathcount,
+        "graph_stress": q_graph_stress,
         "graph_host_pagerank": q_graph_host_pagerank,
         "supplier_approx_distinct": q_supplier_approx_distinct,
         "url_host_parse": q_url_host_parse,
@@ -2178,6 +2229,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_linkpred": _linkpred_oracle_sql(min_common=10),
         "graph_scc": _SCC_ORACLE_SQL.format(edges=_EDGES),
         "graph_pathcount": _pathcount_oracle_sql(levels=24, n_pivots=16),
+        "graph_stress": _stress_oracle_sql(levels=24, n_pivots=16),
         "graph_reciprocity": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),
             nl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src != dst),

@@ -586,8 +586,9 @@ def test_path_count_bfs_vs_dense_dp(rand_graph):
 
     n, pairs, _ds, fwd, _symA = rand_graph
     pivots = [int(v) for v in np.unique(pairs[:, 0])[:5]]
-    dist, sigma, levels = path_count_bfs(fwd, n, pivots)
-    assert levels >= 1
+    pc = path_count_bfs(fwd, n, pivots)
+    dist, sigma = pc.distances(), pc.sigmas()
+    assert pc.levels >= 1
 
     ref = multi_source_bfs(fwd, n, pivots)
     assert np.array_equal(dist, ref.distances().astype(np.int32))
@@ -608,3 +609,43 @@ def test_path_count_bfs_vs_dense_dp(rand_graph):
             np.add.at(ws, b[at], ws[a[at]])
         assert np.array_equal(dist[:, sid], wd.astype(np.int32))
         assert np.array_equal(sigma[:, sid], ws)
+
+
+def test_stress_centrality_vs_brute_force(rand_graph, tmp_path_factory):
+    """Pivot-sampled stress vs a brute-force all-shortest-paths count
+    (networkx all_shortest_paths, interior vertices only), on a small
+    pivot set — exact integer match."""
+    import networkx as nx
+    from collections import Counter
+
+    from wikilinks_ray.pipelines.stress import stress_centrality
+
+    n, pairs, ds, fwd, _symA = rand_graph
+    d = tmp_path_factory.mktemp("stressrev")
+    rev = create_shard_actors(
+        shard_edges(ds, n, 3, str(d), by="dst"), n, key="dst")[0]
+    pivots = [int(v) for v in np.unique(pairs[:, 0])[:4]]
+    try:
+        vs, st = stress_centrality(fwd, rev, n, pivots)
+    finally:
+        import ray
+
+        for a in rev:
+            ray.kill(a)
+    got = dict(zip(vs.tolist(), st.tolist()))
+
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(pairs)
+    want = Counter()
+    reached_nonself = set()
+    for s in pivots:
+        lengths = nx.single_source_shortest_path_length(g, s)
+        for t in lengths:
+            if t != s:
+                reached_nonself.add(t)
+            for path in nx.all_shortest_paths(g, s, t):
+                for v in path[1:-1]:
+                    want[v] += 1
+    expect = {v: want.get(v, 0) for v in reached_nonself}
+    assert got == expect

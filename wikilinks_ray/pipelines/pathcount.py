@@ -71,15 +71,33 @@ def _sigma_reduce(lo: int, K: int, level: int, dist: np.ndarray,
             int(open_new.sum()))
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class PathCountResult:
+    dist_chunks: list  # refs of (range_size, K) int32
+    sigma_chunks: list  # refs of (range_size, K) int64
+    bounds: np.ndarray
+    sources: list[int]
+    levels: int
+
+    def distances(self) -> np.ndarray:
+        return np.vstack(ray.get(self.dist_chunks))
+
+    def sigmas(self) -> np.ndarray:
+        return np.vstack(ray.get(self.sigma_chunks))
+
+
 def path_count_bfs(
     actors: list,
     n_vertices: int,
     sources: list[int],
     *,
     max_levels: int = 10_000,
-):
-    """(dist int32[n, K], sigma int64[n, K], levels). dist -1 and
-    sigma 0 mark unreachable (vertex, source) slots."""
+) -> PathCountResult:
+    """dist/sigma per (vertex, source) as per-range chunk refs; dist -1
+    and sigma 0 mark unreachable slots."""
     P = len(actors)
     K = len(sources)
     bounds = vertex_ranges(n_vertices, P)
@@ -130,6 +148,5 @@ def path_count_bfs(
         frontier_s = [o[3] for o in out]
         counts = ray.get([o[4] for o in out])
 
-    dist = np.vstack(ray.get(dist_refs))
-    sigma = np.vstack(ray.get(sigma_refs))
-    return dist, sigma, level
+    return PathCountResult(dist_refs, sigma_refs, bounds, list(sources),
+                           level)
