@@ -581,9 +581,13 @@ class CSRShardActor:
                        frontier_val: np.ndarray):
         """bfs_expand carrying a per-walker int64 VALUE instead of the
         parent id: emits (dst, value, sid) candidates pre-partitioned
-        by dst range. The path-counting superstep (pipelines/
-        pathcount.py) sends sigma[parent] this way so the reducer can
-        sum path counts without a cross-range parent lookup."""
+        by dst range, with values PRE-SUMMED per (dst, sid) — values
+        are additive (path counts / suffix counts), so the map-side
+        combiner here bounds shipped rows at O(touched dsts × K)
+        instead of O(frontier out-edges): the difference between
+        shipping unique slots and shipping the raw E×K fan-out at
+        pivot-sampled scale. Used by pipelines/pathcount.py and
+        pipelines/stress.py."""
         csr = self.csr
         own = (frontier_v >= csr.lo) & (frontier_v < csr.hi)
         f = frontier_v[own] - csr.lo
@@ -606,11 +610,17 @@ class CSRShardActor:
         dsts = csr.indices[idx]
         val_rep = np.repeat(vals, counts)
         sid_rep = np.repeat(sids, counts)
-        order = np.argsort(dsts, kind="stable")
+        order = np.lexsort((sid_rep, dsts))
         dsts, val_rep, sid_rep = dsts[order], val_rep[order], sid_rep[order]
+        first = np.empty(len(dsts), dtype=bool)
+        first[0] = True
+        first[1:] = (dsts[1:] != dsts[:-1]) | (sid_rep[1:] != sid_rep[:-1])
+        ridx = np.flatnonzero(first)
+        dsts, sid_rep = dsts[ridx], sid_rep[ridx]
+        val_sum = np.add.reduceat(val_rep, ridx)
         segs = np.searchsorted(dsts, self.bounds)
         out = [
-            (dsts[segs[q]:segs[q + 1]], val_rep[segs[q]:segs[q + 1]],
+            (dsts[segs[q]:segs[q + 1]], val_sum[segs[q]:segs[q + 1]],
              sid_rep[segs[q]:segs[q + 1]])
             for q in range(P)
         ]
