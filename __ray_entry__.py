@@ -547,7 +547,11 @@ def q_graph_linkpred(sf_dir: str):
 
     _quiet()
     out = common_neighbor_pairs(derived_edges(sf_dir), min_common=10)
-    return out.to_pandas()
+    df = out.to_pandas()
+    if df.empty:  # empty Datasets drop their schema on to_pandas
+        df = pd.DataFrame({c: pd.Series(dtype="int64")
+                           for c in ("u", "v", "common", "jaccard_scaled")})
+    return df
 
 
 def _linkpred_oracle_sql(min_common: int = 10, max_posting: int = 100_000,
