@@ -649,3 +649,26 @@ def test_stress_centrality_vs_brute_force(rand_graph, tmp_path_factory):
                     want[v] += 1
     expect = {v: want.get(v, 0) for v in reached_nonself}
     assert got == expect
+
+
+def test_luby_coloring_proper_and_bounded(rand_graph):
+    """Iterated-MIS coloring: proper (no edge monochrome), complete,
+    at most max-degree+1 colors, deterministic across runs."""
+    from collections import Counter
+
+    from wikilinks_ray.pipelines.coloring import luby_coloring
+
+    n, pairs, _ds, _fwd, symA = rand_graph
+    color, k = luby_coloring(symA, n)
+    assert (color >= 0).all()
+    a, b = pairs[:, 0], pairs[:, 1]
+    assert (color[a] != color[b]).all()
+
+    deg = Counter()
+    for u, v in {(int(x), int(y)) for x, y in pairs}:
+        deg[u] += 1
+        deg[v] += 1
+    assert k <= max(deg.values()) + 1
+
+    color2, k2 = luby_coloring(symA, n)
+    assert k2 == k and np.array_equal(color2, color)

@@ -60,6 +60,11 @@ def drop_self_loops(edges: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 @ray.remote
+def _count_true(mask: np.ndarray) -> int:
+    return int(mask.sum())
+
+
+@ray.remote
 def _round_keys(lo: int, hi: int, active: np.ndarray, t: int) -> np.ndarray:
     keys = np.full(hi - lo, _INF, dtype=np.int64)
     idx = np.flatnonzero(active)
@@ -92,22 +97,35 @@ def _update(active: np.ndarray, mis: np.ndarray, mis_new: np.ndarray,
 
 
 def maximal_independent_set(actors: list, n_vertices: int, *,
-                            max_rounds: int = 64
+                            max_rounds: int = 64,
+                            init_active: list | None = None,
+                            key_offset: int = 0,
                             ) -> tuple[np.ndarray, int, bool]:
     """(sorted MIS vertex ids over the dense [0, n) space, rounds used,
     converged — False means actives remained at ``max_rounds``).
-    ``actors`` must serve the symmetrized self-loop-free adjacency."""
+    ``actors`` must serve the symmetrized self-loop-free adjacency.
+
+    ``init_active``: optional per-range bool-mask refs restricting the
+    MIS to an induced subgraph (edges to inactive vertices never block
+    — inactive vertices push the INF sentinel). ``key_offset`` shifts
+    the hash round index so successive calls (graph coloring,
+    pipelines/coloring.py) draw fresh priorities."""
     P = len(actors)
     bounds = vertex_ranges(n_vertices, P)
     sizes = [int(bounds[p + 1] - bounds[p]) for p in range(P)]
-    active = [ray.put(np.ones(sizes[p], dtype=bool)) for p in range(P)]
+    if init_active is None:
+        active = [ray.put(np.ones(sizes[p], dtype=bool)) for p in range(P)]
+        remaining = n_vertices
+    else:
+        active = list(init_active)
+        remaining = int(sum(ray.get(
+            [_count_true.remote(a) for a in active])))
     mis = [ray.put(np.zeros(sizes[p], dtype=bool)) for p in range(P)]
-
-    remaining = n_vertices
     t = 0
     while remaining > 0 and t < max_rounds:
         keys = [_round_keys.remote(int(bounds[p]), int(bounds[p + 1]),
-                                   active[p], t) for p in range(P)]
+                                   active[p], key_offset + t)
+                for p in range(P)]
         if P > 1:
             push = [a.min_push.options(num_returns=P).remote(keys[p])
                     for p, a in enumerate(actors)]
