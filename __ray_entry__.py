@@ -503,6 +503,63 @@ def _stress_oracle_sql(levels: int = 24, n_pivots: int = 16) -> str:
         WHERE a.s <> a.v GROUP BY a.v""")
 
 
+def q_graph_densest(sf_dir: str):
+    """EXACT-match densest subgraph (Bahmani et al. 2012 parallel
+    peel, ε=1 → 4-approx): vertices of the densest intermediate
+    subgraph across peel rounds. All threshold and best-round
+    comparisons are integer cross-multiplications, so the unrolled
+    SQL peel reproduces the identical vertex set."""
+    from wikilinks_ray.pipelines.densest import densest_subgraph
+    from wikilinks_ray.pipelines.derived import derived_edges
+
+    _quiet()
+    vs, _en, profile = densest_subgraph(derived_edges(sf_dir))
+    assert len(profile) <= 16, \
+        "peel depth exceeded the oracle's 16-round unroll"
+    return pd.DataFrame({"vertex": vs})
+
+
+def _densest_oracle_sql(rounds: int = 16, num: int = 2, den: int = 1
+                        ) -> str:
+    """SQL twin of pipelines.densest.densest_subgraph: unrolled peel
+    rounds, exact-fraction best-round selection (earliest round wins
+    ties, like the engine's strict >)."""
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo, "
+        f"greatest(src, dst) AS hi FROM ({_EDGES}) WHERE src <> dst)",
+    ]
+    for t in range(rounds):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT v, count(*)::BIGINT AS deg "
+            f"FROM (SELECT lo AS v FROM e{t} UNION ALL "
+            f"SELECT hi FROM e{t}) u GROUP BY v)")
+        ctes.append(
+            f"st{t} AS (SELECT (SELECT count(*) FROM d{t})::BIGINT AS n, "
+            f"(SELECT count(*) FROM e{t})::BIGINT AS e)")
+        ctes.append(
+            f"k{t} AS MATERIALIZED (SELECT d.v FROM d{t} d, st{t} s "
+            f"WHERE d.deg * {den} * s.n > 2 * {num} * s.e)")
+        ctes.append(
+            f"e{t + 1} AS MATERIALIZED (SELECT e.lo, e.hi FROM e{t} e "
+            f"JOIN k{t} a ON a.v = e.lo JOIN k{t} b ON b.v = e.hi)")
+    prof = " UNION ALL ".join(
+        f"SELECT {t} AS t, n, e FROM st{t} WHERE e > 0"
+        for t in range(rounds))
+    ctes.append(f"prof AS ({prof})")
+    ctes.append(
+        "best AS (SELECT t FROM prof p WHERE NOT EXISTS ("
+        "SELECT 1 FROM prof q WHERE q.e * p.n > p.e * q.n "
+        "OR (q.e * p.n = p.e * q.n AND q.t < p.t)))")
+    allv = " UNION ALL ".join(
+        f"SELECT {t} AS t, lo AS v FROM e{t} UNION ALL "
+        f"SELECT {t}, hi FROM e{t}"
+        for t in range(rounds))
+    ctes.append(f"allv AS ({allv})")
+    return ("WITH " + ",\n".join(ctes) +
+            "\nSELECT DISTINCT v AS vertex FROM allv "
+            "WHERE t = (SELECT t FROM best)")
+
+
 def q_graph_scc(sf_dir: str):
     """EXACT-match strongly connected components (distributed coloring:
     forward max-label fixpoint + backward color-constrained BFS over
@@ -1791,6 +1848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_scc": q_graph_scc,
         "graph_pathcount": q_graph_pathcount,
         "graph_stress": q_graph_stress,
+        "graph_densest": q_graph_densest,
         "graph_host_pagerank": q_graph_host_pagerank,
         "supplier_approx_distinct": q_supplier_approx_distinct,
         "url_host_parse": q_url_host_parse,
@@ -2234,6 +2292,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_scc": _SCC_ORACLE_SQL.format(edges=_EDGES),
         "graph_pathcount": _pathcount_oracle_sql(levels=24, n_pivots=16),
         "graph_stress": _stress_oracle_sql(levels=24, n_pivots=16),
+        "graph_densest": _densest_oracle_sql(rounds=16),
         "graph_reciprocity": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),
             nl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src != dst),

@@ -672,3 +672,37 @@ def test_luby_coloring_proper_and_bounded(rand_graph):
 
     color2, k2 = luby_coloring(symA, n)
     assert k2 == k and np.array_equal(color2, color)
+
+
+def test_densest_subgraph_vs_pure_python_peel(rand_graph):
+    """Parallel peel vs an independent driver-side replay (same
+    integer thresholds), plus the approximation sanity check: the
+    reported density must be >= the full graph's."""
+    from wikilinks_ray.pipelines.densest import densest_subgraph
+
+    n, pairs, ds, _fwd, _symA = rand_graph
+    vs, (e_b, n_b), profile = densest_subgraph(ds)
+
+    und = {(min(int(a), int(b)), max(int(a), int(b)))
+           for a, b in pairs if a != b}
+    cur = set(und)
+    best = None
+    want_profile = []
+    t = 0
+    while cur:
+        deg = {}
+        for lo, hi in cur:
+            deg[lo] = deg.get(lo, 0) + 1
+            deg[hi] = deg.get(hi, 0) + 1
+        nt, et = len(deg), len(cur)
+        want_profile.append((t, nt, et))
+        if best is None or et * best[1] > best[0] * nt:
+            best = (et, nt, set(deg))
+        keep = {v for v, d in deg.items() if d * nt > 4 * et}
+        cur = {(lo, hi) for lo, hi in cur if lo in keep and hi in keep}
+        t += 1
+    assert profile == want_profile
+    assert (e_b, n_b) == (best[0], best[1])
+    assert set(vs.tolist()) == best[2]
+    # density never below the full graph's
+    assert e_b * want_profile[0][1] >= want_profile[0][2] * n_b
