@@ -15,6 +15,14 @@ mask (induced subgraph) and a shifted hash offset (fresh priorities per
 class). Per-range uncolored masks stay in the object store; the driver
 holds only the final O(n) color vector (per-vertex output is inherently
 O(n), same as every label query).
+
+Scale caveat: total supersteps are O(#colors · log n), and #colors
+tracks the max degree — on hub-heavy web graphs (Δ in the 10^5+ range)
+prefer Jones–Plassmann style priority coloring (each vertex colors
+itself once all higher-priority neighbors have, O(log n) expected
+rounds total) before running this at full-graph scale; this
+implementation is the right shape for bounded-degree graphs and
+per-partition scheduling problems.
 """
 
 from __future__ import annotations
