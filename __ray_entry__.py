@@ -503,6 +503,53 @@ def _stress_oracle_sql(levels: int = 24, n_pivots: int = 16) -> str:
         WHERE a.s <> a.v GROUP BY a.v""")
 
 
+def q_graph_matching(sf_dir: str):
+    """EXACT-match maximal matching (Israeli-Itai style locally-
+    minimal-edge rounds, md5 keys shared with the SQL twin via
+    md5_number_upper). The endpoint set is the textbook 2-approx
+    vertex cover. SQL unrolls 16 rounds; the engine asserts it
+    converged within them."""
+    from wikilinks_ray.pipelines.derived import derived_edges
+    from wikilinks_ray.pipelines.matching import maximal_matching
+
+    _quiet()
+    lo, hi, rounds, done = maximal_matching(derived_edges(sf_dir),
+                                            max_rounds=16)
+    assert done, "matching exceeded the oracle's 16-round unroll"
+    return pd.DataFrame({"lo": lo, "hi": hi})
+
+
+def _matching_oracle_sql(rounds: int = 16) -> str:
+    """SQL twin of pipelines.matching.maximal_matching."""
+    ctes = [
+        f"a0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo, "
+        f"greatest(src, dst) AS hi FROM ({_EDGES}) WHERE src <> dst)",
+    ]
+    for t in range(rounds):
+        ctes.append(
+            f"k{t} AS MATERIALIZED (SELECT lo, hi, (md5_number_upper("
+            f"CAST(lo AS VARCHAR) || '_' || CAST(hi AS VARCHAR) || "
+            f"'_{t}') >> 1)::BIGINT AS k FROM a{t})")
+        ctes.append(
+            f"vm{t} AS (SELECT v, min(k) AS m FROM "
+            f"(SELECT lo AS v, k FROM k{t} UNION ALL "
+            f"SELECT hi, k FROM k{t}) u GROUP BY v)")
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT e.lo, e.hi FROM k{t} e "
+            f"JOIN vm{t} x ON x.v = e.lo AND x.m = e.k "
+            f"JOIN vm{t} y ON y.v = e.hi AND y.m = e.k)")
+        ctes.append(
+            f"mv{t} AS (SELECT lo AS v FROM s{t} UNION "
+            f"SELECT hi FROM s{t})")
+        ctes.append(
+            f"a{t + 1} AS MATERIALIZED (SELECT lo, hi FROM a{t} WHERE "
+            f"lo NOT IN (SELECT v FROM mv{t}) "
+            f"AND hi NOT IN (SELECT v FROM mv{t}))")
+    sel = " UNION ALL ".join(f"SELECT lo, hi FROM s{t}"
+                             for t in range(rounds))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
 def q_graph_densest(sf_dir: str):
     """EXACT-match densest subgraph (Bahmani et al. 2012 parallel
     peel, ε=1 → 4-approx): vertices of the densest intermediate
@@ -1849,6 +1896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pathcount": q_graph_pathcount,
         "graph_stress": q_graph_stress,
         "graph_densest": q_graph_densest,
+        "graph_matching": q_graph_matching,
         "graph_host_pagerank": q_graph_host_pagerank,
         "supplier_approx_distinct": q_supplier_approx_distinct,
         "url_host_parse": q_url_host_parse,
@@ -2293,6 +2341,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pathcount": _pathcount_oracle_sql(levels=24, n_pivots=16),
         "graph_stress": _stress_oracle_sql(levels=24, n_pivots=16),
         "graph_densest": _densest_oracle_sql(rounds=16),
+        "graph_matching": _matching_oracle_sql(rounds=16),
         "graph_reciprocity": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),
             nl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src != dst),

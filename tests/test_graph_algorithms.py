@@ -706,3 +706,41 @@ def test_densest_subgraph_vs_pure_python_peel(rand_graph):
     assert set(vs.tolist()) == best[2]
     # density never below the full graph's
     assert e_b * want_profile[0][1] >= want_profile[0][2] * n_b
+
+
+def test_maximal_matching_valid_and_deterministic(rand_graph):
+    """Matching: vertex-disjoint, maximal (every edge touches a matched
+    vertex), and an exact replay of a pure-python round simulation
+    with the same md5 keys."""
+    from wikilinks_ray.pipelines.matching import (_edge_keys,
+                                                  maximal_matching)
+
+    _n, pairs, ds, _fwd, _symA = rand_graph
+    lo, hi, rounds, done = maximal_matching(ds)
+    assert done and rounds >= 1
+    m = set(zip(lo.tolist(), hi.tolist()))
+    touched = set(lo.tolist()) | set(hi.tolist())
+    assert len(touched) == 2 * len(m)  # vertex-disjoint
+    und = {(min(int(a), int(b)), max(int(a), int(b)))
+           for a, b in pairs if a != b}
+    assert m <= und
+    assert all(a in touched or b in touched for a, b in und)  # maximal
+
+    # pure-python replay
+    alive = set(und)
+    want = set()
+    t = 0
+    while alive:
+        arr = np.array(sorted(alive), dtype=np.int64)
+        keys = _edge_keys(arr[:, 0], arr[:, 1], t)
+        vmin = {}
+        for (a, b), k in zip(arr.tolist(), keys.tolist()):
+            vmin[a] = min(vmin.get(a, k), k)
+            vmin[b] = min(vmin.get(b, k), k)
+        sel = {(a, b) for (a, b), k in zip(arr.tolist(), keys.tolist())
+               if vmin[a] == k and vmin[b] == k}
+        want |= sel
+        mv = {v for e in sel for v in e}
+        alive = {(a, b) for a, b in alive if a not in mv and b not in mv}
+        t += 1
+    assert m == want and rounds == t
