@@ -744,3 +744,39 @@ def test_maximal_matching_valid_and_deterministic(rand_graph):
         alive = {(a, b) for a, b in alive if a not in mv and b not in mv}
         t += 1
     assert m == want and rounds == t
+
+
+def test_betweenness_vs_networkx(rand_graph, tmp_path_factory):
+    """Pivot-restricted Brandes betweenness vs
+    networkx.betweenness_centrality_subset on the same DiGraph —
+    allclose (floats; the integer stress sibling carries the hash
+    gate)."""
+    import networkx as nx
+
+    from wikilinks_ray.pipelines.stress import betweenness_centrality
+
+    n, pairs, ds, fwd, _symA = rand_graph
+    d = tmp_path_factory.mktemp("btwrev")
+    rev = create_shard_actors(
+        shard_edges(ds, n, 3, str(d), by="dst"), n, key="dst")[0]
+    pivots = [int(v) for v in np.unique(pairs[:, 0])[:6]]
+    try:
+        vs, bt = betweenness_centrality(fwd, rev, n, pivots)
+    finally:
+        import ray
+
+        for a in rev:
+            ray.kill(a)
+    got = dict(zip(vs.tolist(), bt.tolist()))
+
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(pairs)
+    want = nx.betweenness_centrality_subset(
+        g, sources=pivots, targets=list(range(n)), normalized=False)
+    for v, x in got.items():
+        assert x == pytest.approx(want[v], abs=1e-9), v
+    # vertices we report are exactly those reached from a non-self pivot
+    for v, w in want.items():
+        if v not in got:
+            assert w == pytest.approx(0.0, abs=1e-12)

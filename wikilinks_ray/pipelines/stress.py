@@ -83,6 +83,99 @@ def _stress_fold(lo: int, pivots: np.ndarray, dist: np.ndarray,
     return v_ids[keep], through.sum(axis=1)[keep]
 
 
+@ray.remote
+def _delta_init(dist: np.ndarray) -> np.ndarray:
+    return np.zeros(dist.shape, dtype=np.float64)
+
+
+@ray.remote(num_returns=3)
+def _delta_frontier(lo: int, dist: np.ndarray, sigma: np.ndarray,
+                    delta: np.ndarray, level: int):
+    """Level-``level`` slots push ``(1 + delta) / sigma`` backward;
+    float payloads ride the same bfs_expand_val (it only sums)."""
+    vv, ss = np.nonzero(dist == level)
+    return vv + lo, ss, (1.0 + delta[vv, ss]) / sigma[vv, ss]
+
+
+@ray.remote
+def _delta_accept(lo: int, level: int, dist: np.ndarray,
+                  sigma: np.ndarray, delta: np.ndarray, *candidates
+                  ) -> np.ndarray:
+    ds = [c[0] for c in candidates if c is not None and len(c[0])]
+    vs = [c[1] for c in candidates if c is not None and len(c[0])]
+    ss = [c[2] for c in candidates if c is not None and len(c[0])]
+    if not ds:
+        return delta
+    d = np.concatenate(ds) - lo
+    v = np.concatenate(vs)
+    s = np.concatenate(ss)
+    at = dist[d, s] == level
+    d, v, s = d[at], v[at], s[at]
+    if len(d) == 0:
+        return delta
+    delta = delta.copy()
+    acc = np.zeros(delta.shape, dtype=np.float64)
+    np.add.at(acc, (d, s), v)
+    delta += acc * sigma
+    return delta
+
+
+@ray.remote(num_returns=2)
+def _betweenness_fold(lo: int, pivots: np.ndarray, dist: np.ndarray,
+                      delta: np.ndarray):
+    n_local = dist.shape[0]
+    v_ids = np.arange(lo, lo + n_local, dtype=np.int64)
+    not_self = pivots[None, :] != v_ids[:, None]
+    reached = (dist >= 0) & not_self
+    keep = reached.any(axis=1)
+    return v_ids[keep], np.where(reached, delta, 0.0).sum(axis=1)[keep]
+
+
+def betweenness_centrality(
+    fwd_actors: list,
+    rev_actors: list,
+    n_vertices: int,
+    pivots: list[int],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pivot-sampled betweenness (Brandes 2001 — the fractional
+    dependency accumulation ``delta(v) = sigma(v) * sum_{v->w DAG}
+    (1 + delta(w)) / sigma(w)``, exact for the given source set; run
+    with all vertices as pivots it IS exact betweenness). Floats, so
+    pinned by the networkx pytest oracle rather than the SQL hash gate
+    (stress_centrality is the integer sibling under the gate). Returns
+    (vertex ids, betweenness) over vertices reached from a non-self
+    pivot."""
+    pc: PathCountResult = path_count_bfs(fwd_actors, n_vertices, pivots)
+    P = len(fwd_actors)
+    bounds = pc.bounds
+    delta = [_delta_init.remote(d) for d in pc.dist_chunks]
+
+    for level in range(pc.levels, 0, -1):
+        fr = [_delta_frontier.remote(int(bounds[p]), pc.dist_chunks[p],
+                                     pc.sigma_chunks[p], delta[p], level)
+              for p in range(P)]
+        if P > 1:
+            expand = [rev_actors[p].bfs_expand_val.options(
+                num_returns=P).remote(fr[p][0], fr[p][1], fr[p][2])
+                for p in range(P)]
+        else:
+            expand = [[rev_actors[p].bfs_expand_val.remote(
+                fr[p][0], fr[p][1], fr[p][2])] for p in range(P)]
+        delta = [_delta_accept.remote(
+            int(bounds[q]), level - 1, pc.dist_chunks[q],
+            pc.sigma_chunks[q], delta[q],
+            *[expand[p][q] for p in range(P)]) for q in range(P)]
+
+    piv = np.asarray(pivots, dtype=np.int64)
+    folds = [_betweenness_fold.remote(int(bounds[q]), piv,
+                                      pc.dist_chunks[q], delta[q])
+             for q in range(P)]
+    parts = ray.get([f[0] for f in folds]), ray.get([f[1] for f in folds])
+    return (np.concatenate(parts[0]) if parts[0] else np.empty(0, np.int64),
+            np.concatenate(parts[1]) if parts[1]
+            else np.empty(0, np.float64))
+
+
 def stress_centrality(
     fwd_actors: list,
     rev_actors: list,
