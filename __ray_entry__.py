@@ -474,7 +474,8 @@ def q_graph_stress(sf_dir: str):
     _quiet()
     with DerivedGraph(sf_dir, num_shards=4, reverse=True) as g:
         pivots = [int(v) for v in g.vertices[:16]]
-        vs, st = stress_centrality(g.actors, g.rev_actors, g.n, pivots)
+        vs, st = stress_centrality(g.actors, g.rev_actors, g.n, pivots,
+                                   max_levels_ok=24)
     return pd.DataFrame({"vertex": vs, "stress": st})
 
 
@@ -621,6 +622,8 @@ def q_graph_scc(sf_dir: str):
     _quiet()
     with DerivedGraph(sf_dir, num_shards=4, reverse=True) as g:
         res = strongly_connected_components(g.actors, g.rev_actors, g.n)
+        assert res.converged, \
+            "SCC exited at max_rounds with unassigned vertices"
         labels = min_relabel(res.to_array())
         return pd.DataFrame({"vertex": g.vertices,
                              "scc": labels[g.vertices]})

@@ -60,7 +60,7 @@ def luby_coloring(actors: list, n_vertices: int, *, max_colors: int = 4096
         ids, _rounds, done = maximal_independent_set(
             actors, n_vertices, init_active=uncolored,
             key_offset=(c + 1) * 1009)
-        assert done, "MIS did not exhaust its round budget"
+        assert done, "MIS exhausted its round budget without converging"
         color[ids] = c
         ids_ref = ray.put(ids)
         uncolored = [_clear_ids.remote(int(bounds[p]), int(bounds[p + 1]),

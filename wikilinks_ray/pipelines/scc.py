@@ -105,6 +105,9 @@ class SCCResult:
     labels: list  # per-range chunk refs; label = pivot (max member) id
     bounds: np.ndarray
     rounds: int
+    converged: bool = True  # False => exited at max_rounds with scc=-1
+    #                          leftovers; min_relabel would fold them
+    #                          into one bogus component, so assert this.
 
     def to_array(self) -> np.ndarray:
         chunks = [c if isinstance(c, np.ndarray) else ray.get(c)
@@ -194,4 +197,5 @@ def strongly_connected_components(
         active = [u[0] for u in upd]
         remaining = int(sum(ray.get([u[1] for u in upd])))
 
-    return SCCResult(labels=scc, bounds=bounds, rounds=rounds)
+    return SCCResult(labels=scc, bounds=bounds, rounds=rounds,
+                     converged=(remaining == 0))

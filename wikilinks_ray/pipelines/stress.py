@@ -181,10 +181,19 @@ def stress_centrality(
     rev_actors: list,
     n_vertices: int,
     pivots: list[int],
+    max_levels_ok: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(vertex ids, stress values) — vertices reached from at least one
-    non-self pivot; stress restricted to the pivot sample."""
+    non-self pivot; stress restricted to the pivot sample.
+
+    ``max_levels_ok`` asserts the BFS depth stays within a caller-side
+    bound (e.g. an unrolled SQL oracle's level count) so a deeper graph
+    fails loudly here instead of as an opaque hash mismatch."""
     pc: PathCountResult = path_count_bfs(fwd_actors, n_vertices, pivots)
+    if max_levels_ok is not None:
+        assert pc.levels <= max_levels_ok, (
+            f"BFS depth {pc.levels} exceeded the caller's "
+            f"{max_levels_ok}-level bound")
     P = len(fwd_actors)
     K = len(pivots)
     bounds = pc.bounds

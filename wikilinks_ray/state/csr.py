@@ -227,9 +227,11 @@ class CSRShardData:
             self.dst_sorted_weight = w[order]
             self.out_wt = np.bincount(srcs - lo, weights=w,
                                       minlength=hi - lo).astype(np.int64)
+            self.max_weight = int(w.max()) if len(w) else 0
         else:
             self.dst_sorted_weight = None
             self.out_wt = None
+            self.max_weight = 0
 
     @property
     def num_edges(self) -> int:
@@ -341,6 +343,13 @@ class CSRShardActor:
         csr = self.csr
         if csr.dst_sorted_weight is None:
             raise ValueError("shard has no weights; write with weight_col")
+        if len(rank_chunk) and csr.max_weight > 1:
+            # int64 overflow guard: a hot contracted edge with huge
+            # multiplicity would otherwise silently wrap rank*weight.
+            assert int(rank_chunk.max()) <= (2**63 - 1) // csr.max_weight, (
+                f"rank*weight would overflow int64 (max rank "
+                f"{int(rank_chunk.max())}, max weight {csr.max_weight}); "
+                f"lower the PageRank integer scale")
         nz = csr.out_wt > 0
         dangling = int(rank_chunk[~nz].sum())
         src_rank = rank_chunk[csr.dst_sorted_src - csr.lo]
