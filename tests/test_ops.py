@@ -454,6 +454,54 @@ def test_simhash_distributed_matches_driver_finisher(docs_with_dups):
     assert (0, base + 0, 0) in g  # identical docs, hamming 0
 
 
+def test_simhash_overcap_bucket_exact(ray_session):
+    """A pigeonhole bucket LARGER than max_bucket must still yield the
+    exact hamming<=k pair set (the old skew cap silently dropped whole
+    buckets — 20% recall loss at sf0.1). Fixture: 64 signatures that all
+    agree on segment 0 (bucket size 64 >> max_bucket=8), varying
+    elsewhere, incl. an identical-signature clump (the all-pairs base
+    case) and a non-discriminative-sub-segment clump (the single-branch
+    descent)."""
+    import pyarrow as pa
+
+    import ray.data
+    from wikilinks_ray.ops.dedup import simhash_near_dup_pairs_ds
+
+    rng = np.random.default_rng(7)
+    k = 3
+    sigs = []
+    # all agree on bits [0, 16) (segment 0 of the k=3 layout) => one
+    # bucket of 64 docs in segment 0
+    base_low = 0xABCD
+    for i in range(48):
+        high = int(rng.integers(0, 2**48, dtype=np.uint64))
+        sigs.append((high << 16) | base_low)
+    sigs += [((0xDEAD << 16) | base_low)] * 10  # identical clump
+    near = (0xDEAD << 16) | base_low
+    for b in (20, 30, 40):  # hamming 1 neighbours of the clump
+        sigs.append(near ^ (1 << b))
+    sigs.append(near ^ (1 << 20) ^ (1 << 30) ^ (1 << 40))  # hamming 3
+    ids = np.arange(len(sigs), dtype=np.int64)
+    sh = np.array(sigs, dtype=np.uint64)
+
+    # brute-force oracle
+    want = set()
+    for i in range(len(sh)):
+        x = sh[i] ^ sh
+        pop = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                            axis=1).sum(axis=1)
+        for j in np.nonzero(pop <= k)[0]:
+            if i < j:
+                want.add((int(ids[i]), int(ids[j]), int(pop[j])))
+
+    t = pa.table({"doc_id": pa.array(ids), "simhash": pa.array(sh)})
+    got = pd.DataFrame(simhash_near_dup_pairs_ds(
+        ray.data.from_arrow(t), max_hamming=k, max_bucket=8).take_all())
+    g = set(zip(got["a"], got["b"], got["hamming"]))
+    assert g == want
+    assert len(want) >= 45 + 10  # clump C(10,2) + neighbours at least
+
+
 def test_curate_documents_pipeline(ray_session, tmp_path):
     """Curation = quality gate ∩ exact winners − near-dup losers, plus
     the partitioned (resumable) parquet write of kept rows."""

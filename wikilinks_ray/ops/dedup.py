@@ -584,6 +584,86 @@ def _segment_layout(max_hamming: int) -> list[tuple[int, int]]:
     return layout
 
 
+def _extract_bits(sh: np.ndarray, bits: np.ndarray) -> np.ndarray:
+    """Gather arbitrary bit positions of uint64 signatures into int64
+    sub-keys (``len(bits) <= 62``); vectorized over rows."""
+    acc = np.zeros(len(sh), dtype=np.uint64)
+    for i, b in enumerate(bits):
+        acc |= ((sh >> np.uint64(int(b))) & np.uint64(1)) << np.uint64(i)
+    return acc.astype(np.int64)
+
+
+def _all_pairs_idx(pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered index pairs of ``pos``. Only reached for groups
+    whose pairs are ALL true answers (identical-on-free-bits members),
+    so the quadratic output size is inherent to the result, not waste."""
+    a, b = np.triu_indices(len(pos), 1)
+    return pos[a], pos[b]
+
+
+def _simhash_overcap_pairs(
+    pos: np.ndarray,
+    sh: np.ndarray,
+    free_bits: np.ndarray,
+    max_hamming: int,
+    cap: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """EXACT candidate pairs inside an over-cap pigeonhole bucket whose
+    members already agree on every bit OUTSIDE ``free_bits``.
+
+    Recursive sub-blocking: split the free bits into ``k + 1``
+    sub-segments — a hamming<=k pair differs only within the free bits,
+    so it must agree exactly on at least one sub-segment (pigeonhole
+    again) — and recurse into each sub-bucket with that sub-segment's
+    bits removed from the free set. Base cases: the group fits under
+    ``cap`` (emit all pairs for downstream popcount verification), or
+    fewer than ``k + 1`` free bits remain (members then differ in at
+    most ``len(free_bits) <= k`` bits, so EVERY pair is a true pair).
+    A sub-segment on which all members agree covers every pair by
+    itself, so the recursion descends that single branch — the
+    identical-signature case degenerates to a linear walk, not an
+    exponential fan-out."""
+    m = len(pos)
+    if m < 2:
+        e = np.empty(0, np.int64)
+        return e, e
+    if m <= cap or len(free_bits) <= max_hamming:
+        return _all_pairs_idx(pos)
+    segs = [s for s in np.array_split(free_bits, max_hamming + 1)
+            if len(s)]
+    outs_a, outs_b = [], []
+    for segbits in segs:
+        rest = np.setdiff1d(free_bits, segbits, assume_unique=True)
+        key = _extract_bits(sh[pos], segbits)
+        order = np.argsort(key, kind="stable")
+        k_s, p_s = key[order], pos[order]
+        new = np.ones(m, dtype=bool)
+        new[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(new)
+        if len(starts) == 1:
+            # non-discriminative sub-segment: every pair agrees on it,
+            # so this branch alone is a complete cover — descend once.
+            return _simhash_overcap_pairs(pos, sh, rest, max_hamming, cap)
+        ends = np.append(starts[1:], m)
+        for st, en in zip(starts, ends):
+            if en - st < 2:
+                continue
+            a, b = _simhash_overcap_pairs(p_s[st:en], sh, rest,
+                                          max_hamming, cap)
+            if len(a):
+                outs_a.append(a)
+                outs_b.append(b)
+    if not outs_a:
+        e = np.empty(0, np.int64)
+        return e, e
+    a = np.concatenate(outs_a)
+    b = np.concatenate(outs_b)
+    # dedupe pairs surfaced via several sub-segments
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    return u[:, 0], u[:, 1]
+
+
 def simhash_near_dup_pairs_ds(
     sigs: "ray.data.Dataset",
     *,
@@ -591,16 +671,18 @@ def simhash_near_dup_pairs_ds(
     max_bucket: int = 500,
     num_partitions: int = 8,
 ) -> "ray.data.Dataset":
-    """Distributed SimHash near-dup pairs (a < b, hamming <= k).
+    """Distributed SimHash near-dup pairs (a < b, hamming <= k) — EXACT.
 
     Pigeonhole blocking: a pair within hamming<=k of a 64-bit signature
     must agree exactly on at least one of ``k + 1`` near-equal-width
     segments, so each signature emits k+1 (segment, segment_value) rows,
     candidates form inside ``groupby(segment_key)`` buckets (vectorized
     XOR popcount per bucket), and a final grouped-min dedups pairs found
-    in several segments. Buckets over ``max_bucket`` docs are dropped (a
-    non-discriminative segment would emit O(m²) pairs) — the only
-    recall loss, and only under segment-key skew.
+    in several segments. Buckets over ``max_bucket`` docs are NOT
+    dropped (that silently lost ~20% of true pairs under segment-key
+    skew at sf0.1): they recurse into exact second-segment sub-blocking
+    (:func:`_simhash_overcap_pairs`), so ``max_bucket`` is a memory/
+    vectorization granularity knob, never a recall knob.
     """
     layout = _segment_layout(max_hamming)
 
@@ -640,7 +722,30 @@ def simhash_near_dup_pairs_ds(
         sh = g["simhash"].to_numpy().astype(np.uint64)
         order = np.lexsort((ids, kk, s))
         s_s, k_s, id_s, sh_s = s[order], kk[order], ids[order], sh[order]
-        ai, bi, _ = sorted_run_pairs([s_s, k_s], max_run=max_bucket)
+        ai, bi, kept = sorted_run_pairs([s_s, k_s], max_run=max_bucket)
+        if not kept.all():
+            # over-cap (seg, key) runs: exact recursive sub-blocking on
+            # the remaining signature bits instead of dropping the run
+            drop = np.flatnonzero(~kept)
+            new = np.ones(len(drop), dtype=bool)
+            new[1:] = ((s_s[drop][1:] != s_s[drop][:-1])
+                       | (k_s[drop][1:] != k_s[drop][:-1]))
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], len(drop))
+            extra_a, extra_b = [ai], [bi]
+            for st, en in zip(starts, ends):
+                pos = drop[st:en]
+                shift, width = layout[int(s_s[pos[0]])]
+                free = np.array(
+                    [b for b in range(64) if not shift <= b < shift + width],
+                    dtype=np.int64)
+                xa, xb = _simhash_overcap_pairs(pos, sh_s, free,
+                                                max_hamming, max_bucket)
+                if len(xa):
+                    extra_a.append(xa)
+                    extra_b.append(xb)
+            ai = np.concatenate(extra_a)
+            bi = np.concatenate(extra_b)
         empty = pd.DataFrame({"a": np.empty(0, np.int64),
                               "b": np.empty(0, np.int64),
                               "hamming": np.empty(0, np.int64)})
@@ -682,20 +787,26 @@ def simhash_near_dup_pairs(sigs_df: pd.DataFrame, max_hamming: int = 3) -> pd.Da
         for end in range(1, len(k_s) + 1):
             if end == len(k_s) or k_s[end] != k_s[start]:
                 grp = i_s[start:end]
-                if 1 < len(grp) <= 500:
-                    for x in range(len(grp)):
-                        for y in range(x + 1, len(grp)):
-                            a, b = int(ids[grp[x]]), int(ids[grp[y]])
-                            if a > b:
-                                a, b = b, a
-                            if (a, b) in seen:
-                                continue
-                            d = int(bin(int(sh[grp[x]]) ^ int(sh[grp[y]])).count("1"))
-                            if d <= max_hamming:
-                                seen.add((a, b))
-                                out_a.append(a)
-                                out_b.append(b)
-                                out_d.append(d)
+                if len(grp) > 1:
+                    # vectorized within-bucket verify — no size cap
+                    # (a cap here silently loses recall, same bug the
+                    # distributed path had)
+                    xi, yi = np.triu_indices(len(grp), 1)
+                    gx, gy = grp[xi], grp[yi]
+                    x = sh[gx] ^ sh[gy]
+                    pop = np.unpackbits(
+                        x.view(np.uint8).reshape(len(x), 8),
+                        axis=1).sum(axis=1)
+                    ok = pop <= max_hamming
+                    a = np.minimum(ids[gx[ok]], ids[gy[ok]])
+                    b = np.maximum(ids[gx[ok]], ids[gy[ok]])
+                    for av, bv, dv in zip(a.tolist(), b.tolist(),
+                                          pop[ok].tolist()):
+                        if av != bv and (av, bv) not in seen:
+                            seen.add((av, bv))
+                            out_a.append(av)
+                            out_b.append(bv)
+                            out_d.append(int(dv))
                 start = end
     return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_d})
 
