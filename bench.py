@@ -56,7 +56,12 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     extras: dict[str, float] = {}
 
     # --- flagship: pages corpus -> extraction -> graph build --------------
-    corpus_dir = f"/tmp/wl_bench_corpus_{n_pages}"
+    # cache key includes CORPUS_VERSION: /tmp persists across driver
+    # rounds, and a stale corpus from an older generator silently shifts
+    # edge counts (the r2/r3 one-edge diff)
+    from wikilinks_ray.sources.corpus import CORPUS_VERSION
+
+    corpus_dir = f"/tmp/wl_bench_corpus_{n_pages}_v{CORPUS_VERSION}"
     if not os.path.exists(os.path.join(corpus_dir, "part-00000.parquet")):
         write_pages_corpus(corpus_dir, n_pages=n_pages, seed=42,
                            n_shards=max(8, num_cpus))
@@ -193,10 +198,10 @@ def run_scaling_workload(num_cpus: int, n_pages: int = 400_000) -> dict:
 
     from wikilinks_ray.ops.dedup import MinHasher, SimHasher
     from wikilinks_ray.ops.text import TextAnalyzer
-    from wikilinks_ray.sources.corpus import write_pages_corpus
+    from wikilinks_ray.sources.corpus import CORPUS_VERSION, write_pages_corpus
     from wikilinks_ray.stages.extract import extract_combined
 
-    corpus = f"/tmp/wl_scale_corpus_{n_pages}"
+    corpus = f"/tmp/wl_scale_corpus_{n_pages}_v{CORPUS_VERSION}"
     if not os.path.exists(os.path.join(corpus, "part-00000.parquet")):
         write_pages_corpus(corpus, n_pages=n_pages, seed=42, n_shards=128)
 

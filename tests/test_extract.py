@@ -79,6 +79,35 @@ def test_generator_is_deterministic():
     assert not t1.equals(t3)
 
 
+def test_generator_golden_hash_pins_corpus_version():
+    """Pin the generator's OUTPUT to CORPUS_VERSION.
+
+    bench.py keys its /tmp corpus cache by CORPUS_VERSION because /tmp
+    persists across driver rounds: round 2's ghost-redirect retarget
+    (commit 9840455) changed the generated corpus while BENCH_r02 kept
+    reading a stale round-1 cache, producing the r2/r3 one-edge bench
+    diff (247,603 vs 247,602 edges at 400k pages). If this hash changes,
+    the generator's output changed: bump CORPUS_VERSION in
+    wikilinks_ray/sources/corpus.py and update BOTH pins here.
+    """
+    import hashlib
+
+    from wikilinks_ray.sources.corpus import CORPUS_VERSION
+
+    assert CORPUS_VERSION == 2
+    t, _spec = generate_pages_table(2000, seed=42)
+    h = hashlib.md5()
+    cols = [t.column(n).to_pylist() for n in t.schema.names]
+    for row in zip(*cols):
+        for v in row:
+            h.update(repr(v).encode())
+        h.update(b"\x00")
+    assert h.hexdigest() == "ffdb5ba766d4e46df529fe39c83da002", (
+        "generate_pages_table output changed — bump CORPUS_VERSION and "
+        "re-pin this hash"
+    )
+
+
 def test_meta_schema_stable(ray_session, small_corpus):
     table, _spec, _res = small_corpus
     batch = extract_pages_meta(table.slice(0, 10))

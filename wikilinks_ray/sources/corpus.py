@@ -43,6 +43,13 @@ import pyarrow.parquet as pq
 URL_PREFIX = "https://wiki.test/wiki/"
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
+# Bump whenever generate_pages_table's OUTPUT changes for the same
+# (n_pages, seed). Cached corpus directories (bench.py keys /tmp paths
+# by this) are regenerated on mismatch — a stale /tmp corpus from an
+# older generator silently shifted bench edge counts by 1 between
+# rounds 2 and 3 (BASELINE.md "one-edge diff" root cause).
+CORPUS_VERSION = 2
+
 UNICODE_TITLES = [
     "Gdańsk",
     "Polska",
