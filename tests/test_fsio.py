@@ -1,0 +1,139 @@
+"""Shared-storage portability tests: every shard/checkpoint byte must go
+through ``state.fsio`` so a multi-node cluster can point work_dirs at
+shared mounts or object-store URIs (VERDICT r3 "What's missing" #1).
+
+Two proofs:
+- a ``local://``-prefixed URI work_dir drives the full shard -> actor ->
+  checkpoint -> resume path (Ray Data itself also accepts local:// for
+  the vertices/edges parquet),
+- a registered custom scheme backed by ``pyarrow.fs.SubTreeFileSystem``
+  (an object-store stand-in with NO bare-path escape hatch: any code
+  path that bypassed fsio would write outside the subtree or crash on
+  the URI) runs the same flow, including worker-side resolution inside
+  ``shard_edges``'s map_groups tasks and ``CSRShardActor.__init__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.fs as pafs
+import pytest
+
+import ray
+import ray.data
+
+from wikilinks_ray.state import fsio
+from wikilinks_ray.state.checkpoint import (
+    latest_checkpoint,
+    save_checkpoint,
+    save_checkpoint_multi,
+    latest_checkpoint_multi,
+)
+from wikilinks_ray.state.csr import create_shard_actors, shard_edges
+
+
+def _edge_table() -> pa.Table:
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 50, 400)
+    dst = rng.integers(0, 50, 400)
+    return pa.table({"src": pa.array(src, pa.int64()),
+                     "dst": pa.array(dst, pa.int64())})
+
+
+def _drive_graph(work_dir: str) -> None:
+    """shard -> reuse -> actors -> gather, all through one work_dir."""
+    edges = ray.data.from_arrow(_edge_table())
+    paths = shard_edges(edges, 50, 3, work_dir)
+    assert all(fsio.exists(p) for p in paths)
+    # sentinel reuse: second call must not rewrite (same object: paths)
+    again = shard_edges(ray.data.from_arrow(_edge_table()), 50, 3, work_dir)
+    assert again == paths
+    actors, bounds = create_shard_actors(paths, 50)
+    degs = np.concatenate(ray.get([a.out_degrees.remote() for a in actors]))
+    want = np.bincount(_edge_table().column("src").to_numpy(), minlength=50)
+    assert (degs == want).all()
+
+
+def test_local_uri_work_dir(ray_session, tmp_path):
+    _drive_graph(f"local://{tmp_path}/graph")
+    # checkpoints over the same URI form
+    ck = f"local://{tmp_path}/ckpt"
+    save_checkpoint(ck, 0, [np.arange(5), np.arange(3)], {"delta": 1.0})
+    save_checkpoint(ck, 1, [np.arange(5) * 2, np.arange(3) * 2], {"delta": 0.5})
+    it, chunks, metrics = latest_checkpoint(ck)
+    assert it == 1 and metrics["delta"] == 0.5
+    assert (chunks[0] == np.arange(5) * 2).all()
+
+
+def test_registered_subtree_scheme(ray_session, tmp_path):
+    base = tmp_path / "bucket"
+    base.mkdir()
+    fsio.register_scheme("wltest", pafs.SubTreeFileSystem(
+        str(base), pafs.LocalFileSystem()))
+    try:
+        _drive_graph("wltest://graph")
+        # everything landed INSIDE the subtree (nothing escaped fsio)
+        files = sorted(p.name for p in (base / "graph").iterdir())
+        assert "_SHARDS_OK" in files
+        assert sum(f.endswith(".parquet") for f in files) == 3
+
+        ck = "wltest://ckpt"
+        save_checkpoint_multi(ck, 4, {"dist": [np.arange(4)],
+                                      "parent": [np.full(4, -1)]},
+                              {"frontier": 2})
+        it, named, metrics = latest_checkpoint_multi(ck)
+        assert it == 4 and set(named) == {"dist", "parent"}
+        assert metrics["frontier"] == 2
+        assert (base / "ckpt" / "iter-000004" / "MANIFEST.json").exists()
+    finally:
+        fsio.unregister_scheme("wltest")
+
+
+def test_torn_manifest_falls_back(tmp_path):
+    ck = f"local://{tmp_path}/ckpt"
+    save_checkpoint(ck, 0, [np.arange(4)], {"delta": 1.0})
+    save_checkpoint(ck, 1, [np.arange(4) + 1], {"delta": 0.2})
+    # tear iteration 1's manifest (simulates a crash mid-PUT on an
+    # object store: no rename to hide behind)
+    (tmp_path / "ckpt" / "iter-000001" / "MANIFEST.json").write_text(
+        '{"iteration": 1, "chu')
+    it, chunks, _ = latest_checkpoint(ck)
+    assert it == 0
+    assert (chunks[0] == np.arange(4)).all()
+
+
+def test_stale_sentinel_forces_rebuild(ray_session, tmp_path):
+    work = f"local://{tmp_path}/graph"
+    edges = ray.data.from_arrow(_edge_table())
+    paths = shard_edges(edges, 50, 3, work)
+    # different partitioning params -> stamp mismatch -> rebuild
+    paths4 = shard_edges(ray.data.from_arrow(_edge_table()), 50, 4, work)
+    assert len(paths4) == 4 and all(fsio.exists(p) for p in paths4)
+
+
+def test_build_graph_over_local_uri(ray_session, tmp_path):
+    from wikilinks_ray.pipelines.build import build_graph
+    from wikilinks_ray.sources.corpus import generate_pages_table
+
+    table, _spec = generate_pages_table(120, seed=5)
+    pages = ray.data.from_arrow(table)
+    work = f"local://{tmp_path}/g"
+    res = build_graph(pages, work)
+    assert res.stats.n_vertices > 0 and res.stats.n_edges > 0
+    assert res.edges().count() == res.stats.n_edges
+    # resume: sentinel short-circuits the rebuild
+    res2 = build_graph(ray.data.from_arrow(table), work)
+    assert res2.stats == res.stats
+
+
+def test_resolve_forms():
+    fs, p = fsio.resolve("/plain/path")
+    assert isinstance(fs, pafs.LocalFileSystem) and p == "/plain/path"
+    fs, p = fsio.resolve("local:///x/y")
+    assert isinstance(fs, pafs.LocalFileSystem) and p == "/x/y"
+    fs, p = fsio.resolve("file:///x/y")
+    assert isinstance(fs, pafs.LocalFileSystem) and p == "/x/y"
+    with pytest.raises(Exception):
+        fsio.resolve("nosuchscheme://x")
+    assert fsio.join("s3://b/prefix", "a", "b.parquet") == "s3://b/prefix/a/b.parquet"

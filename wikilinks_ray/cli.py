@@ -198,26 +198,26 @@ def route_throughput(pools, n, index, n_pairs: int = 50,
 def _load_query_state(graph_dir: str, num_shards: int,
                       bidirectional: bool = False):
     import json as _json
-    import os
 
     from .pipelines.build import GraphBuildResult, GraphStats
+    from .state import fsio
     from .state.csr import create_shard_actors, shard_edges
     from .state.lookup import VertexIndex
 
-    with open(os.path.join(graph_dir, "_STATS.json")) as f:
-        stats = GraphStats(**_json.load(f))
-    res = GraphBuildResult(os.path.join(graph_dir, "vertices"),
-                           os.path.join(graph_dir, "edges"), stats)
+    stats = GraphStats(
+        **_json.loads(fsio.read_text(fsio.join(graph_dir, "_STATS.json"))))
+    res = GraphBuildResult(fsio.join(graph_dir, "vertices"),
+                           fsio.join(graph_dir, "edges"), stats)
     n = stats.n_vertices
     paths = shard_edges(res.edges(), n, num_shards,
-                        os.path.join(graph_dir, "csr_fwd"), by="src")
+                        fsio.join(graph_dir, "csr_fwd"), by="src")
     actors, _ = create_shard_actors(paths, n)
     rev = None
     if bidirectional:
         # reverse CSR (transpose) shards — the reference's paired
         # outEdges/inEdges sections (SegmentWikiGraphStore.kt:100-114)
         rpaths = shard_edges(res.edges(), n, num_shards,
-                             os.path.join(graph_dir, "csr_rev"), by="dst")
+                             fsio.join(graph_dir, "csr_rev"), by="dst")
         rev, _ = create_shard_actors(rpaths, n, key="dst")
     index = VertexIndex(res.vertices_path, n, num_shards)
     return res, n, actors, rev, index
@@ -242,16 +242,16 @@ def cmd_query(args) -> int:
         print(json.dumps(route_benchmark(actors, n, index, rev_actors=rev,
                                          check_corpus=args.benchmark_corpus)))
         if args.throughput and rev is not None:
-            import os as _os
+            from .state import fsio as _fsio
 
             from .state.csr import create_shard_actors, shard_edges
 
             pools = [(actors, rev)]
             for _ in range(max(1, args.replicas) - 1):
                 fp = shard_edges(res.edges(), n, args.shards,
-                                 _os.path.join(args.graph, "csr_fwd"), by="src")
+                                 _fsio.join(args.graph, "csr_fwd"), by="src")
                 rp = shard_edges(res.edges(), n, args.shards,
-                                 _os.path.join(args.graph, "csr_rev"), by="dst")
+                                 _fsio.join(args.graph, "csr_rev"), by="dst")
                 f2, _ = create_shard_actors(fp, n)
                 r2, _ = create_shard_actors(rp, n, key="dst")
                 pools.append((f2, r2))

@@ -28,6 +28,16 @@ import ray
 import ray.data
 
 
+def _list_parquet(fs, d: str) -> list[str]:
+    """Base names of parquet files directly under fs dir (absent -> [])."""
+    import pyarrow.fs as pafs
+
+    if fs.get_file_info(d).type != pafs.FileType.Directory:
+        return []
+    return sorted(i.base_name for i in fs.get_file_info(pafs.FileSelector(d))
+                  if i.base_name.endswith(".parquet"))
+
+
 def _normalize(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
@@ -230,11 +240,15 @@ def ivf_top_k(
         has_cell = False
     else:
         # file-level pruning: only the probed cells' directories are
-        # ever opened — query I/O scales with the probed fraction
-        dirs = [os.path.join(emb, f"cellp={int(c)}")
-                for c in probed_cells]
-        paths = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
-                 for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        # ever opened — query I/O scales with the probed fraction.
+        # The index dir may be a URI (shared storage): list through
+        # fsio, read through the resolved filesystem.
+        from ..state import fsio
+
+        fs, root = fsio.resolve(emb)
+        dirs = [f"{root.rstrip('/')}/cellp={int(c)}" for c in probed_cells]
+        paths = [f"{d}/{f}" for d in dirs
+                 for f in _list_parquet(fs, d)]
         if not paths:
             return pa.table({
                 "query_id": pa.array([], pa.int64()),
@@ -242,7 +256,7 @@ def ivf_top_k(
                 "vec_id": pa.array([], pa.int64()),
                 "cosine": pa.array([], pa.float64()),
             })
-        ds = ray.data.read_parquet(paths)
+        ds = ray.data.read_parquet(paths, filesystem=fs)
         has_cell = True
 
     def score(t: pa.Table) -> pa.Table:

@@ -299,21 +299,27 @@ def build_graph(
     transcluded bodies are extracted too (bliki parity,
     WikiProcessor.kt:45-46); template pages become macro definitions, not
     vertices."""
-    v_path = os.path.join(work_dir, "vertices")
-    e_path = os.path.join(work_dir, "edges")
-    s_path = os.path.join(work_dir, "_STATS.json")
-    if not overwrite and os.path.exists(s_path):
-        with open(s_path) as f:
-            return GraphBuildResult(v_path, e_path, GraphStats(**json.load(f)))
-    os.makedirs(work_dir, exist_ok=True)
+    # work_dir may be a plain path or a URI (local://, s3://, ...):
+    # vertices/edges go through Ray's own URI-aware write_parquet, the
+    # sentinel through fsio. _STATS.json is written LAST — it is the
+    # build's commit point (see state/fsio.py crash-safety protocol).
+    from ..state import fsio
+
+    v_path = fsio.join(work_dir, "vertices")
+    e_path = fsio.join(work_dir, "edges")
+    s_path = fsio.join(work_dir, "_STATS.json")
+    if not overwrite and fsio.exists(s_path):
+        try:
+            stats = GraphStats(**json.loads(fsio.read_text(s_path)))
+            return GraphBuildResult(v_path, e_path, stats)
+        except (ValueError, TypeError, OSError):
+            pass  # torn/stale sentinel -> rebuild
+    fsio.makedirs(work_dir)
     # write_parquet APPENDS into an existing directory — a rebuild over
     # a stale dir would silently multiply vertices/edges
-    import shutil
-
     for d in (v_path, e_path):
-        shutil.rmtree(d, ignore_errors=True)
-    if os.path.exists(s_path):
-        os.remove(s_path)
+        fsio.rmtree(d)
+    fsio.delete_file(s_path)
 
     # single pass over the heavy pages input (html+text read once)
     from ..stages.extract import extract_combined, split_combined
@@ -440,6 +446,5 @@ def build_graph(
         n_vertices=n_vertices,
         n_edges=e2.count(),
     )
-    with open(s_path, "w") as f:
-        json.dump(asdict(stats), f, indent=1)
+    fsio.write_text(s_path, json.dumps(asdict(stats), indent=1))
     return GraphBuildResult(v_path, e_path, stats)

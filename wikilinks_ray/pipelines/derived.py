@@ -62,16 +62,16 @@ class DerivedGraph:
     def __init__(self, sf_dir: str, *, num_shards: int = 4, symmetric: bool = False,
                  reverse: bool = False,
                  work_root: str = "/tmp/wikilinks_ray_derived"):
-        import os
-
         self.edges = derived_edges(sf_dir).materialize()
         self.vertices = derived_vertices(self.edges)
         self.n = int(self.vertices.max()) + 1 if len(self.vertices) else 0
         import hashlib
 
+        from ..state import fsio
+
         tag = hashlib.md5(
             f"{sf_dir}|{symmetric}|{num_shards}".encode()).hexdigest()[:12]
-        shard_dir = os.path.join(work_root, tag)
+        shard_dir = fsio.join(work_root, tag)
         es = self.edges
         if symmetric:
             from .components import symmetrize_edges

@@ -7,40 +7,58 @@ resumable. Layout:
     ckpt_dir/
       iter-{k:06d}/
         chunk-{p:05d}.npy     # per-vertex-range state array
-        MANIFEST.json         # written LAST, atomically -> iteration is
-                              # complete iff its manifest exists
+        MANIFEST.json         # written LAST -> iteration is complete
+                              # iff its manifest exists AND parses
 
 MANIFEST.json records the iteration number, per-chunk paths + row
 counts (lineage), and free-form metrics (delta, dangling mass, wall
 time), so a resumed job can both continue computing and report an
 honest metrics history.
+
+``ckpt_dir`` may be a plain path or any fsio-resolvable URI (shared
+mount, ``s3://``, test-registered scheme): all I/O goes through
+pyarrow filesystems, and crash safety is manifest-last rather than
+rename-based (object stores have no atomic rename) — a torn manifest
+fails to parse and the reader falls back to the previous complete
+iteration.
 """
 
 from __future__ import annotations
 
 import json
-import os
 
 import numpy as np
+
+from . import fsio
+
+
+def _write_manifest(iter_dir: str, manifest: dict) -> None:
+    # written LAST: the manifest is the commit point for the iteration
+    fsio.write_text(fsio.join(iter_dir, "MANIFEST.json"),
+                    json.dumps(manifest, indent=1))
+
+
+def _read_manifest(iter_dir: str) -> dict | None:
+    mpath = fsio.join(iter_dir, "MANIFEST.json")
+    if not fsio.exists(mpath):
+        return None
+    try:
+        return json.loads(fsio.read_text(mpath))
+    except (ValueError, OSError):
+        return None  # torn write -> treat iteration as incomplete
 
 
 def save_checkpoint(ckpt_dir: str, iteration: int, chunks: list[np.ndarray],
                     metrics: dict) -> str:
-    d = os.path.join(ckpt_dir, f"iter-{iteration:06d}")
-    os.makedirs(d, exist_ok=True)
+    d = fsio.join(ckpt_dir, f"iter-{iteration:06d}")
+    fsio.makedirs(d)
     entries = []
     for p, arr in enumerate(chunks):
-        path = os.path.join(d, f"chunk-{p:05d}.npy")
-        tmp = path + ".tmp.npy"
-        np.save(tmp, arr)
-        os.replace(tmp, path)
+        path = fsio.join(d, f"chunk-{p:05d}.npy")
+        fsio.write_npy(path, arr)
         entries.append({"partition": p, "path": path, "rows": int(len(arr))})
-    manifest = {"iteration": iteration, "chunks": entries, "metrics": metrics}
-    mpath = os.path.join(d, "MANIFEST.json")
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, mpath)
+    _write_manifest(d, {"iteration": iteration, "chunks": entries,
+                        "metrics": metrics})
     return d
 
 
@@ -50,59 +68,46 @@ def save_checkpoint_multi(ckpt_dir: str, iteration: int,
     """Like save_checkpoint but with several named per-partition arrays
     (e.g. BFS dist + parent + frontier): ``{name}-{p:05d}.npy`` files,
     manifest written last."""
-    d = os.path.join(ckpt_dir, f"iter-{iteration:06d}")
-    os.makedirs(d, exist_ok=True)
+    d = fsio.join(ckpt_dir, f"iter-{iteration:06d}")
+    fsio.makedirs(d)
     entries = []
     for name, chunks in named_chunks.items():
         for p, arr in enumerate(chunks):
-            path = os.path.join(d, f"{name}-{p:05d}.npy")
-            tmp = path + ".tmp.npy"
-            np.save(tmp, arr)
-            os.replace(tmp, path)
+            path = fsio.join(d, f"{name}-{p:05d}.npy")
+            fsio.write_npy(path, arr)
             entries.append({"name": name, "partition": p, "path": path,
                             "rows": int(arr.shape[0])})
-    manifest = {"iteration": iteration, "chunks": entries, "metrics": metrics}
-    mpath = os.path.join(d, "MANIFEST.json")
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, mpath)
+    _write_manifest(d, {"iteration": iteration, "chunks": entries,
+                        "metrics": metrics})
     return d
 
 
+def _iter_dirs_newest_first(ckpt_dir: str) -> list[str]:
+    return sorted((e for e in fsio.listdir(ckpt_dir)
+                   if e.startswith("iter-")), reverse=True)
+
+
 def latest_checkpoint_multi(ckpt_dir: str) -> tuple[int, dict[str, list[np.ndarray]], dict] | None:
-    if not os.path.isdir(ckpt_dir):
-        return None
-    iters = sorted((e for e in os.listdir(ckpt_dir) if e.startswith("iter-")),
-                   reverse=True)
-    for e in iters:
-        mpath = os.path.join(ckpt_dir, e, "MANIFEST.json")
-        if not os.path.exists(mpath):
+    for e in _iter_dirs_newest_first(ckpt_dir):
+        manifest = _read_manifest(fsio.join(ckpt_dir, e))
+        if manifest is None:
             continue
-        with open(mpath) as f:
-            manifest = json.load(f)
         named: dict[str, list[np.ndarray]] = {}
         for c in sorted(manifest["chunks"],
                         key=lambda c: (c["name"], c["partition"])):
-            named.setdefault(c["name"], []).append(np.load(c["path"]))
+            named.setdefault(c["name"], []).append(fsio.read_npy(c["path"]))
         return manifest["iteration"], named, manifest.get("metrics", {})
     return None
 
 
 def latest_checkpoint(ckpt_dir: str) -> tuple[int, list[np.ndarray], dict] | None:
     """(iteration, chunks, metrics) of the newest COMPLETE iteration."""
-    if not os.path.isdir(ckpt_dir):
-        return None
-    iters = sorted(
-        (e for e in os.listdir(ckpt_dir) if e.startswith("iter-")), reverse=True
-    )
-    for e in iters:
-        mpath = os.path.join(ckpt_dir, e, "MANIFEST.json")
-        if not os.path.exists(mpath):
-            continue  # incomplete (killed mid-write) -> fall back further
-        with open(mpath) as f:
-            manifest = json.load(f)
-        chunks = [np.load(c["path"]) for c in sorted(manifest["chunks"],
-                                                     key=lambda c: c["partition"])]
+    for e in _iter_dirs_newest_first(ckpt_dir):
+        manifest = _read_manifest(fsio.join(ckpt_dir, e))
+        if manifest is None:
+            continue  # missing/torn manifest -> fall back further
+        chunks = [fsio.read_npy(c["path"])
+                  for c in sorted(manifest["chunks"],
+                                  key=lambda c: c["partition"])]
         return manifest["iteration"], chunks, manifest.get("metrics", {})
     return None

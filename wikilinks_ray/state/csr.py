@@ -37,6 +37,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from . import fsio
+
 
 def vertex_ranges(n_vertices: int, num_shards: int) -> np.ndarray:
     """Boundaries b[0..P] with shard p owning ids [b[p], b[p+1])."""
@@ -135,21 +137,33 @@ def shard_edges(
     shuffle (reverse CSR — the reference builds both: outEdges + inEdges,
     SegmentWikiGraphSerialization.kt:88-140). This is the ONE partitioning
     pass each direction needs; every later superstep reuses it.
+
+    ``out_dir`` may be a plain path or any fsio-resolvable URI
+    (``local://``, ``s3://``, ...): shard files are written/read through
+    pyarrow filesystems so writer tasks and reader actors can live on
+    different nodes. Commit protocol is sentinel-last (no renames — see
+    fsio module docs): the ``_SHARDS_OK`` stamp is only written after
+    every shard file is complete, and a stamp mismatch (including a torn
+    write) forces a rebuild.
     """
-    paths = [os.path.join(out_dir, f"shard-{p:05d}.parquet") for p in range(num_shards)]
-    done = os.path.join(out_dir, "_SHARDS_OK")
+    paths = [fsio.join(out_dir, f"shard-{p:05d}.parquet")
+             for p in range(num_shards)]
+    done = fsio.join(out_dir, "_SHARDS_OK")
     # the sentinel records the partitioning parameters: reusing shards
     # written for a different (num_shards, n_vertices, by) would hand out
     # paths partitioned with stale range bounds (missing files / negative
     # src-lo bincounts) — rebuild on any mismatch
     stamp = f"{num_shards}:{n_vertices}:{by}:{weight_col or ''}\n"
-    if not overwrite and os.path.exists(done):
-        with open(done) as f:
-            if f.read() == stamp:
+    if not overwrite and fsio.exists(done):
+        try:
+            if fsio.read_text(done) == stamp:
                 return paths
-    os.makedirs(out_dir, exist_ok=True)
+        except (OSError, UnicodeDecodeError):
+            pass  # torn sentinel -> rebuild
+    fsio.makedirs(out_dir)
     bounds = vertex_ranges(n_vertices, num_shards)
     other = "dst" if by == "src" else "src"
+    fs_snap = fsio.snapshot()  # travels with the write_shard closure
 
     def tag(t: pa.Table) -> pa.Table:
         key = t.column(by).to_numpy(zero_copy_only=False)
@@ -170,9 +184,12 @@ def shard_edges(
             cols["weight"] = g.column(weight_col).cast(pa.int64())
         tbl = pa.table(cols).sort_by([(by, "ascending"),
                                       (other, "ascending")])
-        tmp = paths[p] + ".tmp"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, paths[p])
+        # direct write, no tmp+rename: the _SHARDS_OK sentinel (written
+        # last, after map_groups completes) is the commit point, and
+        # object-store backends have no atomic rename anyway
+        fsio.restore(fs_snap)
+        fs, fpath = fsio.resolve(paths[p])
+        pq.write_table(tbl, fpath, filesystem=fs)
         return pa.table({"part": pa.array([p], pa.int64()),
                          "rows": pa.array([tbl.num_rows], pa.int64())})
 
@@ -189,9 +206,9 @@ def shard_edges(
                      other: pa.array([], pa.int64())}
             if weight_col is not None:
                 empty["weight"] = pa.array([], pa.int64())
-            pq.write_table(pa.table(empty), paths[p])
-    with open(done, "w") as f:
-        f.write(stamp)
+            fs, fpath = fsio.resolve(paths[p])
+            pq.write_table(pa.table(empty), fpath, filesystem=fs)
+    fsio.write_text(done, stamp)
     return paths
 
 
@@ -208,7 +225,10 @@ class CSRShardData:
 
     def __init__(self, path: str, lo: int, hi: int, key: str = "src"):
         other = "dst" if key == "src" else "src"
-        t = pq.read_table(path)
+        # path may be a URI; resolved HERE (inside the actor process) so
+        # shards on shared storage load on whichever node the actor got
+        fs, fpath = fsio.resolve(path)
+        t = pq.read_table(fpath, filesystem=fs)
         srcs = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
         dsts = t.column(other).to_numpy(zero_copy_only=False).astype(np.int64)
         self.lo, self.hi = int(lo), int(hi)
@@ -251,10 +271,11 @@ class CSRShardActor:
     """One actor per shard; adjacency loaded once, served every superstep."""
 
     def __init__(self, path: str, lo: int, hi: int, bounds: list[int],
-                 key: str = "src"):
+                 key: str = "src", fs_registry=None):
         # key="src": forward adjacency; key="dst": the shard was written
         # by shard_edges(by="dst") and this actor serves the REVERSE
         # adjacency (owner = dst, neighbors = srcs)
+        fsio.restore(fs_registry)
         self.csr = CSRShardData(path, lo, hi, key=key)
         self.bounds = np.asarray(bounds, dtype=np.int64)
         self.segs = self.csr.range_segments(self.bounds)
@@ -695,9 +716,10 @@ def create_shard_actors(shard_paths: list[str], n_vertices: int,
     the reverse adjacency."""
     P = len(shard_paths)
     bounds = vertex_ranges(n_vertices, P)
+    fs_snap = fsio.snapshot()
     actors = [
         CSRShardActor.remote(shard_paths[p], int(bounds[p]), int(bounds[p + 1]),
-                             bounds.tolist(), key)
+                             bounds.tolist(), key, fs_snap)
         for p in range(P)
     ]
     ray.get([a.ready.remote() for a in actors])
