@@ -1748,14 +1748,17 @@ def q_media_decode(sf_dir: str):
 
 def q_curate_docs(sf_dir: str):
     """End-to-end curation: quality gate ∩ exact-dedup winners −
-    near-dup losers. Every leg is SQL-expressible, so the full composed
-    pipeline is oracle-gated."""
+    near-dup losers, run with DEFAULTS — the near-dup leg is the
+    MinHash-LSH default (the leg that survives the 4M-doc soak), and
+    the oracle composes the mod-2^64 minhash SQL twin for the loser
+    set. Every leg is SQL-expressible, so the full composed pipeline is
+    oracle-gated."""
     from wikilinks_ray.ops.curate import curate_documents
 
     _quiet()
     kept = curate_documents(_read(sf_dir, "documents", ["doc_id", "text"]),
                             min_tokens=50, min_quality=0.3,
-                            jaccard_threshold=0.5, num_partitions=4)
+                            num_partitions=4)
     return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -2763,29 +2766,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM q
             ),
             winners AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
-            words AS (
-                SELECT doc_id,
-                       unnest(regexp_extract_all(lower(text), '\w+')) AS w,
-                       generate_subscripts(regexp_extract_all(lower(text), '\w+'), 1) AS pos
-                FROM documents
-            ),
-            sh AS (
-                SELECT DISTINCT w1.doc_id, w1.w || ' ' || w2.w || ' ' || w3.w AS g
-                FROM words w1
-                JOIN words w2 ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
-                JOIN words w3 ON w3.doc_id = w1.doc_id AND w3.pos = w1.pos + 2
-            ),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-                SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
-                FROM sh s1 JOIN sh s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
-                GROUP BY s1.doc_id, s2.doc_id
-            ),
+            -- near-dup losers = the MinHash-LSH candidate pairs' larger
+            -- ids (curate_documents' near_dup_method="minhash" default);
+            -- the pair set is the dedup_minhash_lsh oracle verbatim,
+            -- nested so the two queries cannot drift
             losers AS (
-                SELECT DISTINCT b FROM inter
-                JOIN sizes sa ON sa.doc_id = a
-                JOIN sizes sb ON sb.doc_id = b
-                WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+                SELECT DISTINCT b FROM (""" + _minhash_oracle_sql() + r""")
             )
             SELECT doc_id FROM quality
             WHERE n_tok >= 50 AND qs >= 0.3

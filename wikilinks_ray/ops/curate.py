@@ -3,8 +3,9 @@ operators into one pipeline a 100 TB pretraining-data job would run.
 
     documents ──┬─ quality gate (TextAnalyzer: token count + quality score)
                 ├─ exact dedup (content-hash, min-id winner)
-                └─ near-dup drop (n-gram Jaccard pairs: the larger id of
-                   every pair ≥ threshold loses — frozen, per-pair rule,
+                └─ near-dup drop (MinHash-LSH band candidates by default,
+                   exact n-gram Jaccard opt-in: the larger id of every
+                   candidate pair loses — frozen, per-pair rule,
                    deliberately NOT transitive closure so the result is
                    order-independent and SQL-reproducible)
     kept = quality ∩ exact-winners − near-dup-losers
@@ -35,7 +36,7 @@ def curate_documents(
     num_partitions: int = 8,
     concurrency: int = 4,
     max_docs_per_shingle: int = 10_000,
-    near_dup_method: str = "jaccard",
+    near_dup_method: str = "minhash",
     out_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """Returns the kept (doc_id) Dataset; optionally writes the kept
@@ -51,13 +52,16 @@ def curate_documents(
     ~2/(1-threshold) when boilerplate is expected, or switch
     ``near_dup_method="minhash"``.
 
-    ``near_dup_method``: ``"jaccard"`` (exact pairs — the oracle-checked
-    default) or ``"minhash"`` (MinHash-LSH banding candidates — the
-    web-scale path: exact jaccard must count one candidate pair per
-    shared shingle, which is O(sum posting²) even far below threshold —
-    measured ~7×10^8 pairs / >60 GB of shuffle spill on a 4M-doc corpus
-    whose documents collide on single shared link targets — while LSH
-    only pairs documents agreeing on a whole signature band)."""
+    ``near_dup_method``: ``"minhash"`` (MinHash-LSH banding candidates —
+    the DEFAULT and the web-scale path, oracle-checked end-to-end via
+    the mod-2^64 SQL twin) or ``"jaccard"`` (exact pairwise Jaccard at
+    ``jaccard_threshold`` — opt-in for corpora where the exact-threshold
+    contract matters more than scale: exact jaccard must count one
+    candidate pair per shared shingle, which is O(sum posting²) even far
+    below threshold — measured ~7×10^8 pairs / >60 GB of shuffle spill
+    on a 4M-doc corpus whose documents collide on single shared link
+    targets, while LSH only pairs documents agreeing on a whole
+    signature band and finished the same soak in 111.5 s)."""
     from ..stages.agg import grouped_agg
     from .dedup import exact_dedup_keep_min, ngram_jaccard_pairs
     from .text import TextAnalyzer
