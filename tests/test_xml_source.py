@@ -83,3 +83,74 @@ def test_order_independent_timestamps(ray_session, tmp_path):
     ts2 = {r["url"]: r["warc_ts"] for r in read_xml_dump(str(d2)).take_all()}
     assert ts1 == ts2
     assert len(ts1) == 3
+
+
+def _big_export(n_pages: int) -> bytes:
+    body = "".join(
+        f"<page><title>P{i}</title><ns>0</ns>"
+        f"<revision><text>Body {i}. [[P{(i + 1) % n_pages}]] "
+        + ("filler words " * 40)
+        + "</text></revision></page>"
+        for i in range(n_pages))
+    return (('<mediawiki xmlns="http://www.mediawiki.org/xml/'
+             'export-0.10/"><siteinfo><sitename>t</sitename></siteinfo>')
+            + body + "</mediawiki>").encode()
+
+
+def test_iter_export_pages_is_incremental():
+    """The parser must yield pages BEFORE consuming the whole source —
+    the old fallback slurped `bz2.decompress(f.read())`, OOM-prone on a
+    100 GB single-stream dump. Proof: a counting reader sees far less
+    than the full payload when the first page arrives, and the parse
+    holds no more than a handful of live elements at any point (spent
+    <page> subtrees are detached from the iterparse root)."""
+    from wikilinks_ray.sources.xml_dump import iter_export_pages
+
+    payload = _big_export(4000)
+
+    class Counting:
+        def __init__(self, data):
+            self.data = data
+            self.pos = 0
+
+        def read(self, n=-1):
+            if n < 0:
+                n = len(self.data) - self.pos
+            out = self.data[self.pos:self.pos + n]
+            self.pos += len(out)
+            return out
+
+    src = Counting(payload)
+    gen = iter_export_pages(src)
+    first = next(gen)
+    assert first[0] == "P0"
+    assert src.pos < len(payload) / 10  # first page, not the whole dump
+    rest = list(gen)
+    assert len(rest) == 3999
+    assert rest[-1][0] == "P3999"
+
+
+def test_singlestream_bz2_streams_through_ray(ray_session, tmp_path):
+    """A plain bzip2-ed export (ONE stream: no sidecar index, no
+    interior stream magics) takes the streaming path: bounded blocks of
+    _SINGLESTREAM_BATCH pages, same rows as the multifile byte path."""
+    from wikilinks_ray.sources import xml_dump as xd
+
+    n = 4500  # > 2 blocks at the 2000-page batch size
+    dump = tmp_path / "single.xml.bz2"
+    dump.write_bytes(bz2.compress(_big_export(n)))
+    assert len(xd.multistream_ranges(str(dump))) == 1  # truly one stream
+
+    ds = xd.read_xml_dump(str(dump))
+    rows = ds.take_all()
+    assert len(rows) == n
+    assert {r["url"].rsplit("/", 1)[-1] for r in rows} == \
+        {f"P{i}" for i in range(n)}
+    # streamed in bounded pieces: the generator emits ceil(4500/2000)=3
+    # tables of <= _SINGLESTREAM_BATCH rows each (Ray may later coalesce
+    # blocks, so assert at the generator level)
+    import pyarrow as pa
+
+    batch = pa.table({"path": pa.array([str(dump)])})
+    sizes = [t.num_rows for t in xd._stream_dump_files(batch)]
+    assert sizes == [2000, 2000, 500]

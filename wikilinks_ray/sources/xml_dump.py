@@ -52,20 +52,29 @@ def _strip_ns(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
-def parse_export_xml(payload: bytes) -> list[tuple[str, str]]:
-    """One dump file -> [(title, wikitext)] for main-namespace pages."""
-    if payload[:3] == b"BZh":
-        payload = bz2.decompress(payload)
-    out: list[tuple[str, str]] = []
+def iter_export_pages(source) -> "Iterator[tuple[str, str]]":
+    """Incremental parse of export XML from a file-like ``source`` ->
+    yields (title, wikitext) per main-namespace page.
+
+    Memory is bounded by ONE page element regardless of dump size: each
+    completed ``<page>`` subtree is cleared AND detached from the root
+    (iterparse otherwise accumulates every emptied page element as a
+    root child — O(pages) growth on a 100 GB dump). This is the
+    streaming core the reference gets from its SAX push parser
+    (WikiProcessor.kt:43-71; bz2 streamed at WikiReader.kt:66-72)."""
+    root = None
     title, text, ns, in_page = None, None, 0, False
-    for event, elem in ET.iterparse(_BytesReader(payload), events=("start", "end")):
+    for event, elem in ET.iterparse(source, events=("start", "end")):
+        if root is None:
+            root = elem
         tag = _strip_ns(elem.tag)
         if event == "start":
             if tag == "page":
                 in_page, title, text, ns = True, None, None, 0
             continue
         if not in_page:
-            elem.clear()
+            if elem is not root:
+                elem.clear()
             continue
         if tag == "title":
             title = elem.text or ""
@@ -75,10 +84,26 @@ def parse_export_xml(payload: bytes) -> list[tuple[str, str]]:
             text = elem.text or ""
         elif tag == "page":
             if title is not None and ns == 0:
-                out.append((title, text or ""))
+                yield title, text or ""
             in_page = False
             elem.clear()
-    return out
+            # detach the spent page element so the root doesn't grow
+            if root is not None and len(root) and root[-1] is elem:
+                del root[-1]
+
+
+def parse_export_xml(payload: bytes) -> list[tuple[str, str]]:
+    """One in-memory dump payload -> [(title, wikitext)] for
+    main-namespace pages. bz2 payloads are stream-decompressed (BZ2File
+    over the buffer) so the full decompressed text never materializes;
+    for dumps too big to hold even compressed, use ``read_xml_dump``
+    whose single-stream path streams straight off disk."""
+    if payload[:3] == b"BZh":
+        import io
+
+        with bz2.BZ2File(io.BytesIO(payload)) as f:
+            return list(iter_export_pages(f))
+    return list(iter_export_pages(_BytesReader(payload)))
 
 
 class _BytesReader:
@@ -304,16 +329,45 @@ def parse_xml_dump(batch: pa.Table) -> pa.Table:
     })
 
 
+_SINGLESTREAM_BATCH = 2000  # pages per emitted block on the stream path
+
+
+def _stream_dump_files(batch: pa.Table):
+    """Generator map_batches fn: (path) rows -> pages-schema blocks of
+    ``_SINGLESTREAM_BATCH`` pages each. Decompression (``bz2.BZ2File``)
+    and XML parse both run incrementally, so task memory is bounded by
+    one block + the decompressor window — never the dump size. Ray's
+    streaming executor applies backpressure to the yields, so a slow
+    downstream stage throttles the read instead of buffering it."""
+    for path in batch.column("path").to_pylist():
+        opener = bz2.BZ2File if path.endswith(".bz2") else open
+        with opener(path, "rb") as f:
+            rows: list[tuple[str, str]] = []
+            for page in iter_export_pages(f):
+                rows.append(page)
+                if len(rows) >= _SINGLESTREAM_BATCH:
+                    yield _pages_table(rows)
+                    rows = []
+            if rows:
+                yield _pages_table(rows)
+
+
 def read_xml_dump(paths: str | list[str]):
     """Dump file(s)/dir -> pages Dataset (lazy).
 
     A single multistream ``.bz2`` file splits into one task per
-    substream (S3-S5); anything else parses one file per task."""
+    substream (S3-S5). A single-STREAM ``.bz2`` (no index, no interior
+    stream magics — e.g. a plain ``bzip2``-ed export) cannot be split,
+    so it streams through one task with bounded memory instead of being
+    slurped (the reference streams it too, WikiReader.kt:66-72).
+    Anything else parses one file per task."""
     import ray.data
 
     if isinstance(paths, str) and paths.endswith(".bz2") and os.path.isfile(paths):
         ranges = multistream_ranges(paths)
         if len(ranges) > 1:
             return read_multistream_dump(paths, ranges=ranges)
+        return (ray.data.from_items([{"path": paths}])
+                .map_batches(_stream_dump_files, batch_format="pyarrow"))
     files = ray.data.read_binary_files(paths)
     return files.map_batches(parse_xml_dump, batch_format="pyarrow")
