@@ -195,13 +195,14 @@ def route_throughput(pools, n, index, n_pairs: int = 50,
             "qps": round(n_pairs / wall, 1)}
 
 
-def _load_query_state(graph_dir: str, num_shards: int,
+def _load_query_state(graph_dir: str, num_shards: int | None,
                       bidirectional: bool = False):
     import json as _json
 
     from .pipelines.build import GraphBuildResult, GraphStats
     from .state import fsio
-    from .state.csr import create_shard_actors, shard_edges
+    from .state.csr import (create_shard_actors, default_num_shards,
+                            shard_edges)
     from .state.lookup import VertexIndex
 
     stats = GraphStats(
@@ -209,6 +210,10 @@ def _load_query_state(graph_dir: str, num_shards: int,
     res = GraphBuildResult(fsio.join(graph_dir, "vertices"),
                            fsio.join(graph_dir, "edges"), stats)
     n = stats.n_vertices
+    if num_shards is None:
+        # routes want SMALL pools (latency grows with P — BASELINE.md);
+        # throughput scales by replicas, not width
+        num_shards = default_num_shards(n, kind="route")
     paths = shard_edges(res.edges(), n, num_shards,
                         fsio.join(graph_dir, "csr_fwd"), by="src")
     actors, _ = create_shard_actors(paths, n)
@@ -220,7 +225,7 @@ def _load_query_state(graph_dir: str, num_shards: int,
                              fsio.join(graph_dir, "csr_rev"), by="dst")
         rev, _ = create_shard_actors(rpaths, n, key="dst")
     index = VertexIndex(res.vertices_path, n, num_shards)
-    return res, n, actors, rev, index
+    return res, n, actors, rev, index, num_shards
 
 
 def cmd_query(args) -> int:
@@ -229,7 +234,7 @@ def cmd_query(args) -> int:
     from .pipelines.bfs import shortest_route
     from .pipelines.bidirectional import bidirectional_route
 
-    res, n, actors, rev, index = _load_query_state(
+    res, n, actors, rev, index, n_shards = _load_query_state(
         args.graph, args.shards, bidirectional=args.bidirectional)
     print(f"graph loaded: {n} vertices, {res.stats.n_edges} edges")
 
@@ -248,9 +253,9 @@ def cmd_query(args) -> int:
 
             pools = [(actors, rev)]
             for _ in range(max(1, args.replicas) - 1):
-                fp = shard_edges(res.edges(), n, args.shards,
+                fp = shard_edges(res.edges(), n, n_shards,
                                  _fsio.join(args.graph, "csr_fwd"), by="src")
-                rp = shard_edges(res.edges(), n, args.shards,
+                rp = shard_edges(res.edges(), n, n_shards,
                                  _fsio.join(args.graph, "csr_rev"), by="dst")
                 f2, _ = create_shard_actors(fp, n)
                 r2, _ = create_shard_actors(rp, n, key="dst")
@@ -326,7 +331,8 @@ def main(argv=None) -> int:
 
     q = sub.add_parser("query", help="interactive route queries / benchmark")
     q.add_argument("--graph", required=True)
-    q.add_argument("--shards", type=int, default=4)
+    q.add_argument("--shards", type=int, default=None,
+               help="route pool size; default: auto (small pool, state/csr.py default_num_shards)")
     q.add_argument("--benchmark", action="store_true")
     q.add_argument("--throughput", type=int, default=0,
                    help="also measure concurrent-route throughput at K threads")

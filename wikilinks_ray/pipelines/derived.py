@@ -22,7 +22,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..state.csr import shard_edges, create_shard_actors
+from ..state.csr import (create_shard_actors, default_num_shards,
+                         shard_edges)
 
 
 def derived_edges(sf_dir: str) -> "ray.data.Dataset":
@@ -59,12 +60,17 @@ class DerivedGraph:
     """Shards + actors for the derived graph, built once per sf_dir into
     /tmp (resumable shard layout), torn down explicitly."""
 
-    def __init__(self, sf_dir: str, *, num_shards: int = 4, symmetric: bool = False,
-                 reverse: bool = False,
+    def __init__(self, sf_dir: str, *, num_shards: int | None = None,
+                 symmetric: bool = False, reverse: bool = False,
                  work_root: str = "/tmp/wikilinks_ray_derived"):
         self.edges = derived_edges(sf_dir).materialize()
         self.vertices = derived_vertices(self.edges)
         self.n = int(self.vertices.max()) + 1 if len(self.vertices) else 0
+        if num_shards is None:
+            # BASELINE.md P-sweep heuristic: ~cores/2 for superstep
+            # analytics, capped for tiny graphs (state/csr.py)
+            num_shards = default_num_shards(self.n, kind="analytics")
+        self.num_shards = num_shards
         import hashlib
 
         from ..state import fsio

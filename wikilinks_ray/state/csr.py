@@ -709,6 +709,32 @@ class CSRShardActor:
         return out if P > 1 else out[0]
 
 
+def default_num_shards(n_vertices: int | None = None, *,
+                       kind: str = "analytics",
+                       cores: float | None = None) -> int:
+    """Pool-size heuristic from BASELINE.md's measured P-sweep.
+
+    ``kind="analytics"`` (supersteps: PageRank/BFS/ANF/...): P ≈ cores/2
+    — compute-parallel up to ~half the cores, past which the P² partial
+    exchange and reducer/actor contention invert the gain (measured at
+    4M/40.5M: P=16 best on 32 cores, P=24/32 collapse without sparse
+    transport). ``kind="route"`` (interactive point queries): small
+    fixed pools — each query touches every shard per level, so route
+    latency GROWS with P (41.5 ms at P=4 on the 400k graph); scale
+    route THROUGHPUT by replicating pools, not widening one.
+
+    ``n_vertices`` caps P so tiny graphs don't pay actor startup for
+    near-empty ranges (≥1000 owned vertices per shard).
+    """
+    if cores is None:
+        cores = ray.cluster_resources().get("CPU", 8) \
+            if ray.is_initialized() else 8
+    p = min(4, int(cores)) if kind == "route" else max(1, int(cores) // 2)
+    if n_vertices is not None:
+        p = min(p, max(1, n_vertices // 1000))
+    return max(1, p)
+
+
 def create_shard_actors(shard_paths: list[str], n_vertices: int,
                         key: str = "src"):
     """Spawn one CSRShardActor per shard; blocks until all loaded.
