@@ -423,6 +423,23 @@ def test_hyper_anf_matches_dense_reference(rand_graph):
     rel = np.abs(got - exact) / np.maximum(exact, 1)
     assert rel.mean() < 0.25
 
+    # saturated-tail exactness: run far past the graph's diameter so
+    # late supersteps have all-zero deltas (the sparse transport path's
+    # empty extreme) — must equal the dense replay at the same depth
+    got12 = hyper_anf(fwd, n, iters=12)
+    regs = vertex_registers(np.arange(n, dtype=np.int64))
+    for _ in range(12):
+        new = regs.copy()
+        np.maximum.at(new, pairs[:, 1], regs[pairs[:, 0]])
+        regs = new
+    r = regs.astype(np.int64)
+    z = (np.int64(1) << (HLL_K - r)).sum(axis=1)
+    vz = (r == 0).sum(axis=1)
+    want12 = np.fromiter(
+        (hll_estimate(int(a), int(b)) for a, b in zip(z, vz)),
+        dtype=np.int64, count=n)
+    assert np.array_equal(got12, want12)
+
 
 def test_directed_modularity_vs_networkx(rand_graph):
     """Engine directed modularity (combiner pass + exact integer terms)

@@ -6,10 +6,21 @@ No reference implementation (SURVEY.md §2.12). Each vertex carries a
 64-register HyperLogLog sketch of its K-hop IN-ball
 ``{u : dist(u -> v) <= K}``; one superstep unions every vertex's sketch
 into its out-neighbors' (register-wise max — a perfect idempotent
-combiner, so the exchange is O(P · n · 64 bytes) per superstep
-regardless of |E| or ball sizes, the whole point of sketching the
-neighborhood function instead of materializing frontiers per source:
-exact all-pairs would be O(V) BFS runs).
+combiner, the whole point of sketching the neighborhood function
+instead of materializing frontiers per source: exact all-pairs would be
+O(V) BFS runs). Two exactness-preserving transport cuts on top:
+
+- **row frontier** (round 3): only out-edges of rows whose sketch
+  changed last superstep re-push (2.8× measured at 40.5M edges);
+- **register delta + sparse blocks** (round 4): the push carries the
+  DELTA sketch — changed registers' new values, 0 elsewhere (max with
+  0 is a no-op, so per-register exactness follows by the same
+  already-absorbed induction as the row frontier) — and mostly-zero
+  reduceat outputs ship as (flat_idx, value) pairs, ~5 B per live
+  register instead of 64 B per touched row. Late supersteps (balls
+  saturating, few registers moving) stop paying the dense E-shaped
+  exchange entirely; this strictly dominates the 6-bit register
+  packing considered earlier (a fixed 64->48 B/row, 1.33×).
 
 The sketch machinery is the FROZEN integer HLL of stages/agg.py
 (md5-derived hashes, 64 registers, scaled-integer estimator), so every
@@ -58,25 +69,48 @@ def _init_regs(lo: int, hi: int) -> np.ndarray:
     return vertex_registers(np.arange(lo, hi, dtype=np.int64))
 
 
-@ray.remote(num_returns=2)
+@ray.remote(num_returns=3)
 def _merge_regs(old: np.ndarray, *partials):
-    """(merged registers, changed-row mask). The mask feeds the next
-    superstep's frontier push (sketch_push(changed=...)) — saturated
-    rows stop being re-gathered."""
+    """(merged registers, changed-row mask, delta sketch).
+
+    The mask feeds the next superstep's frontier push
+    (sketch_push(changed=...)) — saturated rows stop being re-gathered.
+    The DELTA sketch (new value where a register changed, 0 elsewhere)
+    is what the next superstep pushes instead of the full registers:
+    exact per register by the same induction as the row frontier —
+    every dst already absorbed this row's previous value, and max
+    with 0 is a no-op — while late-superstep blocks turn mostly-zero
+    and ship in sketch_push's sparse form."""
     acc = old.copy()
     touched = np.zeros(len(acc), dtype=bool)
     for p in partials:
         if p is None:
             continue
-        # block may be a read-only object-store view — never write it
-        offsets, block = p
-        acc[offsets] = np.maximum(acc[offsets], block)
-        touched[offsets] = True
+        # blocks may be read-only object-store views — never write them
+        if isinstance(p, tuple) and len(p) == 5 and p[0] == "s":
+            _, offsets, flat_idx, vals, n_rows = p
+            sub = acc[offsets]  # (n_rows, HLL_M) copy
+            flat = sub.reshape(-1)
+            # flat_idx entries are unique (flatnonzero of one block),
+            # so plain fancy-index max is safe — no ufunc.at needed
+            flat[flat_idx] = np.maximum(flat[flat_idx], vals)
+            acc[offsets] = sub
+            touched[offsets] = True
+        else:
+            offsets, block = p
+            acc[offsets] = np.maximum(acc[offsets], block)
+            touched[offsets] = True
     changed = touched.copy()
     idx = np.flatnonzero(touched)
     if len(idx):
-        changed[idx] = (acc[idx] != old[idx]).any(axis=1)
-    return acc, changed
+        diff = acc[idx] != old[idx]
+        changed[idx] = diff.any(axis=1)
+    delta = np.zeros_like(acc)
+    cidx = np.flatnonzero(changed)
+    if len(cidx):
+        rows = acc[cidx]
+        delta[cidx] = np.where(rows != old[cidx], rows, 0)
+    return acc, changed, delta
 
 
 @ray.remote
@@ -101,6 +135,8 @@ def hyper_anf(actors: list, n_vertices: int, *, iters: int = 4,
     bounds = vertex_ranges(n_vertices, P)
     chunk_refs = [_init_regs.remote(int(bounds[p]), int(bounds[p + 1]))
                   for p in range(P)]
+    # first superstep: delta == the initial sketches (everything is new)
+    delta_refs = chunk_refs
     changed_refs = [None] * P  # None = first superstep, push everything
     est_rounds = []
     if per_iteration:
@@ -108,10 +144,10 @@ def hyper_anf(actors: list, n_vertices: int, *, iters: int = 4,
     for _ in range(iters):
         if P > 1:
             push = [a.sketch_push.options(num_returns=P)
-                     .remote(chunk_refs[p], changed_refs[p])
+                     .remote(delta_refs[p], changed_refs[p])
                     for p, a in enumerate(actors)]
         else:
-            push = [[a.sketch_push.remote(chunk_refs[p], changed_refs[p])]
+            push = [[a.sketch_push.remote(delta_refs[p], changed_refs[p])]
                     for p, a in enumerate(actors)]
         out = [
             _merge_regs.remote(chunk_refs[q], *[push[p][q] for p in range(P)])
@@ -119,6 +155,7 @@ def hyper_anf(actors: list, n_vertices: int, *, iters: int = 4,
         ]
         chunk_refs = [o[0] for o in out]
         changed_refs = [o[1] for o in out]
+        delta_refs = [o[2] for o in out]
         if per_iteration:
             est_rounds.append([_estimate_chunk.remote(c)
                                for c in chunk_refs])

@@ -526,17 +526,22 @@ class CSRShardActor:
         ``(local_offsets, reg_block)`` where the block is the
         register-wise MAX over incoming src sketches — same
         unique-dst ``reduceat`` shape as scatter/min_push, lifted to
-        the (edges, HLL_M) uint8 register matrix. Always ships sparse:
-        a dst-range's touched rows are bounded by its in-degree
-        support, and rows are 64 bytes each.
+        the (edges, HLL_M) uint8 register matrix.
 
         ``changed`` (optional bool mask over owned vertices) restricts
         the push to edges whose src sketch changed last superstep — the
         frontier form. EXACT under the idempotent monotone max-merge:
         an unchanged src's push is identical to the one its dsts
         already absorbed, so skipping it cannot alter any register.
-        This is what keeps late supersteps (balls saturated) from
-        re-gathering all E×64 bytes."""
+
+        ``reg_chunk`` is normally the DELTA sketch (changed registers
+        only, zeros elsewhere — pipelines/anf.py `_merge_regs`): max
+        with 0 is a no-op, so the push stays exact per register while
+        the blocks turn mostly-zero as balls saturate. Mostly-zero
+        blocks ship in a sparse ``("s", offsets, flat_idx, values,
+        n_rows)`` form (~5 B per live register vs 64 B per row dense) —
+        this is what cuts the documented E×64 B/superstep exchange to
+        O(registers that actually changed)."""
         d_all, src_l, segs, _ = self._frontier_edges(changed)
         edge_regs = reg_chunk[src_l]
         out = []
@@ -550,8 +555,15 @@ class CSRShardActor:
             first[0] = True
             first[1:] = d[1:] != d[:-1]
             idx = np.flatnonzero(first)
-            out.append((d[idx] - self.bounds[q],
-                        np.maximum.reduceat(edge_regs[a:b], idx, axis=0)))
+            offsets = d[idx] - self.bounds[q]
+            block = np.maximum.reduceat(edge_regs[a:b], idx, axis=0)
+            nz = np.flatnonzero(block.reshape(-1))
+            # int32 idx + uint8 val ≈ 5 B/entry vs 1 B/slot dense
+            if nz.size * 5 < block.size:
+                out.append(("s", offsets, nz.astype(np.int32),
+                            block.reshape(-1)[nz], block.shape[0]))
+            else:
+                out.append((offsets, block))
         return out if len(out) > 1 else out[0]
 
     def walk_next(self, vs: np.ndarray, step: int) -> np.ndarray:
