@@ -17,11 +17,21 @@ predecessor contributes its count:
 
 All counts are exact int64 (overflow needs ~2^63 shortest paths —
 fine at validation scale; Brandes implementations switch to float/log
-counts on graphs dense enough to overflow, same caveat here). Dist and
-sigma state live as per-range object-store chunks.
+counts on graphs dense enough to overflow, same caveat here).
+
+**State residency (round 4):** dist/sigma (and the backward
+suffix/delta arrays of pipelines/stress.py) live INSIDE one
+``BrandesRangeState`` actor per vertex range and are mutated in place —
+the same load-once residency discipline as the CSR shard actors.
+Previously each level's reducer TASK copied and re-put the full
+(range × K) state (~1.3 GB/superstep at 4M × 16 pivots); now only the
+frontier triples and candidate lists cross the object store, and the
+big arrays never leave their actor between supersteps.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -29,26 +39,13 @@ import ray
 
 from ..state.csr import vertex_ranges
 
+_EMPTY = np.empty(0, np.int64)
 
-@ray.remote(num_returns=5)
-def _sigma_reduce(lo: int, K: int, level: int, dist: np.ndarray,
-                  sigma: np.ndarray, *candidates):
-    """Apply (dst, sigma_parent, sid) candidates: first arrival fixes
-    dist=level; ALL same-level arrivals add into sigma. Returns
-    (dist, sigma, frontier_v, frontier_sid, n_new); frontier carries
-    the newly-finalized vertices whose sigma is now complete (level-
-    synchronous: every level-``level`` contribution arrived in this
-    superstep)."""
-    ds = [c[0] for c in candidates if c is not None and len(c[0])]
-    vs = [c[1] for c in candidates if c is not None and len(c[0])]
-    ss = [c[2] for c in candidates if c is not None and len(c[0])]
-    empty = np.empty(0, np.int64)
-    if not ds:
-        return dist, sigma, empty, empty, 0
-    d = np.concatenate(ds) - lo
-    v = np.concatenate(vs)
-    s = np.concatenate(ss)
-    # sum sigma contributions per (dst, sid)
+
+def _sum_by_slot(d: np.ndarray, s: np.ndarray, v: np.ndarray, K: int):
+    """Sum values per (row, sid) slot: sort + reduceat (vectorized,
+    ~10× np.add.at; summation order is key-sorted stable, so results
+    are deterministic)."""
     key = d * K + s
     order = np.argsort(key, kind="stable")
     key_s, v_s = key[order], v[order]
@@ -57,30 +54,166 @@ def _sigma_reduce(lo: int, K: int, level: int, dist: np.ndarray,
     first[1:] = key_s[1:] != key_s[:-1]
     idx = np.flatnonzero(first)
     ukey = key_s[idx]
-    sums = np.add.reduceat(v_s, idx)
-    ud, us = ukey // K, ukey % K
-    # unvisited slots open at this level; same-level slots accumulate
-    open_new = dist[ud, us] < 0
-    dist = dist.copy()
-    sigma = sigma.copy()
-    dist[ud[open_new], us[open_new]] = level
-    at_level = dist[ud, us] == level
-    sigma[ud[at_level], us[at_level]] += sums[at_level]
-    nd, ns = ud[open_new], us[open_new]
-    return (dist, sigma, nd + lo, ns,
-            int(open_new.sum()))
+    return ukey // K, ukey % K, np.add.reduceat(v_s, idx)
 
 
-from dataclasses import dataclass
+@ray.remote
+class BrandesRangeState:
+    """Resident Brandes state for vertex range [lo, hi): forward
+    ``dist`` (int32) / ``sigma`` (int64) plus ONE backward accumulator
+    (``suffix`` int64 for stress, ``delta`` float64 for betweenness),
+    all (range_size, K). Methods mutate in place; supersteps exchange
+    only frontier triples and candidate lists."""
+
+    def __init__(self, lo: int, hi: int, sources: list[int]):
+        K = len(sources)
+        self.lo, self.K = int(lo), K
+        size = int(hi - lo)
+        self.dist = np.full((size, K), -1, dtype=np.int32)
+        self.sigma = np.zeros((size, K), dtype=np.int64)
+        self.aux = None
+        fv, fs = [], []
+        for sid, src in enumerate(sources):
+            if lo <= src < hi:
+                self.dist[src - lo, sid] = 0
+                self.sigma[src - lo, sid] = 1
+                fv.append(src)
+                fs.append(sid)
+        self._fv = np.asarray(fv, dtype=np.int64)
+        self._fs = np.asarray(fs, dtype=np.int64)
+
+    # ---- forward pass (path counting) --------------------------------
+    def seed(self):
+        """Initial frontier (v, sid, sigma values) of owned sources."""
+        return (self._fv, self._fs,
+                self.sigma[self._fv - self.lo, self._fs])
+
+    def sigma_accept(self, level: int, *candidates):
+        """Apply (dst, sigma_parent, sid) candidates IN PLACE: first
+        arrival fixes dist=level; ALL same-level arrivals add into
+        sigma. Returns (frontier_v, frontier_sid, frontier_vals, n_new)
+        — the newly-finalized vertices whose sigma is now complete
+        (level-synchronous: every level contribution arrived in this
+        superstep)."""
+        ds = [c[0] for c in candidates if c is not None and len(c[0])]
+        vs = [c[1] for c in candidates if c is not None and len(c[0])]
+        ss = [c[2] for c in candidates if c is not None and len(c[0])]
+        if not ds:
+            return _EMPTY, _EMPTY, _EMPTY, 0
+        d = np.concatenate(ds) - self.lo
+        v = np.concatenate(vs)
+        s = np.concatenate(ss)
+        # sum sigma contributions per (dst, sid)
+        ud, us, sums = _sum_by_slot(d, s, v, self.K)
+        # unvisited slots open at this level; same-level slots accumulate
+        open_new = self.dist[ud, us] < 0
+        self.dist[ud[open_new], us[open_new]] = level
+        at_level = self.dist[ud, us] == level
+        self.sigma[ud[at_level], us[at_level]] += sums[at_level]
+        nd, ns = ud[open_new], us[open_new]
+        return (nd + self.lo, ns, self.sigma[nd, ns],
+                int(open_new.sum()))
+
+    # ---- backward pass (stress suffix counts) ------------------------
+    def suffix_init(self) -> None:
+        self.aux = (self.dist >= 0).astype(np.int64)
+
+    def suffix_frontier(self, level: int):
+        """(v, sid, S values) of owned slots at ``level``."""
+        vv, ss = np.nonzero(self.dist == level)
+        return vv + self.lo, ss, self.aux[vv, ss]
+
+    def suffix_accept(self, level: int, *candidates) -> None:
+        """Add level-(L+1) suffix sums into owned slots at level L."""
+        ds = [c[0] for c in candidates if c is not None and len(c[0])]
+        vs = [c[1] for c in candidates if c is not None and len(c[0])]
+        ss = [c[2] for c in candidates if c is not None and len(c[0])]
+        if not ds:
+            return
+        d = np.concatenate(ds) - self.lo
+        v = np.concatenate(vs)
+        s = np.concatenate(ss)
+        at = self.dist[d, s] == level  # DAG-edge filter
+        d, v, s = d[at], v[at], s[at]
+        if len(d):
+            ud, us, sums = _sum_by_slot(d, s, v, self.K)
+            self.aux[ud, us] += sums
+
+    def fold_stress(self, pivots: np.ndarray):
+        """Per-range (vertex, stress) over s != v reached slots."""
+        n_local = self.dist.shape[0]
+        v_ids = np.arange(self.lo, self.lo + n_local, dtype=np.int64)
+        not_self = pivots[None, :] != v_ids[:, None]
+        reached = (self.dist >= 0) & not_self
+        through = np.where(reached, self.sigma * (self.aux - 1), 0)
+        keep = reached.any(axis=1)
+        return v_ids[keep], through.sum(axis=1)[keep]
+
+    # ---- backward pass (betweenness dependencies) --------------------
+    def delta_init(self) -> None:
+        self.aux = np.zeros(self.dist.shape, dtype=np.float64)
+
+    def delta_frontier(self, level: int):
+        """Level-``level`` slots push ``(1 + delta) / sigma`` backward;
+        float payloads ride the same bfs_expand_val (it only sums)."""
+        vv, ss = np.nonzero(self.dist == level)
+        return (vv + self.lo, ss,
+                (1.0 + self.aux[vv, ss]) / self.sigma[vv, ss])
+
+    def delta_accept(self, level: int, *candidates) -> None:
+        ds = [c[0] for c in candidates if c is not None and len(c[0])]
+        vs = [c[1] for c in candidates if c is not None and len(c[0])]
+        ss = [c[2] for c in candidates if c is not None and len(c[0])]
+        if not ds:
+            return
+        d = np.concatenate(ds) - self.lo
+        v = np.concatenate(vs)
+        s = np.concatenate(ss)
+        at = self.dist[d, s] == level
+        d, v, s = d[at], v[at], s[at]
+        if len(d) == 0:
+            return
+        ud, us, sums = _sum_by_slot(d, s, v, self.K)
+        self.aux[ud, us] += sums * self.sigma[ud, us]
+
+    def fold_betweenness(self, pivots: np.ndarray):
+        n_local = self.dist.shape[0]
+        v_ids = np.arange(self.lo, self.lo + n_local, dtype=np.int64)
+        not_self = pivots[None, :] != v_ids[:, None]
+        reached = (self.dist >= 0) & not_self
+        keep = reached.any(axis=1)
+        return (v_ids[keep],
+                np.where(reached, self.aux, 0.0).sum(axis=1)[keep])
+
+    # ---- extraction ---------------------------------------------------
+    def get_dist(self) -> np.ndarray:
+        return self.dist
+
+    def get_sigma(self) -> np.ndarray:
+        return self.sigma
 
 
 @dataclass
 class PathCountResult:
-    dist_chunks: list  # refs of (range_size, K) int32
-    sigma_chunks: list  # refs of (range_size, K) int64
+    states: list  # BrandesRangeState handles, one per range
     bounds: np.ndarray
     sources: list[int]
     levels: int
+    _dist: list = field(default=None, repr=False)
+    _sigma: list = field(default=None, repr=False)
+
+    @property
+    def dist_chunks(self) -> list:
+        """Refs of (range_size, K) int32 (materialized once on demand)."""
+        if self._dist is None:
+            self._dist = [s.get_dist.remote() for s in self.states]
+        return self._dist
+
+    @property
+    def sigma_chunks(self) -> list:
+        if self._sigma is None:
+            self._sigma = [s.get_sigma.remote() for s in self.states]
+        return self._sigma
 
     def distances(self) -> np.ndarray:
         return np.vstack(ray.get(self.dist_chunks))
@@ -96,57 +229,34 @@ def path_count_bfs(
     *,
     max_levels: int = 10_000,
 ) -> PathCountResult:
-    """dist/sigma per (vertex, source) as per-range chunk refs; dist -1
-    and sigma 0 mark unreachable slots."""
+    """dist/sigma per (vertex, source), resident in one
+    BrandesRangeState actor per range (dist -1 / sigma 0 mark
+    unreachable slots); the result's state actors also serve the
+    backward passes of pipelines/stress.py."""
     P = len(actors)
-    K = len(sources)
     bounds = vertex_ranges(n_vertices, P)
-    sizes = [int(bounds[p + 1] - bounds[p]) for p in range(P)]
-    dist_refs, sigma_refs = [], []
-    frontier_v = [np.empty(0, np.int64) for _ in range(P)]
-    frontier_s = [np.empty(0, np.int64) for _ in range(P)]
-    for p in range(P):
-        dist = np.full((sizes[p], K), -1, dtype=np.int32)
-        sigma = np.zeros((sizes[p], K), dtype=np.int64)
-        for sid, src in enumerate(sources):
-            if bounds[p] <= src < bounds[p + 1]:
-                dist[src - bounds[p], sid] = 0
-                sigma[src - bounds[p], sid] = 1
-                frontier_v[p] = np.append(frontier_v[p], src)
-                frontier_s[p] = np.append(frontier_s[p], sid)
-        dist_refs.append(ray.put(dist))
-        sigma_refs.append(ray.put(sigma))
+    states = [BrandesRangeState.remote(int(bounds[p]), int(bounds[p + 1]),
+                                       list(sources))
+              for p in range(P)]
+    seeds = ray.get([s.seed.remote() for s in states])
+    frontier = [(fv, fs, vals) for fv, fs, vals in seeds]
+    counts = [len(f[0]) for f in frontier]
 
-    @ray.remote
-    def _frontier_vals(lo: int, sigma: np.ndarray, fv: np.ndarray,
-                       fs: np.ndarray) -> np.ndarray:
-        return sigma[fv - lo, fs]
-
-    counts = [len(f) for f in frontier_v]
     level = 0
     for level in range(1, max_levels + 1):
         live = [p for p in range(P) if counts[p]]
         if not live:
             level -= 1
             break
-        vals = {p: _frontier_vals.remote(int(bounds[p]), sigma_refs[p],
-                                         frontier_v[p], frontier_s[p])
-                for p in live}
         if P > 1:
             expand = {p: actors[p].bfs_expand_val.options(
-                num_returns=P).remote(frontier_v[p], frontier_s[p], vals[p])
-                for p in live}
+                num_returns=P).remote(*frontier[p]) for p in live}
         else:
-            expand = {p: [actors[p].bfs_expand_val.remote(
-                frontier_v[p], frontier_s[p], vals[p])] for p in live}
-        out = [_sigma_reduce.remote(
-            int(bounds[q]), K, level, dist_refs[q], sigma_refs[q],
-            *[expand[p][q] for p in live]) for q in range(P)]
-        dist_refs = [o[0] for o in out]
-        sigma_refs = [o[1] for o in out]
-        frontier_v = [o[2] for o in out]
-        frontier_s = [o[3] for o in out]
-        counts = ray.get([o[4] for o in out])
+            expand = {p: [actors[p].bfs_expand_val.remote(*frontier[p])]
+                      for p in live}
+        out = [states[q].sigma_accept.options(num_returns=4).remote(
+            level, *[expand[p][q] for p in live]) for q in range(P)]
+        frontier = [(o[0], o[1], o[2]) for o in out]
+        counts = ray.get([o[3] for o in out])
 
-    return PathCountResult(dist_refs, sigma_refs, bounds, list(sources),
-                           level)
+    return PathCountResult(states, bounds, list(sources), level)
