@@ -409,6 +409,64 @@ def test_multimodal_png_decode_via_pil(ray_session):
     assert abs(out.loc[0, "mean_intensity"] - px.mean()) < 1e-9
 
 
+def test_multimodal_compressed_audio_raises_without_pyav():
+    from wikilinks_ray.ops.multimodal import DecodeAudio
+
+    dec = DecodeAudio()
+    if dec._av is not None:
+        pytest.skip("pyav installed: mp3 decodes for real on this box")
+    with pytest.raises(NotImplementedError, match="pyav"):
+        dec(pa.table({
+            "media_id": pa.array([1], pa.int64()),
+            # ID3v2-tagged mp3-ish header — not RIFF/WAVE
+            "payload": pa.array([b"ID3\x04\x00" + b"\x00" * 32], pa.binary()),
+        }))
+
+
+def test_multimodal_video_sampler_raises_without_pyav():
+    from wikilinks_ray.ops.multimodal import FrameSampler
+
+    try:
+        import av  # noqa: F401
+
+        pytest.skip("pyav installed: video samples for real on this box")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="pyav"):
+        FrameSampler(every=2, fake=False)
+
+
+def test_multimodal_mp3_decode_via_pyav(ray_session):
+    """Runs only where pyav exists (skipped in this container): an MP3
+    encoded from a known tone round-trips through the probed codec and
+    reports sane rate/duration/energy."""
+    av = pytest.importorskip("av")
+    import io as _io
+
+    from wikilinks_ray.ops.multimodal import DecodeAudio
+
+    rate = 16_000
+    t = np.arange(rate, dtype=np.float64) / rate  # 1 s
+    tone = (np.sin(2 * np.pi * 440 * t) * 20_000).astype(np.int16)
+    buf = _io.BytesIO()
+    with av.open(buf, "w", format="mp3") as container:
+        stream = container.add_stream("mp3", rate=rate)
+        frame = av.AudioFrame.from_ndarray(tone.reshape(1, -1),
+                                           format="s16", layout="mono")
+        frame.sample_rate = rate
+        for packet in stream.encode(frame):
+            container.mux(packet)
+        for packet in stream.encode(None):
+            container.mux(packet)
+    out = DecodeAudio()(pa.table({
+        "media_id": pa.array([9], pa.int64()),
+        "payload": pa.array([buf.getvalue()], pa.binary()),
+    })).to_pandas()
+    assert out.loc[0, "sample_rate"] == rate
+    assert 900 <= out.loc[0, "duration_ms"] <= 1200  # encoder padding
+    assert out.loc[0, "rms"] > 1000  # the tone's energy survived
+
+
 def test_windows_ops(ray_session):
     import ray.data as rd
 

@@ -7,11 +7,14 @@ metadata struct alongside. Codec status, honestly:
   and re-encode with numpy alone; WAV audio decodes with the stdlib
   ``wave`` module. ``DecodeImage`` auto-detects PGM payloads;
   ``DecodeAudio`` handles RIFF/WAVE.
-- **Stubbed**: JPEG/PNG (needs PIL/cv2), MP3/MP4 (needs ffmpeg/pyav) —
-  the libraries are not in this container, so those payloads raise
-  ``NotImplementedError`` with setup guidance. A deterministic fake
-  16-byte-header codec (``fake=True`` / ``make_fake_image``) stands in
-  for tests of the plumbing.
+- **Probed optional codecs**: JPEG/PNG decode through PIL and
+  mp3/ogg/flac/mp4 through pyav wherever those libraries are installed
+  — each decoder probes its library ONCE per actor in ``__init__``.
+  Neither library is in this container, so here those payloads raise an
+  honest ``NotImplementedError`` with setup guidance; the pyav/PIL test
+  legs use ``pytest.importorskip`` and activate on equipped machines. A
+  deterministic fake 16-byte-header codec (``fake=True`` /
+  ``make_fake_image``) stands in for tests of the plumbing.
 
 The Ray-side plumbing — schemas, actor-pool stage shape, small-batch
 sizing for large payloads, output layout — is real and tested either
@@ -91,13 +94,47 @@ class DecodeAudio:
     """Actor-pool audio decode: WAV payloads -> per-clip features
     (sample_rate, n_channels, duration_ms, rms, peak). RIFF/WAVE decodes
     with the stdlib ``wave`` module — a REAL codec; compressed formats
-    (mp3/ogg/flac) need ffmpeg/pyav (absent here) and raise."""
+    (mp3/ogg/flac) decode through pyav when it is installed (probed once
+    per actor, same optional-dependency pattern as DecodeImage's PIL
+    probe), and raise an honest NotImplementedError otherwise."""
+
+    def __init__(self):
+        try:
+            import av  # type: ignore
+
+            self._av = av
+        except ImportError:
+            self._av = None
+
+    def _decode_av(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        """Compressed audio via pyav: decode all frames to int16 mono-ish
+        sample matrix, flattened interleaved like the WAV path."""
+        with self._av.open(io.BytesIO(payload)) as container:
+            stream = container.streams.audio[0]
+            rate = int(stream.rate)
+            ch = int(stream.channels or 1)
+            parts = []
+            for frame in container.decode(stream):
+                arr = frame.to_ndarray()  # (channels, n) or (1, n) packed
+                if arr.dtype != np.int16:
+                    # float formats scale to int16 range
+                    arr = np.clip(arr, -1.0, 1.0) if arr.dtype.kind == "f" \
+                        else arr
+                    arr = (arr * 32767).astype(np.int16) \
+                        if arr.dtype.kind == "f" else arr.astype(np.int16)
+                parts.append(arr.reshape(-1, order="F"))  # interleave
+            samples = (np.concatenate(parts) if parts
+                       else np.empty(0, np.int16))
+        return rate, ch, samples
 
     def _decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            if self._av is not None:
+                return self._decode_av(payload)
             raise NotImplementedError(
                 "only RIFF/WAVE decodes without external libraries; "
-                "mp3/ogg/flac need ffmpeg or pyav (not in this container)")
+                "mp3/ogg/flac decode via pyav when it is installed "
+                "(absent in this container)")
         import wave
 
         with wave.open(io.BytesIO(payload), "rb") as f:
@@ -230,30 +267,57 @@ class ResizeImage:
 
 
 class FrameSampler:
-    """fake 'video' = concatenated fake images; emit every Nth frame row.
-    Real implementation would call ffmpeg/pyav — stubbed identically."""
+    """Emit every Nth frame of a video payload as its own row.
+
+    ``fake=True``: a 'video' is concatenated fake images (tests of the
+    row-explosion plumbing). ``fake=False`` probes pyav once per actor
+    (same optional-dependency pattern as the PIL/mp3 probes): where
+    installed, real containers (mp4/webm/mkv) decode and sampled frames
+    re-encode as binary PGM grayscale; where absent, an honest
+    NotImplementedError."""
 
     def __init__(self, every: int = 2, fake: bool = False):
-        if not fake:
-            raise NotImplementedError(
-                "video frame sampling requires pyav/ffmpeg (not in this "
-                "container); construct FrameSampler(fake=True) for tests"
-            )
+        self.fake = fake
         self.every = every
+        if not fake:
+            try:
+                import av  # type: ignore
+
+                self._av = av
+            except ImportError:
+                raise NotImplementedError(
+                    "video frame sampling decodes via pyav when it is "
+                    "installed (absent in this container); construct "
+                    "FrameSampler(fake=True) for the plumbing tests"
+                ) from None
+
+    def _frames_fake(self, p: bytes) -> list[bytes]:
+        frames = []
+        off = 0
+        while off < len(p):
+            if p[off:off + 8] != _FAKE_MAGIC:
+                raise ValueError("corrupt fake-video payload")
+            w, h = struct.unpack("<ii", p[off + 8:off + 16])
+            end = off + 16 + w * h
+            frames.append(p[off:end])
+            off = end
+        return frames
+
+    def _frames_av(self, p: bytes) -> list[bytes]:
+        out = []
+        with self._av.open(io.BytesIO(p)) as container:
+            for frame in container.decode(container.streams.video[0]):
+                px = frame.to_ndarray(format="gray")
+                out.append(encode_pgm(px))
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
         m_out, f_out, p_out = [], [], []
         for mid, p in zip(ids, payloads):
-            frames = []
-            off = 0
-            while off < len(p):
-                assert p[off:off + 8] == _FAKE_MAGIC
-                w, h = struct.unpack("<ii", p[off + 8:off + 16])
-                end = off + 16 + w * h
-                frames.append(p[off:end])
-                off = end
+            frames = (self._frames_fake(p) if self.fake
+                      else self._frames_av(p))
             for fi in range(0, len(frames), self.every):
                 m_out.append(mid)
                 f_out.append(fi)
