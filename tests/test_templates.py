@@ -236,3 +236,55 @@ def test_build_graph_expands_templates(ray_session, tmp_path):
                     assert (title_to_id[art], title_to_id[tgt]) in edge_set
                     checked += 1
     assert checked > 50
+
+
+# ---- parser functions / magic words (round 4, VERDICT missing #3) ----
+
+def test_parser_function_if():
+    # taken branch's links survive; untaken branch's do not
+    assert links_of("{{#if: x |[[Then Page]]|[[Else Page]]}}") == ["Then Page"]
+    assert links_of("{{#if: |[[Then Page]]|[[Else Page]]}}") == ["Else Page"]
+    assert links_of("{{#if: |[[Then Page]]}}") == []
+
+
+def test_parser_function_if_with_template_param():
+    # the canonical real-world shape: {{#if:{{{img|}}}|...}} inside a body
+    tpl = {"Pic": "{{#if:{{{img|}}}|[[File shown]]|[[No file]]}}"}
+    assert parse_wikitext("{{Pic|img=x.jpg}}",
+                          template_lookup=tpl.get)[2] == ["File shown"]
+    assert parse_wikitext("{{Pic}}",
+                          template_lookup=tpl.get)[2] == ["No file"]
+
+
+def test_parser_function_ifeq_and_switch():
+    assert links_of("{{#ifeq: a | a |[[Eq]]|[[Ne]]}}") == ["Eq"]
+    assert links_of("{{#ifeq: a | b |[[Eq]]|[[Ne]]}}") == ["Ne"]
+    sw = "{{#switch: b | a = [[Pa]] | b = [[Pb]] | #default = [[Pd]]}}"
+    assert links_of(sw) == ["Pb"]
+    assert links_of(sw.replace(": b", ": zz")) == ["Pd"]
+    # trailing bare value acts as default
+    assert links_of("{{#switch: zz | a = [[Pa]] | [[Trail]]}}") == ["Trail"]
+
+
+def test_case_functions_and_pagename():
+    assert expand_templates("{{uc: abc}}", TPL.get) == "ABC"
+    assert expand_templates("{{lcfirst:Foo}}", TPL.get) == "foo"
+    out = expand_templates("[[{{PAGENAME}} sub]]", TPL.get,
+                           page_title="Gdańsk")
+    assert out == "[[Gdańsk sub]]"
+    # through parse_wikitext with the title threaded
+    links = parse_wikitext("[[{{PAGENAME}} topic]]", template_lookup=TPL.get,
+                           page_title="Base")[2]
+    assert links == ["Base topic"]
+
+
+def test_unsupported_function_still_strips_to_nothing():
+    # #expr is not implemented: stays in text, strip_markup removes it —
+    # identical to the pre-round-4 behavior for all functions
+    assert links_of("{{#expr: 1 + 1}} [[Real Page]]") == ["Real Page"]
+
+
+def test_no_template_lookup_means_no_function_eval():
+    # functions only evaluate on the opt-in expansion path, so the
+    # default extraction stays byte-identical to its golden fixtures
+    assert parse_wikitext("{{#if: x |[[Then Page]]}}")[2] == []

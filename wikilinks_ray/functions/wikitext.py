@@ -167,8 +167,71 @@ def _substitute_params(body: str, positional: list[str],
     return _PARAM_RE.sub(repl, body)
 
 
+_MAGIC_WORDS = {"PAGENAME", "FULLPAGENAME", "BASEPAGENAME", "SUBPAGENAME"}
+_CASE_FNS = {"lc": str.lower, "uc": str.upper,
+             "lcfirst": lambda s: s[:1].lower() + s[1:],
+             "ucfirst": lambda s: s[:1].upper() + s[1:]}
+
+
+def eval_parser_function(raw_name: str, positional: list[str],
+                         named: dict[str, str],
+                         page_title: str | None) -> str | None:
+    """Evaluate the bliki-parity parser-function / magic-word subset;
+    None = not a (supported) function, fall through to template lookup.
+
+    Frozen subset (the reference's bliki ``WikiModel`` evaluates these
+    before the link walk, WikiProcessor.kt:45-46):
+
+    - ``{{#if: test | then | else}}`` — non-empty trimmed test picks
+      ``then``; branches trim; missing branch = empty.
+    - ``{{#ifeq: a | b | then | else}}`` — trimmed string equality.
+    - ``{{#switch: key | c1 = v1 | ... | #default = d | fallback}}`` —
+      named cases match the trimmed key; ``#default`` or a trailing
+      bare value is the no-match result (case fallthrough chains are
+      NOT implemented — documented divergence).
+    - ``{{lc:|uc:|lcfirst:|ucfirst: x}}`` — case transforms.
+    - ``{{PAGENAME}}``-family magic words — the current page title
+      (title == base == sub: this engine's corpus has no subpages).
+
+    Unsupported functions (``#expr``, ``#ifexist``, ``#time``, ...)
+    return None: they stay in the text and ``strip_markup`` drops them,
+    contributing no links — the pre-round-4 behavior for ALL functions.
+    """
+    head = raw_name.strip()
+    if ":" not in head:
+        if head in _MAGIC_WORDS:
+            return page_title or ""
+        return None
+    fn, _, arg0 = head.partition(":")
+    fn = fn.strip().lower()
+    arg0 = arg0.strip()
+    if fn in _CASE_FNS:
+        return _CASE_FNS[fn](arg0)
+    branches = [a.strip() for a in positional]
+    if fn == "#if":
+        if arg0:
+            return branches[0] if branches else ""
+        return branches[1] if len(branches) > 1 else ""
+    if fn == "#ifeq":
+        if len(branches) < 1:
+            return ""
+        eq = arg0 == branches[0]
+        if eq:
+            return branches[1] if len(branches) > 1 else ""
+        return branches[2] if len(branches) > 2 else ""
+    if fn == "#switch":
+        cases = {k.strip(): v for k, v in named.items()}
+        if arg0 in cases:
+            return cases[arg0]
+        if "#default" in cases:
+            return cases["#default"]
+        return branches[-1] if branches else ""
+    return None
+
+
 def expand_templates(text: str, lookup, max_depth: int = 8,
-                     max_size: int = 1_000_000) -> str:
+                     max_size: int = 1_000_000,
+                     page_title: str | None = None) -> str:
     """Expand ``{{Name|args}}`` transclusions innermost-first.
 
     ``lookup(name)`` returns the body of ``Template:<name>`` or None for
@@ -196,12 +259,18 @@ def expand_templates(text: str, lookup, max_depth: int = 8,
             if inner.startswith("{"):  # parameter placeholder, not ours
                 continue
             raw_name, positional, named = split_template_args(inner)
-            name = normalize_template_name(raw_name)
-            body = lookup(name) if name is not None else None
-            if body is None:
-                continue  # unknown template: leave for strip_markup
+            # parser functions / magic words evaluate inline (innermost
+            # -first, so nested functions resolve across rounds)
+            val = eval_parser_function(raw_name, positional, named,
+                                       page_title)
+            if val is None:
+                name = normalize_template_name(raw_name)
+                body = lookup(name) if name is not None else None
+                if body is None:
+                    continue  # unknown: leave for strip_markup
+                val = _substitute_params(body, positional, named)
             out.append(text[pos:m.start()])
-            out.append(_substitute_params(body, positional, named))
+            out.append(val)
             pos = m.end()
             changed = True
         if not changed:
@@ -235,7 +304,9 @@ def normalize_link_target(raw: str) -> str | None:
     return capitalize_first(target)
 
 
-def parse_wikitext(text: str, template_lookup=None) -> tuple[bool, str | None, list[str]]:
+def parse_wikitext(text: str, template_lookup=None,
+                   page_title: str | None = None
+                   ) -> tuple[bool, str | None, list[str]]:
     """Parse one page body.
 
     Returns ``(is_redirect, redirect_target, links)`` where ``links`` is
@@ -248,14 +319,18 @@ def parse_wikitext(text: str, template_lookup=None) -> tuple[bool, str | None, l
     expanded first (bliki parity: WikiProcessor.kt:45-46 parses with a
     WikiModel that expands templates before the link walk), so links
     written inside transcluded bodies are emitted; unknown templates
-    still strip to nothing.
+    still strip to nothing. The same expansion pass evaluates the
+    parser-function/magic-word subset (``#if``/``#ifeq``/``#switch``,
+    case functions, ``PAGENAME`` via ``page_title``) — see
+    :func:`eval_parser_function`.
     """
     m = _REDIRECT_RE.match(text)
     if m:
         target = normalize_link_target(m.group(1))
         return True, target, ([target] if target is not None else [])
     if template_lookup is not None and "{{" in text:
-        text = expand_templates(text, template_lookup)
+        text = expand_templates(text, template_lookup,
+                                page_title=page_title)
     if _MARKUP_TRIGGER_RE.search(text):
         text = strip_markup(text)
     # fast path: the C-speed regex — correct unless a link NESTS another

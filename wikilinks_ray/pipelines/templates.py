@@ -109,8 +109,9 @@ def extract_expanded_links(batch: pa.Table, *, tpl_ref) -> pa.Table:
     for url, text in zip(urls, texts):
         if url.startswith(_TPL_URL_PREFIX):
             continue
-        _rd, _tgt, links = parse_wikitext(text or "", template_lookup=lookup)
         title = title_from_url(url)
+        _rd, _tgt, links = parse_wikitext(text or "", template_lookup=lookup,
+                                          page_title=title)
         for link in links:
             src.append(title)
             dst.append(link)

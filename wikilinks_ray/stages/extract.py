@@ -123,8 +123,9 @@ def extract_combined(batch: pa.Table, *, tpl_ref=None) -> pa.Table:
     for url, text in zip(urls, texts):
         if tpl_url_prefix is not None and url.startswith(tpl_url_prefix):
             continue
-        r, target, links = parse_wikitext(text or "", template_lookup=lookup)
         title = title_from_url(url)
+        r, target, links = parse_wikitext(text or "", template_lookup=lookup,
+                                          page_title=title)
         kind.append(0)
         url_o.append(url)
         title_o.append(title)
