@@ -1879,6 +1879,43 @@ def q_text_scrub_pii(sf_dir: str):
                             "n_phone"]]
 
 
+def q_classify_quality(sf_dir: str):
+    """Broadcast-model batched inference (ops/classify.py): a
+    hashing-trick linear classifier scores every document — the
+    model-ship-once / vectorized-score-per-batch pattern a real quality
+    filter uses at 100 TB. Integer weights and md5 feature hashing make
+    the logits exact int64, so the full inference pass is hash-gated:
+    the oracle inlines the engine's own weight table (cannot drift)."""
+    from wikilinks_ray.ops.classify import classify_documents
+
+    _quiet()
+    out = classify_documents(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _classify_oracle_sql() -> str:
+    from wikilinks_ray.ops.classify import HASH_DIM, make_linear_model
+
+    w = make_linear_model()
+    rows = ", ".join(f"({i}, {int(v)})" for i, v in enumerate(w.tolist()))
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\\w+')) AS t
+            FROM documents),
+        f AS (SELECT doc_id,
+                     (md5_number_upper(t) % {HASH_DIM})::BIGINT AS feat
+              FROM toks),
+        w(feat, wt) AS (VALUES {rows}),
+        s AS (SELECT doc_id, sum(wt)::BIGINT AS logit
+              FROM f JOIN w USING (feat) GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(s.logit, 0)::BIGINT AS logit,
+               (coalesce(s.logit, 0) >= 0)::BIGINT AS label
+        FROM documents d LEFT JOIN s USING (doc_id)
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ORDER MATTERS: the driver's gate checks the FIRST 50 entries.
@@ -1906,6 +1943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_scrub_pii": q_text_scrub_pii,
         "sample_mix": q_sample_mix,
         "pack_sequences": q_pack_sequences,
+        "classify_quality": q_classify_quality,
         "graph_edges": q_graph_edges,
         "graph_in_degree_hist": q_graph_in_degree_hist,
         "graph_components": q_graph_components,
@@ -2856,6 +2894,7 @@ def oracle_sql() -> dict[str, str]:
         # same deterministic PII planting, same frozen RE2-safe
         # patterns in the same order (email -> ip -> phone); counts are
         # taken on each step's input exactly like re.subn
+        "classify_quality": _classify_oracle_sql(),
         "text_scrub_pii": r"""
             WITH planted AS MATERIALIZED (
                 SELECT doc_id,

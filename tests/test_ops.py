@@ -910,3 +910,49 @@ def test_duplicate_spans(ray_session):
         (4, 0, 6),   # "p q r" at 0 and 3: gap 3 == k merges into one span
         (5, 0, 3), (5, 7, 10),  # gap 7 > k stays two spans
     ]
+
+
+def test_classify_documents_matches_brute_force(ray_session):
+    """Broadcast linear classifier vs an in-process replay: exact int64
+    logits per doc, labels at the threshold, empty docs logit 0."""
+    import hashlib as _hl
+
+    import ray.data as rd
+
+    from wikilinks_ray.ops.classify import (HASH_DIM, classify_documents,
+                                            make_linear_model)
+
+    docs = [(1, "the quick brown fox jumps"), (2, ""),
+            (3, "THE QUICK brown"), (4, "zebra " * 50), (5, None)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    })).repartition(2)
+    got = classify_documents(ds, concurrency=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    w = make_linear_model()
+    import re as _re
+
+    def logit(text):
+        s = 0
+        for t in _re.findall(r"\w+", (text or "").lower()):
+            h = int.from_bytes(_hl.md5(t.encode()).digest()[:8], "little")
+            s += int(w[h % HASH_DIM])
+        return s
+
+    for i, (did, text) in enumerate(docs):
+        assert got.loc[i, "doc_id"] == did
+        assert got.loc[i, "logit"] == logit(text)
+        assert got.loc[i, "label"] == int(logit(text) >= 0)
+    # case-insensitive tokenization: docs 1 and 3 share feature hits
+    assert got.loc[2, "logit"] != 0
+
+
+def test_classify_weights_deterministic():
+    from wikilinks_ray.ops.classify import make_linear_model
+
+    w1, w2 = make_linear_model(), make_linear_model()
+    assert (w1 == w2).all()
+    assert (w1 >= -8).all() and (w1 <= 8).all()
+    assert (make_linear_model(seed=12) != w1).any()
