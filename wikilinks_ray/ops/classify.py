@@ -93,17 +93,43 @@ def classify_documents(docs: "ray.data.Dataset", *,
                        concurrency: int = 4) -> "ray.data.Dataset":
     """Score every document with the broadcast linear model.
 
-    ``weights`` default to :func:`make_linear_model`. Large models are
-    ``ray.put`` once and each actor resolves the ref in ``__init__``
-    (one object-store read per actor, zero-copy on-node); tiny models
-    inline into the constructor args instead — an ObjectRef constructor
-    arg makes actor RESTARTS depend on that object surviving in the
-    store (ray#53727), a trade only worth making when the model is too
-    big to inline."""
+    ``weights`` default to :func:`make_linear_model`. Two dispatch
+    paths, same scorer:
+
+    - **small model** (≤1 MB): a TASK pool whose per-worker-process
+      singleton holds the scorer (md5 token cache included) — task
+      retries re-execute from lineage with no object-store dependency
+      (Ray Data puts actor constructor args in the object store, which
+      makes actor RESTARTS depend on those objects surviving —
+      ray#53727);
+    - **large model**: an actor pool resolving a ``ray.put`` ref once
+      per actor in ``__init__`` (one object-store read per actor,
+      zero-copy on-node) — for a model too big to ship per task, the
+      restart hazard is the documented trade."""
     if weights is None:
         weights = make_linear_model()
-    w = np.asarray(weights, dtype=np.int64)
-    arg = ray.put(w) if w.nbytes > (1 << 20) else w
+    w = np.ascontiguousarray(np.asarray(weights, dtype=np.int64))
+    if w.nbytes > (1 << 20):
+        return docs.select_columns(["doc_id", "text"]).map_batches(
+            LinearClassifier, fn_constructor_args=(ray.put(w), threshold),
+            batch_format="pyarrow", concurrency=concurrency)
+    wb = w.tobytes()
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        LinearClassifier, fn_constructor_args=(arg, threshold),
+        lambda b: _score_small(b, wb, threshold),
         batch_format="pyarrow", concurrency=concurrency)
+
+
+_SCORERS: dict = {}
+
+
+def _score_small(batch: pa.Table, w_bytes: bytes, threshold: int) -> pa.Table:
+    """Task-pool scorer: per-worker-process singleton keyed by model
+    bytes, so the token-md5 cache persists across batches."""
+    key = (hashlib.md5(w_bytes).hexdigest(), threshold)
+    sc = _SCORERS.get(key)
+    if sc is None:
+        if len(_SCORERS) > 4:  # bound worker memory across many models
+            _SCORERS.clear()
+        sc = _SCORERS[key] = LinearClassifier(
+            np.frombuffer(w_bytes, dtype=np.int64), threshold)
+    return sc(batch)
