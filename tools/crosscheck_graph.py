@@ -1,0 +1,131 @@
+"""sf0.1 graph-family cross-check against networkx.
+
+The graph queries' DuckDB oracles are UNROLLED fixpoints whose SQL cost
+explodes past sf0.01 (590k edges × rounds of self-joins), so the hash
+gate runs them at sf0.01 only. This tool closes the remaining
+at-scale gap a different way: at sf0.1 (19,999 vertices / 590,973
+directed derived edges) it recomputes components, BFS depths, k-core
+membership, SSSP and float PageRank with networkx/scipy on the SAME
+derived edge list and compares exactly (PageRank: sum-|diff| bound).
+
+Usage: python tools/crosscheck_graph.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    import networkx as nx
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=16, include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from wikilinks_ray.pipelines.bfs import multi_source_bfs
+    from wikilinks_ray.pipelines.components import connected_components
+    from wikilinks_ray.pipelines.derived import DerivedGraph, derived_edges
+    from wikilinks_ray.pipelines.kcore import k_core
+    from wikilinks_ray.pipelines.pagerank import pagerank
+    from wikilinks_ray.pipelines.sssp import SSSP_INF, sssp_int
+
+    out: dict = {"sf_dir": sf_dir}
+    edges_df = derived_edges(sf_dir).to_pandas()
+    pairs = list(zip(edges_df["src"].tolist(), edges_df["dst"].tolist()))
+    out["n_edges"] = len(pairs)
+
+    g_dir = nx.DiGraph()
+    g_dir.add_edges_from(pairs)
+    g_und = g_dir.to_undirected()
+
+    with DerivedGraph(sf_dir, symmetric=True) as g:
+        vs = g.vertices
+        out["n_vertices"] = int(len(vs))
+
+        # components: engine labels = min vertex id per (undirected) CC
+        labels = connected_components(g.actors, g.n).to_array()
+        want = np.full(g.n, -1, dtype=np.int64)
+        for comp in nx.connected_components(g_und):
+            m = min(comp)
+            for v in comp:
+                want[v] = m
+        out["components_exact"] = bool((labels[vs] == want[vs]).all())
+
+        # BFS depths from the min vertex over the symmetrized graph
+        source = int(vs.min())
+        dist = multi_source_bfs(g.actors, g.n, [source]).distances()[:, 0]
+        nxd = nx.single_source_shortest_path_length(g_und, source)
+        wantd = np.full(g.n, -1, dtype=np.int64)
+        for v, d in nxd.items():
+            wantd[v] = d
+        out["bfs_exact"] = bool((dist[vs] == wantd[vs]).all())
+
+    # k-core membership (k=30, the gated query's k) on the simple graph
+    ids = np.sort(np.asarray(k_core(derived_edges(sf_dir), k=30),
+                             dtype=np.int64))
+    gs = nx.Graph()
+    gs.add_nodes_from(g_und.nodes)
+    gs.add_edges_from((u, v) for u, v in g_und.edges if u != v)
+    core = nx.core_number(gs)
+    want_ids = np.sort(np.array([v for v, c in core.items() if c >= 30],
+                                dtype=np.int64))
+    out["kcore_rows"] = int(len(ids))
+    out["kcore_exact"] = bool(np.array_equal(ids, want_ids))
+
+    # SSSP (unweighted => BFS depths on the DIRECTED graph)
+    with DerivedGraph(sf_dir) as g:
+        res = sssp_int(g.actors, g.n, int(g.vertices.min()),
+                       weighted=False)
+        d = res.distances
+        nxd = nx.single_source_shortest_path_length(g_dir,
+                                                    int(g.vertices.min()))
+        ok = all(d[v] == dd for v, dd in nxd.items())
+        ok = ok and bool((d[np.setdiff1d(g.vertices,
+                                         list(nxd.keys()))] >= SSSP_INF).all())
+        out["sssp_exact"] = bool(ok)
+
+        # float PageRank vs an independent dense numpy power iteration
+        # replaying the engine's exact convention (teleport + dangling
+        # mass uniform over the n-id space)
+        pr = pagerank(g.actors, g.n, tol=1e-12, max_iter=200).to_array()
+        src = edges_df["src"].to_numpy()
+        dst = edges_df["dst"].to_numpy()
+        deg = np.bincount(src, minlength=g.n).astype(np.float64)
+        r = np.full(g.n, 1.0 / g.n)
+        for _ in range(200):
+            contrib = np.where(deg > 0, r / np.maximum(deg, 1), 0.0)
+            s = np.zeros(g.n)
+            np.add.at(s, dst, contrib[src])
+            dangling = r[deg == 0].sum()
+            r2 = (0.15 / g.n) + 0.85 * (s + dangling / g.n)
+            if np.abs(r2 - r).sum() < 1e-12:
+                r = r2
+                break
+            r = r2
+        out["pagerank_l1"] = float(np.abs(pr - r).sum())
+        out["pagerank_ok"] = bool(out["pagerank_l1"] < 1e-6)
+
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0 if all(v for k, v in out.items()
+                    if k.endswith(("_exact", "_ok"))) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
