@@ -115,12 +115,29 @@ class BrandesRangeState:
                 int(open_new.sum()))
 
     # ---- backward pass (stress suffix counts) ------------------------
+    def _build_level_index(self) -> None:
+        """One argsort of the dist matrix replaces a full
+        (range × K) scan per backward level: frontier slots at level L
+        become a contiguous slice of the sorted order (searchsorted),
+        so a D-level sweep reads O(n·K·log + touched) instead of
+        O(D · n · K)."""
+        flat = self.dist.ravel()
+        self._lvl_order = np.argsort(flat, kind="stable")
+        self._lvl_vals = flat[self._lvl_order]
+
+    def _slots_at(self, level: int):
+        a = np.searchsorted(self._lvl_vals, level, "left")
+        b = np.searchsorted(self._lvl_vals, level, "right")
+        idx = self._lvl_order[a:b]
+        return idx // self.K, idx % self.K
+
     def suffix_init(self) -> None:
         self.aux = (self.dist >= 0).astype(np.int64)
+        self._build_level_index()
 
     def suffix_frontier(self, level: int):
         """(v, sid, S values) of owned slots at ``level``."""
-        vv, ss = np.nonzero(self.dist == level)
+        vv, ss = self._slots_at(level)
         return vv + self.lo, ss, self.aux[vv, ss]
 
     def suffix_accept(self, level: int, *candidates) -> None:
@@ -152,11 +169,12 @@ class BrandesRangeState:
     # ---- backward pass (betweenness dependencies) --------------------
     def delta_init(self) -> None:
         self.aux = np.zeros(self.dist.shape, dtype=np.float64)
+        self._build_level_index()
 
     def delta_frontier(self, level: int):
         """Level-``level`` slots push ``(1 + delta) / sigma`` backward;
         float payloads ride the same bfs_expand_val (it only sums)."""
-        vv, ss = np.nonzero(self.dist == level)
+        vv, ss = self._slots_at(level)
         return (vv + self.lo, ss,
                 (1.0 + self.aux[vv, ss]) / self.sigma[vv, ss])
 
