@@ -1879,6 +1879,41 @@ def q_text_scrub_pii(sf_dir: str):
                             "n_phone"]]
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTER assignment: connected components over the
+    MinHash-LSH candidate pair graph, cluster id = smallest reachable
+    doc_id, singletons cluster as themselves (ops/dedup.py
+    near_dup_clusters). The oracle nests the minhash pair SQL verbatim
+    and unrolls the min-label fixpoint 12 rounds (extra rounds are
+    no-ops at the fixpoint; the engine asserts its own convergence)."""
+    from wikilinks_ray.ops.dedup import near_dup_clusters
+
+    _quiet()
+    out = near_dup_clusters(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _dedup_clusters_oracle_sql(rounds: int = 12) -> str:
+    ctes = [
+        f"pairs AS MATERIALIZED ({_minhash_oracle_sql()})",
+        "e AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs)",
+        "l0 AS (SELECT src, src AS label FROM (SELECT DISTINCT src FROM e))",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"l{k + 1} AS (SELECT v AS src, min(lab) AS label FROM ("
+            f"SELECT e.dst AS v, l{k}.label AS lab FROM e "
+            f"JOIN l{k} ON l{k}.src = e.src "
+            f"UNION ALL SELECT src, label FROM l{k}) GROUP BY v)")
+    return ("WITH " + ",\n".join(ctes) +
+            f"""
+        SELECT d.doc_id,
+               coalesce(l{rounds}.label, d.doc_id)::BIGINT AS cluster
+        FROM documents d LEFT JOIN l{rounds} ON l{rounds}.src = d.doc_id
+    """)
+
+
 def q_classify_quality(sf_dir: str):
     """Broadcast-model batched inference (ops/classify.py): a
     hashing-trick linear classifier scores every document — the
@@ -1944,6 +1979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_mix": q_sample_mix,
         "pack_sequences": q_pack_sequences,
         "classify_quality": q_classify_quality,
+        "dedup_clusters": q_dedup_clusters,
         "graph_edges": q_graph_edges,
         "graph_in_degree_hist": q_graph_in_degree_hist,
         "graph_components": q_graph_components,
@@ -2895,6 +2931,7 @@ def oracle_sql() -> dict[str, str]:
         # patterns in the same order (email -> ip -> phone); counts are
         # taken on each step's input exactly like re.subn
         "classify_quality": _classify_oracle_sql(),
+        "dedup_clusters": _dedup_clusters_oracle_sql(),
         "text_scrub_pii": r"""
             WITH planted AS MATERIALIZED (
                 SELECT doc_id,

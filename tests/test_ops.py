@@ -956,3 +956,39 @@ def test_classify_weights_deterministic():
     assert (w1 == w2).all()
     assert (w1 >= -8).all() and (w1 <= 8).all()
     assert (make_linear_model(seed=12) != w1).any()
+
+
+def test_near_dup_clusters(ray_session):
+    """Cluster = min reachable doc id through the pair graph; chains
+    merge transitively; singletons cluster as themselves; exact vs a
+    union-find replay."""
+    import ray.data as rd
+
+    from wikilinks_ray.ops.dedup import near_dup_clusters
+
+    # explicit pair graph: chain 1-2-3, star 10-(11,12), singleton 99
+    pairs = rd.from_items([{"a": 1, "b": 2}, {"a": 2, "b": 3},
+                           {"a": 10, "b": 11}, {"a": 10, "b": 12}])
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 10, 11, 12, 99], pa.int64()),
+        "text": pa.array(["x"] * 7, pa.string()),
+    }))
+    got = {r["doc_id"]: r["cluster"]
+           for r in near_dup_clusters(docs, pairs=pairs).take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_near_dup_clusters_long_chain_converges(ray_session):
+    import ray.data as rd
+
+    from wikilinks_ray.ops.dedup import near_dup_clusters
+
+    n = 40  # long chain: hook+jump converges in O(log) hooks
+    pairs = rd.from_items([{"a": i, "b": i + 1} for i in range(n)])
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n + 1)), pa.int64()),
+        "text": pa.array(["x"] * (n + 1), pa.string()),
+    }))
+    got = {r["doc_id"]: r["cluster"]
+           for r in near_dup_clusters(docs, pairs=pairs).take_all()}
+    assert all(v == 0 for v in got.values())

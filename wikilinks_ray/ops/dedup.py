@@ -1097,3 +1097,112 @@ def duplicate_spans(
     return (dup_sites.map_batches(part_by_doc, batch_format="pyarrow")
             .groupby("__part")
             .map_groups(bucket_spans, batch_format="pandas"))
+
+
+def near_dup_clusters(
+    docs: "ray.data.Dataset",
+    *,
+    pairs: "ray.data.Dataset | None" = None,
+    id_col: str = "doc_id",
+    max_rounds: int = 32,
+    num_partitions: int = 4,
+) -> "ray.data.Dataset":
+    """Assign every document a near-dup CLUSTER id: the smallest doc_id
+    reachable through the near-dup pair graph (connected components over
+    the pairs; singletons cluster as themselves). The canonical
+    keep-one-per-cluster rule then falls out as ``doc_id == cluster``.
+
+    ``pairs`` defaults to :func:`minhash_lsh_candidates` over ``docs``.
+    Scale shape: the min-label fixpoint iterates over the PAIR table
+    (|dups| rows, orders of magnitude below corpus size at any real dup
+    rate); each HOOK round broadcasts the pair-member label map
+    (16 B/member — tens of MB even at millions of dup pairs) into a
+    map_batches over the edge table and re-reduces with the
+    combiner-first grouped min, then the label map POINTER-JUMPS
+    driver-side until stable (label = label[label] — dict passes over
+    the already-broadcast map, zero Dataset rounds). Hook+jump
+    converges in O(log component size) Dataset rounds instead of
+    O(diameter). The corpus itself is touched exactly once, at the
+    final cluster assignment. ``max_rounds`` is an assert-guard, not a
+    knob. Past broadcastable pair scale, swap the label map for the CSR
+    shard-actor components pipeline (pipelines/components.py) over the
+    pair edges — same semantics, shuffle-free supersteps.
+    """
+    from ..stages.agg import grouped_agg
+
+    if pairs is None:
+        pairs = minhash_lsh_candidates(docs, id_col=id_col) \
+            if id_col != "doc_id" else minhash_lsh_candidates(docs)
+    pairs = pairs.select_columns(["a", "b"]).materialize()
+    if pairs.count() == 0:
+        return docs.select_columns([id_col]).map_batches(
+            lambda t: pa.table({id_col: t.column(id_col),
+                                "cluster": t.column(id_col)}),
+            batch_format="pyarrow")
+
+    # symmetric edge table over pair members only
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow") \
+        .materialize()
+
+    # labels start as own id, only for docs that appear in a pair
+    members = grouped_agg(edges, ["src"], "src", "min",
+                          out_col="label").to_pandas()
+    lut = dict(zip(members["src"].astype(np.int64),
+                   members["src"].astype(np.int64)))
+
+    def jump(m: dict) -> dict:
+        # pointer jumping on the label forest: free (driver-side) rounds
+        while True:
+            m2 = {v: m.get(l, l) for v, l in m.items()}
+            if m2 == m:
+                return m2
+            m = m2
+
+    for _ in range(max_rounds):
+        # HOOK: push each vertex's label along its edges, grouped min
+        cur = dict(lut)
+
+        def push(t: pa.Table, cur=cur) -> pa.Table:
+            s = t.column("src").to_numpy(zero_copy_only=False)
+            d = t.column("dst").to_numpy(zero_copy_only=False)
+            lv = np.fromiter((cur[x] for x in s), dtype=np.int64,
+                             count=len(s))
+            # include the receiver's own current label in the min
+            ov = np.fromiter((cur[x] for x in d), dtype=np.int64,
+                             count=len(d))
+            return pa.table({
+                "src": pa.array(np.concatenate([d, d]), pa.int64()),
+                "label": pa.array(np.concatenate([lv, ov]), pa.int64()),
+            })
+
+        hooked = grouped_agg(
+            edges.map_batches(push, batch_format="pyarrow"),
+            ["src"], "label", "min", out_col="label").to_pandas()
+        new_lut = jump(dict(zip(hooked["src"].astype(np.int64),
+                                hooked["label"].astype(np.int64))))
+        if new_lut == lut:
+            break
+        lut = new_lut
+    else:
+        raise AssertionError(
+            f"near_dup_clusters did not converge in {max_rounds} rounds")
+
+    # all docs: cluster = label where present, own id otherwise
+    lut_final = lut
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = np.fromiter((lut_final.get(int(x), int(x)) for x in ids),
+                         dtype=np.int64, count=len(ids))
+        return pa.table({id_col: pa.array(ids), "cluster": pa.array(cl)})
+
+    return docs.select_columns([id_col]).map_batches(
+        assign, batch_format="pyarrow")
