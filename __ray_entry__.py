@@ -1879,6 +1879,31 @@ def q_text_scrub_pii(sf_dir: str):
                             "n_phone"]]
 
 
+def q_text_bpe_tokens(sf_dir: str):
+    """Token counting under two tokenizers per doc: whitespace split +
+    the GPT-2-style BPE pre-tokenizer regex (ops/text.py bpe_token_counts
+    — the packing/pricing budget proxy). The oracle runs the RE2 twin of
+    the same pattern; a pytest differentially compares the two regex
+    dialects on adversarial strings."""
+    from wikilinks_ray.ops.text import bpe_token_counts
+
+    _quiet()
+    out = bpe_token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _bpe_tokens_oracle_sql() -> str:
+    from wikilinks_ray.ops.text import BPE_RE2_PATTERN
+
+    pat = BPE_RE2_PATTERN.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens,
+               len(regexp_extract_all(text, '{pat}'))::BIGINT AS bpe_tokens
+        FROM documents
+    """
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup CLUSTER assignment: connected components over the
     MinHash-LSH candidate pair graph, cluster id = smallest reachable
@@ -1980,6 +2005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "classify_quality": q_classify_quality,
         "dedup_clusters": q_dedup_clusters,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "graph_edges": q_graph_edges,
         "graph_in_degree_hist": q_graph_in_degree_hist,
         "graph_components": q_graph_components,
@@ -2932,6 +2958,7 @@ def oracle_sql() -> dict[str, str]:
         # taken on each step's input exactly like re.subn
         "classify_quality": _classify_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
+        "text_bpe_tokens": _bpe_tokens_oracle_sql(),
         "text_scrub_pii": r"""
             WITH planted AS MATERIALIZED (
                 SELECT doc_id,

@@ -992,3 +992,45 @@ def test_near_dup_clusters_long_chain_converges(ray_session):
     got = {r["doc_id"]: r["cluster"]
            for r in near_dup_clusters(docs, pairs=pairs).take_all()}
     assert all(v == 0 for v in got.values())
+
+
+def test_bpe_tokenizer_dialects_agree():
+    """The engine's Python regex and the oracle's RE2 twin must split
+    identically — differential check on adversarial strings (unicode
+    letters, contractions, underscores, digit runs, whitespace runs)."""
+    import duckdb
+
+    from wikilinks_ray.ops.text import _BPE_RE, BPE_RE2_PATTERN
+
+    tests = [
+        "Isn't co-op 2024 naïve — 3.14 __init__ 'll",
+        "hello   world\t\ttabs\nnewlines  ",
+        "1,234.56 A-B_C d'état l'América",
+        "multi    space; (parens) [brackets] «quotes» 你好 世界 42",
+        "", "   ", "'s's's", "a'd b're c've d'm",
+        "ümlaut Öffnung ß straße",
+        "e.g., i.e.; etc... 100% $5.99 #tag @user",
+    ]
+    con = duckdb.connect()
+    for s in tests:
+        py = _BPE_RE.findall(s)
+        sql = con.execute("SELECT regexp_extract_all(?, ?)",
+                          [s, BPE_RE2_PATTERN]).fetchone()[0]
+        assert py == sql, (s, py, sql)
+
+
+def test_bpe_token_counts(ray_session):
+    import ray.data as rd
+
+    from wikilinks_ray.ops.text import bpe_token_counts
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["Isn't  this grand? Yes.", "", None], pa.string()),
+    }))
+    got = bpe_token_counts(docs).to_pandas().set_index("doc_id")
+    assert got.loc[1, "ws_tokens"] == 4
+    # Isn | 't | this | grand | ? | Yes | .
+    assert got.loc[1, "bpe_tokens"] == 7
+    assert got.loc[2, "ws_tokens"] == 0 and got.loc[2, "bpe_tokens"] == 0
+    assert got.loc[3, "ws_tokens"] == 0 and got.loc[3, "bpe_tokens"] == 0

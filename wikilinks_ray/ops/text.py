@@ -228,3 +228,45 @@ def repetition_stats(docs, *, text_col: str = "text",
     return docs.map_batches(RepetitionStats(text_col=text_col),
                             batch_format="pyarrow",
                             concurrency=concurrency)
+
+
+# GPT-2-style pre-tokenizer (Radford et al. 2019 `gpt2/encoder.py`
+# pattern), RE2-compatible so the SQL oracle can run the SAME split:
+# the upstream pattern's trailing `\s+(?!\S)` lookahead is dropped
+# (RE2 has no lookahead) and whitespace runs are simply not matched —
+# findall-style extraction skips gaps, so the non-whitespace token
+# stream is identical. Python has no \p{L}/\p{N}; [^\W\d_] is the
+# unicode-letter complement class and (?:[^\w\s]|_) mirrors RE2's
+# [^\s\p{L}\p{N}] (underscore included).
+_BPE_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\w\s]|_)+",
+    re.UNICODE)
+
+# the RE2 twin, exposed so the oracle builder inlines the same split
+BPE_RE2_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+")
+
+
+def bpe_token_counts(docs, *, text_col: str = "text",
+                     concurrency: int = 4):
+    """Per-document token counts under two tokenizers: whitespace split
+    (``ws_tokens``) and the GPT-2-style BPE pre-tokenizer regex
+    (``bpe_tokens``) — the cheap proxy a data pipeline uses to budget
+    sequence packing / pricing before real BPE merges run. Counting is
+    one vectorized-enough findall per doc (task pool)."""
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        ws, bp = [], []
+        for text in t.column(text_col).to_pylist():
+            s = text or ""
+            ws.append(len(s.split()))
+            bp.append(len(_BPE_RE.findall(s)))
+        return pa.table({
+            "doc_id": ids,
+            "ws_tokens": pa.array(ws, pa.int64()),
+            "bpe_tokens": pa.array(bp, pa.int64()),
+        })
+
+    return docs.map_batches(counts, batch_format="pyarrow",
+                            concurrency=concurrency)
