@@ -121,6 +121,48 @@ def main() -> int:
         out["pagerank_l1"] = float(np.abs(pr - r).sum())
         out["pagerank_ok"] = bool(out["pagerank_l1"] < 1e-6)
 
+    # triangles: engine fused wedge/closure vs networkx over the simple
+    # undirected graph
+    from wikilinks_ray.pipelines.triangles import triangle_count
+
+    t_engine = triangle_count(derived_edges(sf_dir), num_partitions=8)
+    t_nx = sum(nx.triangles(gs).values()) // 3
+    out["triangles"] = int(t_engine)
+    out["triangles_exact"] = bool(t_engine == t_nx)
+
+    # per-vertex triangle counts: engine wedge-corner crediting vs nx
+    pv = triangle_count(derived_edges(sf_dir), num_partitions=8,
+                        per_vertex=True).to_pandas()
+    got_t = dict(zip(pv["v"].astype(int), pv["triangles"].astype(int)))
+    tv = nx.triangles(gs)
+    want_t = {v: c for v, c in tv.items() if c > 0}
+    out["clustering_exact"] = bool(got_t == want_t)
+
+    # reciprocity: (mutual, directed) over ordered non-loop distinct edges
+    from wikilinks_ray.pipelines.reciprocity import reciprocity_counts
+
+    m_e, d_e = reciprocity_counts(derived_edges(sf_dir))
+    eset = {(u, v) for u, v in pairs if u != v}
+    m_want = sum((v, u) in eset for u, v in eset)
+    out["reciprocity_exact"] = bool(m_e == m_want and d_e == len(eset))
+
+    # modularity stats of the v%50 partition: exact integer recompute
+    from wikilinks_ray.pipelines.modularity import community_stats
+
+    stats = community_stats(derived_edges(sf_dir),
+                            lambda v: v % 50).to_pandas() \
+        .sort_values("community").reset_index(drop=True)
+    src = edges_df["src"].to_numpy()
+    dst = edges_df["dst"].to_numpy()
+    cs, cd = src % 50, dst % 50
+    intra = np.bincount(cs[cs == cd], minlength=50)
+    kout = np.bincount(cs, minlength=50)
+    kin = np.bincount(cd, minlength=50)
+    ok = (np.array_equal(stats["intra_edges"].to_numpy(), intra)
+          and np.array_equal(stats["kout"].to_numpy(), kout)
+          and np.array_equal(stats["kin"].to_numpy(), kin))
+    out["modularity_exact"] = bool(ok)
+
     print(json.dumps(out))
     ray.shutdown()
     return 0 if all(v for k, v in out.items()
