@@ -279,9 +279,59 @@ def test_case_functions_and_pagename():
 
 
 def test_unsupported_function_still_strips_to_nothing():
-    # #expr is not implemented: stays in text, strip_markup removes it —
+    # #time is not implemented: stays in text, strip_markup removes it —
     # identical to the pre-round-4 behavior for all functions
-    assert links_of("{{#expr: 1 + 1}} [[Real Page]]") == ["Real Page"]
+    assert links_of("{{#time: Y-m-d}} [[Real Page]]") == ["Real Page"]
+
+
+def test_if_branch_containing_equals_is_positional():
+    # ADVICE round 4 (high): '=' inside a branch must NOT make it a
+    # named arg — MediaWiki/bliki split parser-function args by pipe
+    # only. The inline-style pattern is extremely common in real
+    # templates.
+    assert links_of('{{#if: x | style="a" [[Then]] | [[Else]]}}') == ["Then"]
+    assert links_of('{{#if: | style="a" [[Then]] | b=c [[Else]]}}') == ["Else"]
+    assert links_of('{{#ifeq: a | a | x=y [[Eq]] | [[Ne]]}}') == ["Eq"]
+
+
+def test_switch_fallthrough_and_bare_default():
+    # ADVICE round 4 (low): bare case names fall through to the next
+    # '= value'; only a TRAILING bare entry is the default
+    sw = "{{#switch: a | a | b = [[Pb]] | c = [[Pc]]}}"
+    assert links_of(sw) == ["Pb"]
+    # a non-matching earlier bare entry is NOT swallowed as default
+    assert links_of("{{#switch: zz | a | b = [[Py]]}}") == []
+    # trailing bare entry still the default
+    assert links_of("{{#switch: zz | a = [[Pa]] | [[Trail]]}}") == ["Trail"]
+    # matched case with its own value unaffected by fallthrough walk
+    assert links_of("{{#switch: c | a | b = [[Pb]] | c = [[Pc]]}}") == ["Pc"]
+
+
+def test_expr_integer_subset():
+    from wikilinks_ray.functions.wikitext import expand_templates
+
+    ex = lambda s: expand_templates(s, TPL.get)
+    assert ex("{{#expr: 1 + 1}}") == "2"
+    assert ex("{{#expr: 2 + 3 * 4}}") == "14"
+    assert ex("{{#expr: (2 + 3) * 4}}") == "20"
+    assert ex("{{#expr: -7 + 10}}") == "3"
+    assert ex("{{#expr: 10 div 2}}") == "5"
+    assert ex("{{#expr: 7 mod 3}}") == "1"
+    # C-style mod on negatives (MediaWiki fmod), not Python floor
+    assert ex("{{#expr: -7 mod 3}}") == "-1"
+    assert ex("{{#expr: 1234 round -2}}") == "1200"
+    assert ex("{{#expr: 1250 round -2}}") == "1300"  # half away from zero
+    assert ex("{{#expr: 5 round 2}}") == "5"
+    # nested inside #if (innermost-first evaluation across rounds)
+    assert links_of("{{#ifeq: {{#expr: 2*3}} | 6 | [[Six]] | [[No]]}}") == ["Six"]
+
+
+def test_expr_unsupported_forms_strip_to_nothing():
+    # floats, '/', comparisons, inexact div, div-by-zero: unsupported —
+    # the invocation stays in text and strip_markup drops it
+    for bad in ("1.5 + 1", "4 / 2", "1 < 2", "7 div 2", "1 div 0",
+                "2 ^ 3", "pi"):
+        assert links_of(f"{{{{#expr: {bad}}}}} [[Real Page]]") == ["Real Page"]
 
 
 def test_no_template_lookup_means_no_function_eval():

@@ -29,6 +29,7 @@ page's extraction result used by the golden fixtures.
 
 from __future__ import annotations
 
+import math
 import re
 
 _LINK_RE = re.compile(r"\[\[(.*?)\]\]", re.DOTALL)
@@ -109,10 +110,10 @@ def normalize_template_name(raw: str) -> str | None:
     return capitalize_first(name)
 
 
-def split_template_args(inner: str) -> tuple[str, list[str], dict[str, str]]:
-    """Split an invocation's inner text ``Name|a|k=v`` into
-    ``(raw_name, positional, named)``. Pipes inside ``[[...]]`` links are
-    NOT separators (MediaWiki: an anchor pipe inside an argument)."""
+def _split_pipes(inner: str) -> list[str]:
+    """Pipe-split an invocation's inner text; pipes inside ``[[...]]``
+    links are NOT separators (MediaWiki: an anchor pipe inside an
+    argument). First element is the raw name."""
     parts: list[str] = []
     depth = 0
     start = 0
@@ -131,17 +132,40 @@ def split_template_args(inner: str) -> tuple[str, list[str], dict[str, str]]:
                 start = i + 1
             i += 1
     parts.append(inner[start:])
-    raw_name, args = parts[0], parts[1:]
+    return parts
+
+
+def _arg_eq_split(a: str) -> int:
+    """Index of the first ``=`` that acts as a name/value separator in a
+    template argument (``-1`` if none): a ``=`` inside a link is text."""
+    eq = a.find("=")
+    if eq > 0 and a.find("[[", 0, eq) == -1:
+        return eq
+    return -1
+
+
+def _classify_args(args: list[str]) -> tuple[list[str], dict[str, str]]:
+    """Template-transclusion arg semantics: ``k=v`` entries become named
+    parameters, the rest positional. Parser functions do NOT use this —
+    MediaWiki/bliki pass them the raw pipe-split list and only
+    ``#switch`` interprets ``=`` (see eval_parser_function)."""
     positional: list[str] = []
     named: dict[str, str] = {}
     for a in args:
-        eq = a.find("=")
-        # a '=' inside a link is not a named-arg separator
-        if eq > 0 and a.find("[[", 0, eq) == -1:
+        eq = _arg_eq_split(a)
+        if eq >= 0:
             named[a[:eq].strip()] = a[eq + 1:].strip()
         else:
             positional.append(a)
-    return raw_name, positional, named
+    return positional, named
+
+
+def split_template_args(inner: str) -> tuple[str, list[str], dict[str, str]]:
+    """Split an invocation's inner text ``Name|a|k=v`` into
+    ``(raw_name, positional, named)`` with transclusion semantics."""
+    parts = _split_pipes(inner)
+    positional, named = _classify_args(parts[1:])
+    return parts[0], positional, named
 
 
 _PARAM_RE = re.compile(r"\{\{\{([^{}|]*)(?:\|([^{}]*))?\}\}\}", re.DOTALL)
@@ -173,11 +197,16 @@ _CASE_FNS = {"lc": str.lower, "uc": str.upper,
              "ucfirst": lambda s: s[:1].upper() + s[1:]}
 
 
-def eval_parser_function(raw_name: str, positional: list[str],
-                         named: dict[str, str],
+def eval_parser_function(raw_name: str, args: list[str],
                          page_title: str | None) -> str | None:
     """Evaluate the bliki-parity parser-function / magic-word subset;
     None = not a (supported) function, fall through to template lookup.
+
+    ``args`` is the RAW pipe-split argument list, positional order
+    preserved — MediaWiki/bliki split parser-function arguments by pipe
+    only; ``=`` carries meaning only inside ``#switch``. (A ``#if``
+    branch like ``style="..." [[Then]]`` is one branch, not a named
+    arg.)
 
     Frozen subset (the reference's bliki ``WikiModel`` evaluates these
     before the link walk, WikiProcessor.kt:45-46):
@@ -185,17 +214,21 @@ def eval_parser_function(raw_name: str, positional: list[str],
     - ``{{#if: test | then | else}}`` — non-empty trimmed test picks
       ``then``; branches trim; missing branch = empty.
     - ``{{#ifeq: a | b | then | else}}`` — trimmed string equality.
-    - ``{{#switch: key | c1 = v1 | ... | #default = d | fallback}}`` —
-      named cases match the trimmed key; ``#default`` or a trailing
-      bare value is the no-match result (case fallthrough chains are
-      NOT implemented — documented divergence).
+    - ``{{#switch: key | c1 = v1 | c2 | c3 = v3 | #default = d | f}}``
+      — cases walked in order; a bare case name falls through to the
+      next ``= value`` (MediaWiki fallthrough chains); ``#default`` or
+      a trailing bare value is the no-match result.
+    - ``{{#expr: e}}`` — INTEGER-ONLY arithmetic (``+ - * div mod
+      round``, parentheses, unary minus). Float expressions, ``/`` and
+      comparisons are unsupported and return None (stay in text,
+      stripped — documented bliki divergence).
     - ``{{lc:|uc:|lcfirst:|ucfirst: x}}`` — case transforms.
     - ``{{PAGENAME}}``-family magic words — the current page title
       (title == base == sub: this engine's corpus has no subpages).
 
-    Unsupported functions (``#expr``, ``#ifexist``, ``#time``, ...)
-    return None: they stay in the text and ``strip_markup`` drops them,
-    contributing no links — the pre-round-4 behavior for ALL functions.
+    Unsupported functions (``#ifexist``, ``#time``, ...) return None:
+    they stay in the text and ``strip_markup`` drops them, contributing
+    no links — the pre-round-4 behavior for ALL functions.
     """
     head = raw_name.strip()
     if ":" not in head:
@@ -207,7 +240,9 @@ def eval_parser_function(raw_name: str, positional: list[str],
     arg0 = arg0.strip()
     if fn in _CASE_FNS:
         return _CASE_FNS[fn](arg0)
-    branches = [a.strip() for a in positional]
+    if fn == "#expr":
+        return _eval_int_expr(arg0)
+    branches = [a.strip() for a in args]
     if fn == "#if":
         if arg0:
             return branches[0] if branches else ""
@@ -220,13 +255,143 @@ def eval_parser_function(raw_name: str, positional: list[str],
             return branches[1] if len(branches) > 1 else ""
         return branches[2] if len(branches) > 2 else ""
     if fn == "#switch":
-        cases = {k.strip(): v for k, v in named.items()}
-        if arg0 in cases:
-            return cases[arg0]
-        if "#default" in cases:
-            return cases["#default"]
-        return branches[-1] if branches else ""
+        # in-order walk with bare-case fallthrough: a bare entry whose
+        # trimmed text equals the key matches and takes the value of
+        # the NEXT ``= value`` entry; only a trailing bare entry is the
+        # default (earlier bare entries are case names, never defaults)
+        default: str | None = None
+        matched = False
+        last = len(args) - 1
+        for i, a in enumerate(args):
+            eq = _arg_eq_split(a)
+            if eq >= 0:
+                k = a[:eq].strip()
+                v = a[eq + 1:].strip()
+                if matched or k == arg0:
+                    return v
+                if k == "#default":
+                    default = v
+            else:
+                bare = a.strip()
+                if bare == arg0:
+                    matched = True
+                elif i == last and not matched:
+                    default = bare
+        return default if default is not None else ""
     return None
+
+
+_EXPR_TOKEN_RE = re.compile(r"\s*(\d+|[()+\-*]|div|mod|round)\s*")
+
+
+def _eval_int_expr(src: str) -> str | None:
+    """Integer-only ``{{#expr:}}`` evaluator: ``+ - * div mod round``,
+    parentheses, unary minus (precedence: unary > ``*``/``div``/``mod``
+    > ``+``/``-`` > ``round``, matching MediaWiki's table restricted to
+    integers). Any other token — floats, ``/``, comparisons, ``e`` —
+    returns None so the invocation stays in the text and strip_markup
+    drops it (the documented unsupported-function path). ``x round n``
+    with n >= 0 is the identity on integers; n < 0 rounds to a power of
+    ten, half away from zero like MediaWiki."""
+    tokens: list[str] = []
+    pos = 0
+    while pos < len(src):
+        m = _EXPR_TOKEN_RE.match(src, pos)
+        if m is None:
+            return None  # unsupported token (float, '/', comparison, ...)
+        tokens.append(m.group(1))
+        pos = m.end()
+    if not tokens:
+        return None
+    it = {"i": 0}
+
+    def peek() -> str | None:
+        return tokens[it["i"]] if it["i"] < len(tokens) else None
+
+    def take() -> str:
+        t = tokens[it["i"]]
+        it["i"] += 1
+        return t
+
+    def primary() -> int | None:
+        t = peek()
+        if t is None:
+            return None
+        if t == "-":
+            take()
+            v = primary()
+            return None if v is None else -v
+        if t == "+":
+            take()
+            return primary()
+        if t == "(":
+            take()
+            v = rounded()
+            if v is None or peek() != ")":
+                return None
+            take()
+            return v
+        if t.isdigit():
+            take()
+            return int(t)
+        return None
+
+    def term() -> int | None:
+        v = primary()
+        if v is None:
+            return None
+        while peek() in ("*", "div", "mod"):
+            op = take()
+            r = primary()
+            if r is None:
+                return None
+            if op == "*":
+                v = v * r
+            elif r == 0:
+                return None  # division by zero -> unsupported residue
+            elif op == "div":
+                # MediaWiki div is real division; integer-exact only
+                if v % r != 0:
+                    return None
+                v = v // r
+            else:
+                # MediaWiki mod is C-style (truncated), not Python floor
+                v = int(math.fmod(v, r))
+        return v
+
+    def addsub() -> int | None:
+        v = term()
+        if v is None:
+            return None
+        while peek() in ("+", "-"):
+            op = take()
+            r = term()
+            if r is None:
+                return None
+            v = v + r if op == "+" else v - r
+        return v
+
+    def rounded() -> int | None:
+        v = addsub()
+        if v is None:
+            return None
+        while peek() == "round":
+            take()
+            r = addsub()
+            if r is None:
+                return None
+            if r < 0:
+                p = 10 ** (-r)
+                # half away from zero, like MediaWiki round
+                sign = -1 if v < 0 else 1
+                v = sign * ((abs(v) + p // 2) // p) * p
+            # r >= 0: identity on integers
+        return v
+
+    out = rounded()
+    if out is None or it["i"] != len(tokens):
+        return None
+    return str(out)
 
 
 def expand_templates(text: str, lookup, max_depth: int = 8,
@@ -258,16 +423,18 @@ def expand_templates(text: str, lookup, max_depth: int = 8,
             inner = m.group(1)
             if inner.startswith("{"):  # parameter placeholder, not ours
                 continue
-            raw_name, positional, named = split_template_args(inner)
+            parts = _split_pipes(inner)
+            raw_name, raw_args = parts[0], parts[1:]
             # parser functions / magic words evaluate inline (innermost
-            # -first, so nested functions resolve across rounds)
-            val = eval_parser_function(raw_name, positional, named,
-                                       page_title)
+            # -first, so nested functions resolve across rounds); they
+            # get the RAW pipe-split args — only #switch reads 'k=v'
+            val = eval_parser_function(raw_name, raw_args, page_title)
             if val is None:
                 name = normalize_template_name(raw_name)
                 body = lookup(name) if name is not None else None
                 if body is None:
                     continue  # unknown: leave for strip_markup
+                positional, named = _classify_args(raw_args)
                 val = _substitute_params(body, positional, named)
             out.append(text[pos:m.start()])
             out.append(val)

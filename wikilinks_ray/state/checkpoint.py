@@ -38,6 +38,20 @@ def _write_manifest(iter_dir: str, manifest: dict) -> None:
                     json.dumps(manifest, indent=1))
 
 
+def _uncommit(iter_dir: str) -> None:
+    """Delete a pre-existing manifest BEFORE rewriting any chunk file.
+
+    A resumed job may re-save an iteration whose directory already holds
+    a complete manifest (e.g. it crashed after the save but before
+    recording progress elsewhere). Rewriting chunks in place under an
+    intact manifest would let a second crash mid-rewrite hand the next
+    reader torn/mixed chunks as committed (ADVICE round 4, medium).
+    Manifest-absent => iteration incomplete, always."""
+    mpath = fsio.join(iter_dir, "MANIFEST.json")
+    if fsio.exists(mpath):
+        fsio.delete_file(mpath)
+
+
 def _read_manifest(iter_dir: str) -> dict | None:
     mpath = fsio.join(iter_dir, "MANIFEST.json")
     if not fsio.exists(mpath):
@@ -52,6 +66,7 @@ def save_checkpoint(ckpt_dir: str, iteration: int, chunks: list[np.ndarray],
                     metrics: dict) -> str:
     d = fsio.join(ckpt_dir, f"iter-{iteration:06d}")
     fsio.makedirs(d)
+    _uncommit(d)
     entries = []
     for p, arr in enumerate(chunks):
         path = fsio.join(d, f"chunk-{p:05d}.npy")
@@ -70,6 +85,7 @@ def save_checkpoint_multi(ckpt_dir: str, iteration: int,
     manifest written last."""
     d = fsio.join(ckpt_dir, f"iter-{iteration:06d}")
     fsio.makedirs(d)
+    _uncommit(d)
     entries = []
     for name, chunks in named_chunks.items():
         for p, arr in enumerate(chunks):

@@ -160,6 +160,14 @@ def shard_edges(
                 return paths
         except (OSError, UnicodeDecodeError):
             pass  # torn sentinel -> rebuild
+    # rebuild path: UNCOMMIT first. If a stale sentinel with a matching
+    # stamp survived while shard files are rewritten in place, a crash
+    # mid-rewrite would make the next run serve torn/mixed shards as
+    # committed (ADVICE round 4, medium). Delete-sentinel-then-write
+    # keeps the invariant: sentinel present+matching => every data file
+    # complete.
+    if fsio.exists(done):
+        fsio.delete_file(done)
     fsio.makedirs(out_dir)
     bounds = vertex_ranges(n_vertices, num_shards)
     other = "dst" if by == "src" else "src"
