@@ -994,6 +994,38 @@ def test_near_dup_clusters_long_chain_converges(ray_session):
     assert all(v == 0 for v in got.values())
 
 
+def test_near_dup_clusters_components_fallback(ray_session):
+    """broadcast_limit guardrail: forcing the limit below the member
+    count must auto-route to the CSR shard-actor components path and
+    produce clusters IDENTICAL to the broadcast hook+jump path —
+    chains, stars, a cycle, and untouched singletons."""
+    import ray.data as rd
+
+    from wikilinks_ray.ops.dedup import near_dup_clusters
+
+    pair_items = (
+        [{"a": i, "b": i + 1} for i in range(0, 20)]          # chain
+        + [{"a": 50, "b": 50 + j} for j in range(1, 6)]        # star
+        + [{"a": 70, "b": 71}, {"a": 71, "b": 72},
+           {"a": 72, "b": 70}]                                 # cycle
+    )
+    pairs = rd.from_items(pair_items)
+    all_ids = sorted({p["a"] for p in pair_items}
+                     | {p["b"] for p in pair_items} | {90, 91})
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(all_ids, pa.int64()),
+        "text": pa.array(["x"] * len(all_ids), pa.string()),
+    }))
+    broadcast = {r["doc_id"]: r["cluster"]
+                 for r in near_dup_clusters(docs, pairs=pairs).take_all()}
+    routed = {r["doc_id"]: r["cluster"]
+              for r in near_dup_clusters(docs, pairs=pairs,
+                                         broadcast_limit=1).take_all()}
+    assert routed == broadcast
+    assert routed[90] == 90 and routed[91] == 91
+    assert routed[70] == routed[71] == routed[72] == 70
+
+
 def test_bpe_tokenizer_dialects_agree():
     """The engine's Python regex and the oracle's RE2 twin must split
     identically — differential check on adversarial strings (unicode

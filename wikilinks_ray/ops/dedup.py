@@ -1106,6 +1106,7 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     max_rounds: int = 32,
     num_partitions: int = 4,
+    broadcast_limit: int = 50_000_000,
 ) -> "ray.data.Dataset":
     """Assign every document a near-dup CLUSTER id: the smallest doc_id
     reachable through the near-dup pair graph (connected components over
@@ -1124,9 +1125,20 @@ def near_dup_clusters(
     converges in O(log component size) Dataset rounds instead of
     O(diameter). The corpus itself is touched exactly once, at the
     final cluster assignment. ``max_rounds`` is an assert-guard, not a
-    knob. Past broadcastable pair scale, swap the label map for the CSR
-    shard-actor components pipeline (pipelines/components.py) over the
-    pair edges — same semantics, shuffle-free supersteps.
+    knob.
+
+    GUARDRAIL, not prose: the label map is driver-resident
+    (16 B/member), so when the distinct pair-member count exceeds
+    ``broadcast_limit`` (default 50M — ~800 MB of member+label arrays,
+    the edge of one driver heap's comfort at 100 TB boilerplate dup
+    rates) the whole hook+jump plan is bypassed and clustering
+    auto-routes to the CSR shard-actor components pipeline
+    (pipelines/components.py) over the symmetrized pair edges — same
+    semantics (hash-min == smallest reachable id), shuffle-free
+    supersteps, labels resident in per-range actors, final assignment
+    via a distributed left-outer join instead of a broadcast lookup.
+    ``tests/test_ops.py::test_near_dup_clusters_components_fallback``
+    forces the fallback and asserts identical clusters on both paths.
     """
     from ..stages.agg import grouped_agg
 
@@ -1156,9 +1168,13 @@ def near_dup_clusters(
     # — all driver-side label work is vectorized numpy (searchsorted
     # gathers, l = l[l] pointer jumps), never a Python dict over the
     # member set (measured 4×+ at millions of dup pairs)
-    members = np.sort(grouped_agg(edges, ["src"], "src", "min",
-                                  out_col="label")
-                      .to_pandas()["src"].to_numpy().astype(np.int64))
+    members_ds = grouped_agg(edges, ["src"], "src", "min",
+                             out_col="label").materialize()
+    if members_ds.count() > broadcast_limit:
+        return _clusters_via_components(docs, edges, id_col,
+                                        num_partitions=num_partitions)
+    members = np.sort(
+        members_ds.to_pandas()["src"].to_numpy().astype(np.int64))
     labels = members.copy()
 
     def jump(lab_idx: np.ndarray) -> np.ndarray:
@@ -1215,3 +1231,76 @@ def near_dup_clusters(
 
     return docs.select_columns([id_col]).map_batches(
         assign, batch_format="pyarrow")
+
+
+def _clusters_via_components(
+    docs: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    id_col: str,
+    *,
+    num_partitions: int = 4,
+) -> "ray.data.Dataset":
+    """near_dup_clusters' past-broadcast-scale path: hash-min connected
+    components over the SYMMETRIZED pair edges via the CSR shard-actor
+    pipeline (pipelines/components.py — oracle-green, 4M-soak-proven).
+
+    Scale shape: the vertex space is the raw id space, so per-range
+    label arrays cost 8 B/vertex spread across the pool (docs COUNT, not
+    corpus bytes); requires near-dense integer ids — this engine's doc
+    ids are dense ranks (stages/ids.assign_dense_ids), asserted below.
+    Only label-changed vertices (non-root dup members) leave the actors,
+    as per-range arrow tables; the final assignment is a distributed
+    left-outer join (cluster = coalesce(label, id)) — nothing
+    member-sized ever lands on the driver.
+    """
+    import uuid
+
+    import pyarrow.compute as pc
+
+    from ..pipelines.components import connected_components
+    from ..state import fsio
+    from ..state.csr import create_shard_actors, default_num_shards, \
+        shard_edges
+
+    n_vertices = int(edges.max("src")) + 1
+    n_docs = docs.count()
+    assert n_vertices <= max(8 * n_docs, 1 << 22), (
+        f"near_dup_clusters components route needs near-dense int ids: "
+        f"id space {n_vertices} vs {n_docs} docs — densify upstream "
+        f"(stages/ids.assign_dense_ids) before clustering")
+    P = default_num_shards(n_vertices)
+    shard_dir = fsio.join("/tmp/wikilinks_ray_dedup_cc", uuid.uuid4().hex)
+    paths = shard_edges(edges, n_vertices, P, shard_dir, by="src")
+    actors, _ = create_shard_actors(paths, n_vertices)
+    try:
+        res = connected_components(actors, n_vertices)
+        assert res.converged, "pair-graph components hit max_iter"
+
+        @ray.remote
+        def diff_table(chunk: np.ndarray, lo: int) -> pa.Table:
+            v = np.arange(lo, lo + len(chunk), dtype=np.int64)
+            m = chunk != v
+            return pa.table({id_col: pa.array(v[m]),
+                             "cluster": pa.array(chunk[m].astype(np.int64))})
+
+        refs = [diff_table.remote(c, int(res.bounds[i]))
+                for i, c in enumerate(res.labels)]
+        diff = ray.data.from_arrow_refs(refs).materialize()
+    finally:
+        for a in actors:
+            ray.kill(a)
+
+    ids = docs.select_columns([id_col])
+    if diff.count() == 0:
+        return ids.map_batches(
+            lambda t: pa.table({id_col: t.column(id_col),
+                                "cluster": t.column(id_col)}),
+            batch_format="pyarrow")
+    joined = ids.join(diff, "left_outer", num_partitions, on=(id_col,))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cl = pc.coalesce(t.column("cluster"), t.column(id_col))
+        return pa.table({id_col: t.column(id_col),
+                         "cluster": cl.cast(pa.int64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
