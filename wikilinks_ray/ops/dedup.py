@@ -859,9 +859,12 @@ def _near_dup_pairs_broadcast(emb, threshold, id_col, vec_col):
     ref = ray.put((ids, M))
 
     def block(t: pa.Table) -> pa.Table:
+        from .similarity import unpack_embeddings
+
         bids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        B = np.stack(t.column(vec_col).to_pylist()).astype(np.float64)
-        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        # zero-copy unpack is read-only: normalize out-of-place
+        B = unpack_embeddings(t, vec_col)
+        B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
         gids, gM = ray.get(ref)
         S = B @ gM.T
         bi, gj = np.nonzero(S >= threshold)
@@ -883,9 +886,12 @@ def _near_dup_pairs_lsh(emb, threshold, id_col, vec_col,
     from .similarity import _HyperplaneLSH
 
     def assign(t: pa.Table) -> pa.Table:
+        from .similarity import unpack_embeddings
+
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        M = np.stack(t.column(vec_col).to_pylist()).astype(np.float64)
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        # zero-copy unpack is read-only: normalize out-of-place
+        M = unpack_embeddings(t, vec_col)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         # planes are seeded + tiny: rebuild per task beats shipping refs
         lsh = _HyperplaneLSH(M.shape[1], n_planes, n_tables, seed)
         tables, buckets, oid, vecs = [], [], [], []
