@@ -90,6 +90,45 @@ def test_registered_subtree_scheme(ray_session, tmp_path):
         fsio.unregister_scheme("wltest")
 
 
+def test_actor_object_store_scheme(ray_session):
+    """The non-POSIX gate: shard build (worker-task writes), actor load,
+    sentinel reuse, and checkpoint resume against a flat-key mock object
+    store with NO renames, NO mtimes, and virtual directories (one Ray
+    actor = one namespace visible from every worker process). Any code
+    path that regressed to tmp+rename, directory mtimes, or bare
+    local paths fails loudly here."""
+    from wikilinks_ray.state.mockstore import ActorObjectStoreFS, \
+        BlobStoreActor
+
+    store = BlobStoreActor.remote()
+    fs = pafs.PyFileSystem(pafs.FSSpecHandler(ActorObjectStoreFS(store)))
+    fsio.register_scheme("mock", fs)
+    try:
+        _drive_graph("mock://graph")
+        keys = ray.get(store.keys.remote("graph/"))
+        assert "graph/_SHARDS_OK" in keys
+        assert sum(k.endswith(".parquet") for k in keys) == 3
+
+        # checkpoint save -> resume over the same store
+        ck = "mock://ckpt"
+        save_checkpoint(ck, 0, [np.arange(6), np.arange(2)], {"d": 1.0})
+        save_checkpoint(ck, 3, [np.arange(6) * 3, np.arange(2) * 3],
+                        {"d": 0.1})
+        it, chunks, metrics = latest_checkpoint(ck)
+        assert it == 3 and metrics["d"] == 0.1
+        assert (chunks[0] == np.arange(6) * 3).all()
+
+        # torn-object semantics: delete the sentinel (a crashed rebuild)
+        # -> shards must NOT be served as committed
+        ray.get(store.delete.remote("graph/_SHARDS_OK"))
+        edges = ray.data.from_arrow(_edge_table())
+        paths = shard_edges(edges, 50, 3, "mock://graph")
+        assert fsio.exists("mock://graph/_SHARDS_OK")
+        assert all(fsio.exists(p) for p in paths)
+    finally:
+        fsio.unregister_scheme("mock")
+
+
 def test_torn_manifest_falls_back(tmp_path):
     ck = f"local://{tmp_path}/ckpt"
     save_checkpoint(ck, 0, [np.arange(4)], {"delta": 1.0})
