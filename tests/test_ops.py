@@ -1105,6 +1105,11 @@ def test_bpe_tokenizer_dialects_agree():
         "", "   ", "'s's's", "a'd b're c've d'm",
         "ümlaut Öffnung ß straße",
         "e.g., i.e.; etc... 100% $5.99 #tag @user",
+        # Number-letter / Number-other characters (ADVICE r4 low): RE2
+        # \p{N} includes Nl/No, Python \d does not — the frozen _NLNO
+        # class must keep the twins identical on them
+        "Ⅷ3 abcⅧ 2¾ cups ① item Ⅻ.Ⅷ 中文Ⅷ3中文",
+        "x² + y³ = z¹ ⅔⅕ ¼kg 〇九 ๑๒๓",
     ]
     con = duckdb.connect()
     for s in tests:
@@ -1112,6 +1117,30 @@ def test_bpe_tokenizer_dialects_agree():
         sql = con.execute("SELECT regexp_extract_all(?, ?)",
                           [s, BPE_RE2_PATTERN]).fetchone()[0]
         assert py == sql, (s, py, sql)
+
+
+def test_bpe_nlno_class_pins_unicodedata():
+    """The frozen _NLNO class must equal a fresh Nl/No scan of THIS
+    interpreter's unicodedata — catches Unicode-version drift without
+    paying a 1.1M-codepoint scan per worker process."""
+    import sys
+    import unicodedata
+
+    from wikilinks_ray.ops.text import _NLNO
+
+    want = {cp for cp in range(sys.maxunicode + 1)
+            if unicodedata.category(chr(cp)) in ("Nl", "No")}
+    # expand the class's a-b runs back into a codepoint set
+    got, i = set(), 0
+    while i < len(_NLNO):
+        a = ord(_NLNO[i])
+        if i + 2 < len(_NLNO) and _NLNO[i + 1] == "-":
+            got.update(range(a, ord(_NLNO[i + 2]) + 1))
+            i += 3
+        else:
+            got.add(a)
+            i += 1
+    assert got == want
 
 
 def test_bpe_token_counts(ray_session):
