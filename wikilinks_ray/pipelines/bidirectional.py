@@ -44,7 +44,9 @@ def _bd_reduce_impl(lo: int, level: int, dist: np.ndarray, parent: np.ndarray,
 
     Plain function: route queries are LATENCY-bound, so this runs as a
     CSRShardActor method (warm actor dispatch) rather than a spawned
-    task per range per level — see CSRShardActor.bd_reduce.
+    task per range per level — see CSRShardActor.bd_step, which fuses
+    this reduce with the immediately-following expansion of the new
+    frontier (one actor hop per level instead of two).
 
     Returns 4 values: (dist|None, parent|None, frontier, packed) where
     packed = (count, meet_vertices, meet_totals). The small per-level
@@ -100,10 +102,8 @@ class _Side:
         dist_t, parent_t = _template_refs(n_vertices, bounds, sizes)
         self.dist = list(dist_t)
         self.parent = list(parent_t)
-        # frontier chunks live in the object store (refs) after the first
-        # expansion; only per-chunk counts transit the driver
-        self.frontier = [np.empty(0, np.int64) for _ in sizes]
         self.counts = [0] * len(sizes)
+        P = len(sizes)
         p0 = int(np.searchsorted(bounds, start, side="right") - 1)
         dist = np.full(sizes[p0], -1, dtype=np.int32)
         parent = np.full(sizes[p0], -1, dtype=np.int64)
@@ -111,64 +111,68 @@ class _Side:
         parent[start - bounds[p0]] = start
         self.dist[p0] = ray.put(dist)
         self.parent[p0] = ray.put(parent)
-        self.frontier[p0] = np.array([start], dtype=np.int64)
         self.counts[p0] = 1
         self.depth = 0
+        # Bootstrap: expand the start vertex once (non-blocking). Every
+        # later expansion happens INSIDE bd_step, fused with the reduce
+        # — cand[q] always holds the refs of next-level candidates
+        # destined to range q, produced by the previous wave's steps.
+        f0 = np.array([start], dtype=np.int64)
+        if P > 1:
+            ex0 = actors[p0].bfs_expand_mono.options(
+                num_returns=P).remote(f0)
+        else:
+            ex0 = [actors[p0].bfs_expand_mono.remote(f0)]
+        self.cand = [[ex0[q]] for q in range(P)]
 
     def frontier_size(self) -> int:
         return sum(self.counts)
 
-    def launch_expand(self, _other: "_Side") -> dict:
-        """Phase 1 of one level: submit the expansions, non-blocking.
-
-        Ray actors execute one caller's submissions in order, so in dual
-        mode BOTH sides' expands must be enqueued before EITHER side's
-        reduces — otherwise an f-reduce queued on a b-actor head-of-line
-        blocks b's own expand and the round degenerates to sequential."""
+    def start(self, other: "_Side") -> list:
+        """Launch one full level, non-blocking: ONE fused bd_step call
+        per range on this side's OWN pool (reduce this level's pending
+        candidates, then expand the new frontier in place — the
+        expansion for the next level is already running when the driver
+        reads this level's meets). In dual mode the two sides run on
+        disjoint pools, so they overlap without any cross-queueing.
+        other.dist refs are captured BEFORE the opposite side's
+        concurrent step swaps them, so meets are judged against the
+        pre-round state of the other search — same-round double
+        discoveries are caught by the caller's frontier intersection."""
         P = len(self.actors)
         self.depth += 1
-        active = [p for p in range(P) if self.counts[p]]
-        if P > 1:
-            return {p: self.actors[p].bfs_expand_mono.options(
-                num_returns=P).remote(self.frontier[p]) for p in active}
-        return {p: [self.actors[p].bfs_expand_mono.remote(self.frontier[p])]
-                for p in active}
-
-    def launch_reduce(self, ex: dict, other: "_Side") -> list:
-        """Phase 2: submit the per-range reduces, non-blocking.
-
-        Reduce runs on the OPPOSITE side's shard actors (each actor's
-        queue per round is [expand_own, reduce_other] — the expand goes
-        first, so the two directions genuinely overlap). other.dist refs
-        are read BEFORE the opposite side's concurrent reduce swaps
-        them, so meets are judged against the pre-round state of the
-        other search — same-round double discoveries are caught by the
-        caller's frontier intersection."""
-        P = len(self.actors)
-        active = list(ex.keys())
         return [
-            other.actors[q].bd_reduce.options(num_returns=4).remote(
+            self.actors[q].bd_step.options(num_returns=P + 4).remote(
                 int(self.bounds[q]), self.depth, self.dist[q], self.parent[q],
-                other.dist[q],
-                *[ex[p][q] for p in active])
+                other.dist[q], *self.cand[q])
             for q in range(P)
         ]
 
-    def start(self, other: "_Side") -> list:
-        """Launch one full level (expand + reduce), non-blocking."""
-        return self.launch_reduce(self.launch_expand(other), other)
+    def level_refs(self, out: list, fetch_frontier: bool = False) -> list:
+        """The small per-level refs ``finish`` needs: P packed objects
+        (+ P frontier arrays in dual mode). Exposed so the dual loop can
+        fetch BOTH sides' levels in a single ``ray.get`` wave."""
+        P = len(self.actors)
+        refs = [o[P + 3] for o in out]  # one packed small object per range
+        if fetch_frontier:
+            refs += [o[P + 2] for o in out]
+        return refs
 
-    def finish(self, out: list, fetch_frontier: bool = False):
+    def finish(self, out: list, fetch_frontier: bool = False,
+               flat: list | None = None):
         """Collect one level: returns (meet_vertices, total_lengths,
-        newly_discovered_vertices). ONE driver round-trip.
+        newly_discovered_vertices). ONE driver round-trip (or zero when
+        the caller pre-fetched ``flat`` = ray.get(level_refs(...)) —
+        the dual loop batches both sides into one get).
         ``fetch_frontier`` additionally pulls the new frontier arrays
         (needed only for the dual-expansion cross-meet check — skipped
-        otherwise: a large frontier would cost a driver transfer)."""
+        otherwise: a large frontier would cost a driver transfer).
+
+        bd_step returns P+4 refs per range: [0:P] next-level candidates
+        by dst range, then dist|None, parent|None, frontier, packed."""
         P = len(self.actors)
-        refs = [o[3] for o in out]  # one packed small object per range
-        if fetch_frontier:
-            refs += [o[2] for o in out]
-        flat = ray.get(refs)
+        if flat is None:
+            flat = ray.get(self.level_refs(out, fetch_frontier))
         packed = flat[:P]
         counts = [pk[0] for pk in packed]
         meets = [pk[1] for pk in packed]
@@ -178,11 +182,10 @@ class _Side:
         # dist/parent refs instead of swapping in the placeholder
         for q in range(P):
             if counts[q]:
-                self.dist[q] = out[q][0]
-                self.parent[q] = out[q][1]
-                self.frontier[q] = out[q][2]
-            else:
-                self.frontier[q] = np.empty(0, np.int64)
+                self.dist[q] = out[q][P]
+                self.parent[q] = out[q][P + 1]
+        # next wave reduces THIS wave's expansion outputs
+        self.cand = [[out[p][q] for p in range(P)] for q in range(P)]
         self.counts = counts
         mv = np.concatenate(meets) if meets else np.empty(0, np.int64)
         mt = np.concatenate(totals) if totals else np.empty(0, np.int64)
@@ -263,13 +266,17 @@ def bidirectional_route(fwd_actors, rev_actors, n_vertices: int,
         if best_total is not None and f.depth + b.depth + 1 >= best_total:
             break
         if sf and sb and sf + sb <= dual_expand_limit:
-            # both expands enqueue before any reduce (see launch_expand)
-            exf = f.launch_expand(b)
-            exb = b.launch_expand(f)
-            hf = f.launch_reduce(exf, b)
-            hb = b.launch_reduce(exb, f)
-            mvf, mtf, new_f = f.finish(hf, fetch_frontier=True)
-            mvb, mtb, new_b = b.finish(hb, fetch_frontier=True)
+            # one fused step wave per side, disjoint pools (see start);
+            # both sides' small per-level outputs in ONE ray.get wave
+            hf = f.start(b)
+            hb = b.start(f)
+            rf = f.level_refs(hf, fetch_frontier=True)
+            rb = b.level_refs(hb, fetch_frontier=True)
+            flat = ray.get(rf + rb)
+            mvf, mtf, new_f = f.finish(hf, fetch_frontier=True,
+                                       flat=flat[:len(rf)])
+            mvb, mtb, new_b = b.finish(hb, fetch_frontier=True,
+                                       flat=flat[len(rf):])
             consider(mvf, mtf)
             consider(mvb, mtb)
             cross = np.intersect1d(new_f, new_b)

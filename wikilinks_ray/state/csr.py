@@ -676,16 +676,33 @@ class CSRShardActor:
         ]
         return out if P > 1 else out[0]
 
-    def bd_reduce(self, lo: int, level: int, dist, parent, other_dist,
-                  *candidates):
-        """Bidirectional-BFS per-range reduce, co-located on the shard
-        pool: route queries are latency-bound and a warm actor call
-        beats spawning a task per range per level. Pure function of its
-        arguments (no actor state) — lives here only for dispatch."""
+    def bd_step(self, lo: int, level: int, dist, parent, other_dist,
+                *candidates):
+        """Fused bidirectional-BFS step: reduce level ``level``'s
+        candidates destined to this range, then immediately expand the
+        newly-discovered frontier over this shard's own adjacency
+        (a range's new frontier lives in that range by construction,
+        and this actor owns its out-edges) — emitting the NEXT level's
+        candidates pre-partitioned by dst range.
+
+        Route queries are bound by per-level round latency: fusing the
+        reduce into the same dispatch as the following expand halves the
+        actor hops per level (expand->reduce was two chained actor calls
+        per level; now one call per level plus a one-off bootstrap
+        expand). Pure function of its arguments (no actor state).
+
+        Returns P+4 values: (P per-dst-range candidate triples...,
+        dist|None, parent|None, frontier, packed) — the reduce tail is
+        exactly ``_bd_reduce_impl``'s contract."""
         from ..pipelines.bidirectional import _bd_reduce_impl
 
-        return _bd_reduce_impl(lo, level, dist, parent, other_dist,
-                               *candidates)
+        new_dist, new_parent, frontier, packed = _bd_reduce_impl(
+            lo, level, dist, parent, other_dist, *candidates)
+        ex = self.bfs_expand_mono(frontier)
+        P = len(self.bounds) - 1
+        if P == 1:
+            ex = [ex]
+        return (*ex, new_dist, new_parent, frontier, packed)
 
     def bfs_expand_mono(self, frontier_v: np.ndarray):
         """Single-source expansion: like bfs_expand with sid=0 for all
