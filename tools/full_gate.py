@@ -1,0 +1,153 @@
+"""Full local correctness gate -> CORRECTNESS_r{N}_full.json.
+
+Runs EVERY ``queries()`` entry against its DuckDB oracle at sf0.01,
+then a high-risk + tail subset at sf0.1 (the same 40-query set the
+round-4 verdict trusted), and writes one JSON artifact stamped with the
+git HEAD it ran against — so the judge can verify the full gate ran for
+the committed tree, not an earlier one (ADVICE r4: the driver's
+external gate only checks the first 50 queries).
+
+Each scale factor runs in a FRESH subprocess so Ray state can't leak
+between runs.
+
+Usage: python tools/full_gate.py <round>   # writes CORRECTNESS_r{N}_full.json
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+# the 40-entry sf0.1 re-verification set (round-4 precedent): the 20
+# high-risk dedup/similarity/text/sample/pack/classify entries plus the
+# relational/wiki/window tail that sits past the driver gate's first-50
+# window after the round-4 registry reorder
+SF01_SET = [
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_spans",
+    "embedding_near_dups", "similarity_topk", "similarity_lsh",
+    "similarity_ivf", "curate_docs", "media_decode", "text_token_counts",
+    "text_langid", "text_decontaminate", "text_repetition",
+    "text_scrub_pii", "sample_mix", "pack_sequences", "classify_quality",
+    "wiki_template_links", "wiki_prefix", "graph_out_degree",
+    "url_host_parse", "supplier_approx_distinct", "pricing_summary",
+    "top_customers", "customers_no_orders", "nation_revenue",
+    "events_gaps", "events_windowed", "events_sessions", "events_sliding",
+    "supplier_distinct_parts", "supplier_qty_quantiles",
+    "supplier_top_orders", "doc_source_stats", "top_parts",
+    "dedup_clusters", "text_bpe_tokens",
+]
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, ".")
+import duckdb
+import numpy as np
+import ray
+
+ray.init(address="local", num_cpus=16, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+
+import __ray_entry__ as entry
+from tools.check_correctness import TABLES, to_df, compare
+
+sf_dir = sys.argv[1]
+only = json.loads(sys.argv[2])
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+qs = entry.queries()
+oracles = entry.oracle_sql()
+results = {}
+failures = 0
+for name, fn in qs.items():
+    if only and name not in only:
+        continue
+    t0 = time.perf_counter()
+    try:
+        ray_df = to_df(fn(sf_dir))
+        err = None
+    except Exception as e:  # noqa: BLE001
+        results[name] = {"rows_match": False, "schema_match": False,
+                         "hash_match": False, "rows": None,
+                         "sec": round(time.perf_counter() - t0, 1),
+                         "err": f"{type(e).__name__}: {e}"}
+        failures += 1
+        print(f"FAIL {name}: {type(e).__name__}: {e}", flush=True)
+        continue
+    dt = round(time.perf_counter() - t0, 1)
+    if name not in oracles:
+        results[name] = {"rows_match": None, "schema_match": None,
+                         "hash_match": None, "rows": len(ray_df),
+                         "sec": dt, "err": None, "rows_only": True}
+        print(f"rows {name}: {len(ray_df)} ({dt}s)", flush=True)
+        continue
+    sql_df = con.execute(oracles[name]).df()
+    problems = compare(name, ray_df, sql_df)
+    ok = not problems
+    results[name] = {
+        "rows_match": len(ray_df) == len(sql_df),
+        "schema_match": sorted(ray_df.columns) == sorted(sql_df.columns),
+        "hash_match": ok, "rows": len(ray_df), "sec": dt,
+        "err": "; ".join(problems) if problems else None}
+    if not ok:
+        failures += 1
+        print(f"FAIL {name}: {'; '.join(problems)}", flush=True)
+    else:
+        print(f"ok   {name}: {len(ray_df)} rows ({dt}s)", flush=True)
+
+ray.shutdown()
+json.dump({"n_queries": len(results), "n_failures": failures,
+           "results": results}, open(sys.argv[3], "w"), indent=1)
+"""
+
+
+def run_scale(sf_dir: str, only: list[str], out: str) -> dict:
+    r = subprocess.run([sys.executable, "-c", _CHILD, sf_dir,
+                        json.dumps(only), out], cwd="/root/repo")
+    if r.returncode != 0:
+        print(f"child for {sf_dir} exited {r.returncode}", file=sys.stderr)
+    with open(out) as f:
+        return json.load(f)
+
+
+def main():
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    head = subprocess.run(["git", "rev-parse", "HEAD"], cwd="/root/repo",
+                          capture_output=True, text=True).stdout.strip()
+    dirty = bool(subprocess.run(
+        ["git", "status", "--porcelain"], cwd="/root/repo",
+        capture_output=True, text=True).stdout.strip())
+    t0 = time.time()
+    sf001 = run_scale("/root/testdata/sf0.01", [], "/tmp/gate_sf001.json")
+    sf01 = run_scale("/root/testdata/sf0.1", SF01_SET, "/tmp/gate_sf01.json")
+    artifact = {
+        "note": ("supplementary FULL gate: every queries() entry vs its "
+                 "DuckDB oracle (tools/full_gate.py). sf0.01 = all "
+                 f"{sf001['n_queries']} queries (the external driver gate "
+                 "checks only the first 50). sf0.1 = the 40-entry "
+                 "high-risk + past-the-window tail set. 'head' is the git "
+                 "commit this gate ran against."),
+        "head": head,
+        "worktree_dirty": dirty,
+        "ran_at_unix": int(t0),
+        "wall_s": round(time.time() - t0, 1),
+        "sf001": sf001,
+        "sf01_high_risk": sf01,
+    }
+    out = f"/root/repo/CORRECTNESS_r{rnd:02d}_full.json"
+    json.dump(artifact, open(out, "w"), indent=1)
+    total_fail = sf001["n_failures"] + sf01["n_failures"]
+    print(f"wrote {out}: sf001 {sf001['n_failures']}/{sf001['n_queries']} "
+          f"failures, sf0.1 {sf01['n_failures']}/{sf01['n_queries']} failures")
+    sys.exit(1 if total_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
