@@ -272,6 +272,54 @@ def test_topk_driver_collection_bounded(ray_session):
     assert ls.num_rows <= k * len(queries)
 
 
+def test_topk_merge_routes_identical(ray_session):
+    """_finalize_topk's size gate: the driver-merge leg (small
+    candidate streams) and the forced cluster grouped_topk leg
+    (driver_merge_limit=0) must produce byte-identical ranked rows."""
+    import ray
+    import ray.data as rd
+
+    from wikilinks_ray.ops import similarity as sim
+
+    rng = np.random.default_rng(23)
+    M = rng.standard_normal((500, 8))
+    # duplicated vectors exercise the (cosine desc, vec_id asc) tie-break
+    M[100:110] = M[:10]
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(500), pa.int64()),
+        "embedding": pa.array(list(M), pa.list_(pa.float64())),
+    })).repartition(5)
+    queries, k = M[:6], 9
+
+    def score_stream():
+        Q = sim._normalize(np.asarray(queries, dtype=np.float64))
+        qref = ray.put(Q)
+
+        def score(t):
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            Mb = sim._normalize(sim.unpack_embeddings(t, "embedding"))
+            S = ray.get(qref) @ Mb.T
+            kk = min(k, S.shape[1])
+            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            return pa.table({
+                "query_id": pa.array(
+                    np.repeat(np.arange(S.shape[0]), kk), pa.int64()),
+                "vec_id": pa.array(ids[idx.ravel()].astype(np.int64),
+                                   pa.int64()),
+                "cosine": pa.array(
+                    np.take_along_axis(S, idx, axis=1).ravel(),
+                    pa.float64()),
+            })
+
+        return emb.map_batches(score, batch_format="pyarrow")
+
+    small = sim._finalize_topk(score_stream(), k)
+    forced = sim._finalize_topk(score_stream(), k, driver_merge_limit=0)
+    assert small.schema == forced.schema
+    assert small.equals(forced)
+    assert small.num_rows == k * len(queries)
+
+
 def test_unpack_embeddings_zero_copy_paths():
     """list<double>, fixed_size_list, sliced chunks, and the ragged /
     null fallbacks must all produce the same (n, d) float64 matrix."""
