@@ -82,6 +82,9 @@ def test_similarity_cluster_reduce():
     src = inspect.getsource(sim)
     assert "grouped_topk" in src, \
         "ops/similarity.py no longer reduces top-k in the cluster"
+    # the size gate SCALE.md documents must exist and be driver-safe
+    assert 0 < sim._DRIVER_MERGE_LIMIT <= 50_000_000
+    _assert_knob(sim._finalize_topk, "driver_merge_limit")
     _assert_knob(sim.ivf_top_k, "n_cells")
     assert "unpack_embeddings" in SCALE and callable(sim.unpack_embeddings)
 
@@ -119,7 +122,8 @@ def test_every_scale_gate_name_resolves():
     known_params = {
         "title_broadcast_limit", "dual_expand_limit", "salt",
         "num_buckets", "max_docs_per_shingle", "max_docs_per_bucket",
-        "max_bucket", "broadcast_limit", "checkpoint_every", "capacity",
+        "max_bucket", "broadcast_limit", "driver_merge_limit",
+        "checkpoint_every", "capacity",
         "n_cells", "num_partitions", "batch_size", "kind", "analytics",
         "route", "permille",
     }
