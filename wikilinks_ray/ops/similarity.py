@@ -135,13 +135,18 @@ def _finalize_topk(cands: "ray.data.Dataset", k: int, *,
             k)
     from ..stages.agg import grouped_topk
 
-    final = pa.concat_tables(ray.get(
-        grouped_topk(mat, "query_id", "cosine", k,
-                     tie_col="vec_id").to_arrow_refs()))
-    final = final.select(["query_id", "rank", "vec_id", "cosine"]).cast(
-        pa.schema([("query_id", pa.int64()), ("rank", pa.int64()),
-                   ("vec_id", pa.int64()), ("cosine", pa.float64())]))
-    return final.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    schema = pa.schema([("query_id", pa.int64()), ("rank", pa.int64()),
+                        ("vec_id", pa.int64()), ("cosine", pa.float64())])
+    # per-bucket blocks may differ in column order (and empty buckets in
+    # dtype), so normalize each block before the concat
+    blocks = [b.select(schema.names).cast(schema)
+              for b in ray.get(grouped_topk(mat, "query_id", "cosine", k,
+                                            tie_col="vec_id").to_arrow_refs())
+              if b.num_rows]
+    if not blocks:
+        return schema.empty_table()
+    return pa.concat_tables(blocks).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")])
 
 
 def brute_force_top_k(
@@ -151,6 +156,7 @@ def brute_force_top_k(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    driver_merge_limit: int = _DRIVER_MERGE_LIMIT,
 ) -> "pa.Table":
     """Exact cosine top-k: rows (query_id, rank, vec_id, cosine)."""
     Q = _normalize(np.asarray(queries, dtype=np.float64))
@@ -172,7 +178,8 @@ def brute_force_top_k(
             "cosine": pa.array(scores, pa.float64()),
         })
 
-    return _finalize_topk(emb.map_batches(score, batch_format="pyarrow"), k)
+    return _finalize_topk(emb.map_batches(score, batch_format="pyarrow"), k,
+                          driver_merge_limit=driver_merge_limit)
 
 
 def default_centroids(
@@ -450,6 +457,7 @@ def lsh_top_k(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    driver_merge_limit: int = _DRIVER_MERGE_LIMIT,
 ) -> "pa.Table":
     """Approximate cosine top-k: score only rows that share a probed
     bucket (exact or 1-bit flip) with a query in ANY of ``n_tables``
@@ -457,4 +465,5 @@ def lsh_top_k(
     return _finalize_topk(
         lsh_candidates(emb, queries, k, n_planes=n_planes,
                        n_tables=n_tables, id_col=id_col,
-                       vec_col=vec_col), k)
+                       vec_col=vec_col), k,
+        driver_merge_limit=driver_merge_limit)
