@@ -334,6 +334,31 @@ def test_expr_unsupported_forms_strip_to_nothing():
         assert links_of(f"{{{{#expr: {bad}}}}} [[Real Page]]") == ["Real Page"]
 
 
+def test_ifexist_takes_else_branch():
+    # no page table at parse time -> deterministic "does not exist",
+    # matching bliki's page-store-less default WikiModel
+    assert links_of(
+        "{{#ifexist: Some Page | [[Then Page]] | [[Else Page]]}}") == \
+        ["Else Page"]
+    assert links_of("{{#ifexist: Some Page | [[Then Page]]}}") == []
+
+
+def test_time_explicit_timestamp_subset():
+    from wikilinks_ray.functions.wikitext import expand_templates
+
+    ex = lambda s: expand_templates(s, TPL.get)
+    assert ex("{{#time: Y-m-d | 2004-07-09 13:05:02}}") == "2004-07-09"
+    assert ex("{{#time: j n Y | 2004-07-09}}") == "9 7 2004"
+    assert ex("{{#time: H:i:s | 20040709130502}}") == "13:05:02"
+    assert ex('{{#time: Y "year" | 2004-07-09}}') == "2004 year"
+    assert ex(r"{{#time: Y\H | 2004-07-09}}") == "2004H"
+    # unsupported: no timestamp (nondeterministic "now"), locale codes,
+    # unparseable timestamps, unclosed quote -> residue strips to nothing
+    for bad in ("{{#time: Y}}", "{{#time: F | 2004-07-09}}",
+                "{{#time: Y | yesterday}}", '{{#time: "x | 2004-07-09}}'):
+        assert links_of(f"{bad} [[Real Page]]") == ["Real Page"]
+
+
 def test_no_template_lookup_means_no_function_eval():
     # functions only evaluate on the opt-in expansion path, so the
     # default extraction stays byte-identical to its golden fixtures

@@ -225,10 +225,17 @@ def eval_parser_function(raw_name: str, args: list[str],
     - ``{{lc:|uc:|lcfirst:|ucfirst: x}}`` — case transforms.
     - ``{{PAGENAME}}``-family magic words — the current page title
       (title == base == sub: this engine's corpus has no subpages).
+    - ``{{#ifexist: title | then | else}}`` — always the ELSE branch:
+      no page table is visible at parse time, matching bliki's
+      page-store-less default WikiModel.
+    - ``{{#time: fmt | timestamp}}`` — EXPLICIT-timestamp subset only
+      (see :func:`_eval_time`); ``{{#time: fmt}}`` ("now") is
+      nondeterministic and stays unsupported.
 
-    Unsupported functions (``#ifexist``, ``#time``, ...) return None:
-    they stay in the text and ``strip_markup`` drops them, contributing
-    no links — the pre-round-4 behavior for ALL functions.
+    Unsupported forms (``#time`` without a timestamp, locale format
+    codes, float ``#expr``, ...) return None: they stay in the text and
+    ``strip_markup`` drops them, contributing no links — the
+    pre-round-4 behavior for ALL functions.
     """
     head = raw_name.strip()
     if ":" not in head:
@@ -278,7 +285,72 @@ def eval_parser_function(raw_name: str, args: list[str],
                 elif i == last and not matched:
                     default = bare
         return default if default is not None else ""
+    if fn == "#ifexist":
+        # No page table is visible at parse time: extraction is a
+        # streaming per-page map, and consulting the global title set
+        # would force a join before extraction. The reference's bliki
+        # WikiModel has no page store either and answers "does not
+        # exist" (its default Model), so the ELSE branch is the
+        # deterministic, parity-correct result.
+        return branches[1] if len(branches) > 1 else ""
+    if fn == "#time":
+        # deterministic subset only: an EXPLICIT timestamp argument.
+        # {{#time: fmt}} means "now" — nondeterministic, stays
+        # unsupported (None -> stripped).
+        return _eval_time(arg0, branches[0] if branches else "")
     return None
+
+
+def _eval_time(fmt: str, ts: str) -> str | None:
+    """``{{#time: format | timestamp}}`` over an explicit timestamp:
+    ISO ``YYYY-MM-DD [HH:MM:SS]`` or MediaWiki's 14-digit
+    ``YYYYMMDDHHMMSS``. Format codes: Y y n m j d H G i s,
+    ``"literal"`` quoting and ``\\x`` escapes. Any other alpha code
+    (locale/era/week forms), a missing/unparseable timestamp, or an
+    unclosed quote returns None — the whole invocation stays
+    unsupported residue, exactly like ``#expr`` on floats."""
+    ts = ts.strip()
+    if not ts:
+        return None
+    import datetime
+
+    dt = None
+    for pat in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%Y%m%d%H%M%S"):
+        try:
+            dt = datetime.datetime.strptime(ts, pat)
+            break
+        except ValueError:
+            continue
+    if dt is None:
+        return None
+    codes = {"Y": "%04d" % dt.year, "y": "%02d" % (dt.year % 100),
+             "n": str(dt.month), "m": "%02d" % dt.month,
+             "j": str(dt.day), "d": "%02d" % dt.day,
+             "H": "%02d" % dt.hour, "G": str(dt.hour),
+             "i": "%02d" % dt.minute, "s": "%02d" % dt.second}
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == '"':
+            j = fmt.find('"', i + 1)
+            if j < 0:
+                return None
+            out.append(fmt[i + 1:j])
+            i = j + 1
+            continue
+        if c == "\\" and i + 1 < len(fmt):
+            out.append(fmt[i + 1])
+            i += 2
+            continue
+        if c in codes:
+            out.append(codes[c])
+        elif c.isalpha():
+            return None
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
 
 
 _EXPR_TOKEN_RE = re.compile(r"\s*(\d+|[()+\-*]|div|mod|round)\s*")
