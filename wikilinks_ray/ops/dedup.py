@@ -1112,7 +1112,7 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     max_rounds: int = 32,
     num_partitions: int = 4,
-    broadcast_limit: int = 50_000_000,
+    broadcast_limit: int = 200_000,
 ) -> "ray.data.Dataset":
     """Assign every document a near-dup CLUSTER id: the smallest doc_id
     reachable through the near-dup pair graph (connected components over
@@ -1135,16 +1135,24 @@ def near_dup_clusters(
 
     GUARDRAIL, not prose: the label map is driver-resident
     (16 B/member), so when the distinct pair-member count exceeds
-    ``broadcast_limit`` (default 50M — ~800 MB of member+label arrays,
-    the edge of one driver heap's comfort at 100 TB boilerplate dup
-    rates) the whole hook+jump plan is bypassed and clustering
-    auto-routes to the CSR shard-actor components pipeline
+    ``broadcast_limit`` the whole hook+jump plan is bypassed and
+    clustering auto-routes to the CSR shard-actor components pipeline
     (pipelines/components.py) over the symmetrized pair edges — same
     semantics (hash-min == smallest reachable id), shuffle-free
     supersteps, labels resident in per-range actors, final assignment
     via a distributed left-outer join instead of a broadcast lookup.
     ``tests/test_ops.py::test_near_dup_clusters_components_fallback``
     forces the fallback and asserts identical clusters on both paths.
+
+    The default (200k members) is a measured PERFORMANCE crossover,
+    not just a driver-heap ceiling: ``tools/soak_r5.py`` on
+    chain/star/clique pair graphs measures the components leg faster
+    from ~110k members up (9.9 vs 23.2 s at 110k members, 8.7 vs
+    66.6 s at 2.2M, 15.9 vs 499.5 s at 8.8M — each hook round is a
+    full Dataset pass, while the shard actors iterate in-heap), and
+    deep chains make hook+jump degrade at ANY scale. Below the limit
+    the driver path wins on zero actor-pool spin-up (~2-4 s) —
+    gate-scale runs stay on it.
     """
     from ..stages.agg import grouped_agg
 
