@@ -765,6 +765,133 @@ def test_pgm_codec_real_decode(ray_session):
         assert (w, h) == (8, 8) and len(px) == 64
 
 
+def _png_with_filter(px: np.ndarray, ftype: int, ctype: int = 0) -> bytes:
+    """Test-side reference encoder: apply ONE filter type to every
+    scanline of an (h, w[, ch]) uint8 image — a valid PNG whatever the
+    filter, so it exercises decode_png's filter reconstructions without
+    needing PIL."""
+    import struct
+    import zlib
+
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    bpp = ch
+    lines = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        cur = px[y].ravel().astype(np.int32)
+        f = np.empty(w * ch, np.int32)
+        for x in range(w * ch):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else \
+                    (b if pb <= pc else c)
+            f[x] = (cur[x] - pred) & 0xFF
+        lines.append(ftype)
+        lines.extend(f.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_codec_real_decode(ray_session):
+    """8-bit PNG decodes for REAL (stdlib zlib + numpy): round-trip,
+    every scanline filter, RGB/RGBA->luma parity with PIL's
+    convert('L'), distributed decode, and honest gap errors."""
+    import ray.data as rd
+
+    from wikilinks_ray.ops.multimodal import (
+        DecodeImage,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(17)
+    gray = rng.integers(0, 256, size=(13, 19), dtype=np.uint8)
+    # round-trip via our encoder
+    w, h, px = decode_png(encode_png(gray))
+    assert (h, w) == gray.shape and (px.reshape(h, w) == gray).all()
+    # every filter type reconstructs, grayscale and RGBA
+    rgba = rng.integers(0, 256, size=(9, 7, 4), dtype=np.uint8)
+    for f in range(5):
+        w, h, px = decode_png(_png_with_filter(gray, f))
+        assert (px.reshape(h, w) == gray).all(), f"gray filter {f}"
+        w, h, px = decode_png(_png_with_filter(rgba, f, ctype=6))
+        rgb = rgba[:, :, :3].astype(np.int64)
+        want = ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
+                 + 114 * rgb[:, :, 2]) // 1000).astype(np.uint8)
+        assert (px.reshape(h, w) == want).all(), f"rgba filter {f}"
+    # RGB luma (ITU-R 601 like PIL convert('L'))
+    rgb3 = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    w, h, px = decode_png(_png_with_filter(rgb3, 4, ctype=2))
+    r = rgb3.astype(np.int64)
+    want = ((299 * r[:, :, 0] + 587 * r[:, :, 1]
+             + 114 * r[:, :, 2]) // 1000).astype(np.uint8)
+    assert (px.reshape(h, w) == want).all()
+    # distributed decode through the actor stage, PNG auto-detected
+    imgs = {i: rng.integers(0, 256, size=(8 + i, 11 + i), dtype=np.uint8)
+            for i in range(4)}
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array(list(imgs), pa.int64()),
+        "payload": pa.array([encode_png(m) for m in imgs.values()],
+                            pa.binary()),
+    }))
+    out = ds.map_batches(DecodeImage, batch_format="pyarrow", batch_size=2,
+                         concurrency=2).to_pandas().set_index("media_id")
+    for i, m in imgs.items():
+        assert (out.loc[i, "height"], out.loc[i, "width"]) == m.shape
+        assert out.loc[i, "mean_intensity"] == pytest.approx(m.mean())
+    # honest gaps: corrupt CRC, interlace, palette
+    good = bytearray(encode_png(gray))
+    good[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    import struct as _s
+    import zlib as _z
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def _chunk(typ, data):
+        return (_s.pack(">I", len(data)) + typ + data
+                + _s.pack(">I", _z.crc32(typ + data)))
+
+    interlaced = (sig + _chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+                  + _chunk(b"IDAT", _z.compress(b"\0\0\0"))
+                  + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(interlaced)
+    paletted = (sig + _chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+                + _chunk(b"IDAT", _z.compress(b"\0\0\0"))
+                + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="colortype"):
+        decode_png(paletted)
+    # and through the actor stage they surface as the honest stub error
+    # (PIL would instead handle these when installed)
+    if DecodeImage()._pil_image is None:
+        with pytest.raises(NotImplementedError, match="Adam7"):
+            DecodeImage()._decode(interlaced)
+
+
 def test_wav_codec_real_decode(ray_session):
     """RIFF/WAVE decodes for REAL via the stdlib wave module: synthesize
     sine clips, decode distributed, check duration/rms/peak against the

@@ -4,10 +4,13 @@ Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct alongside. Codec status, honestly:
 
 - **REAL, dependency-free codecs**: binary PGM (``P5``) images decode
-  and re-encode with numpy alone; WAV audio decodes with the stdlib
-  ``wave`` module. ``DecodeImage`` auto-detects PGM payloads;
-  ``DecodeAudio`` handles RIFF/WAVE.
-- **Probed optional codecs**: JPEG/PNG decode through PIL and
+  and re-encode with numpy alone; 8-bit PNG (gray/RGB/gray+alpha/RGBA,
+  all five scanline filters, CRC-checked) decodes with stdlib ``zlib``
+  + numpy and grayscale re-encodes (``decode_png``/``encode_png``);
+  WAV audio decodes with the stdlib ``wave`` module. ``DecodeImage``
+  auto-detects PGM and PNG payloads; ``DecodeAudio`` handles RIFF/WAVE.
+- **Probed optional codecs**: JPEG (plus interlaced/palette/16-bit
+  PNG) decode through PIL and
   mp3/ogg/flac/mp4 through pyav wherever those libraries are installed
   — each decoder probes its library ONCE per actor in ``__init__``.
   Neither library is in this container, so here those payloads raise an
@@ -74,6 +77,120 @@ def decode_pgm(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("16-bit PGM not supported")
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=m.end())
     return w, h, px
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# colortype -> channel count (palette/3 is rejected below)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale -> PNG bytes (colortype 0, filter 0 per
+    scanline). Stdlib zlib only — the round-trip twin of
+    :func:`decode_png`."""
+    import zlib
+
+    h, w = pixels.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = np.empty((h, w + 1), np.uint8)
+    raw[:, 0] = 0  # filter type 0 (None) per scanline
+    raw[:, 1:] = pixels
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """PNG -> (width, height, flat uint8 GRAYSCALE pixels). REAL and
+    dependency-free: stdlib ``zlib`` inflate + numpy unfiltering.
+
+    Supported: 8-bit depth, colortypes 0 (gray) / 2 (RGB) /
+    4 (gray+alpha) / 6 (RGBA), all five scanline filters, CRC-checked
+    chunks. Color converts to luma exactly like PIL's ``convert("L")``
+    (ITU-R 601: ``(299R + 587G + 114B) // 1000``; alpha ignored, no
+    compositing) so the PIL leg and this one are interchangeable.
+    Honestly rejected: interlace (Adam7), palette (colortype 3), and
+    16-bit depth — a ``ValueError`` names the gap."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,), typ = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        crc = struct.unpack(">I", payload[pos + 8 + length:
+                                          pos + 12 + length])[0]
+        if zlib.crc32(typ + data) != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = meta
+    if depth != 8 or ctype not in _PNG_CHANNELS or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, colortype={ctype}): only "
+            "8-bit gray/RGB/gray+alpha/RGBA decode here; palette and "
+            "16-bit need PIL")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG needs PIL")
+    ch = _PNG_CHANNELS[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    ftypes, lines = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    for y in range(h):
+        f = ftypes[y]
+        cur = lines[y].astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up: fully vectorized
+            rec = (cur + up) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth: left-dependent scan
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                if f == 1:
+                    rec[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    rec[x] = (cur[x] + ((a + up[x]) >> 1)) & 0xFF
+                else:
+                    b = up[x]
+                    c = int(out[y - 1, x - ch]) if (x >= ch and y) else 0
+                    p = a + b - c
+                    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc) else \
+                        (b if pb <= pc else c)
+                    rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(h, w, ch)
+    if ctype == 0:
+        gray = px[:, :, 0]
+    elif ctype == 4:
+        gray = px[:, :, 0]  # alpha ignored, like PIL convert("L")
+    else:
+        rgb = px[:, :, :3].astype(np.int32)
+        gray = ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
+                 + 114 * rgb[:, :, 2]) // 1000).astype(np.uint8)
+    return w, h, gray.ravel()
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16_000,
@@ -175,12 +292,13 @@ class DecodeAudio:
 class DecodeImage:
     """Actor-pool decode stage: payload -> pixel features.
 
-    Payloads auto-detect by magic: binary PGM (``P5``) decodes for REAL
-    (pure numpy); the deterministic fake format decodes when constructed
-    with ``fake=True``; JPEG/PNG need PIL/cv2 (absent here) and raise
-    NotImplementedError with setup guidance. Output: (media_id, width,
-    height, mean_intensity, phash) — the layout a real decoder would
-    produce.
+    Payloads auto-detect by magic: binary PGM (``P5``) and 8-bit PNG
+    decode for REAL (pure numpy / stdlib zlib — see :func:`decode_png`);
+    the deterministic fake format decodes when constructed with
+    ``fake=True``; JPEG (and interlaced/palette PNG) needs PIL (absent
+    here) and raises NotImplementedError with setup guidance. Output:
+    (media_id, width, height, mean_intensity, phash) — the layout a
+    real decoder would produce.
     """
 
     def __init__(self, fake: bool = False):
@@ -204,17 +322,24 @@ class DecodeImage:
             return w, h, px
         if (self._pil_image is not None
                 and (payload[:3] == b"\xff\xd8\xff"          # JPEG SOI
-                     or payload[:8] == b"\x89PNG\r\n\x1a\n")):  # PNG sig
+                     or payload[:8] == _PNG_SIG)):
             import io
 
             img = self._pil_image.open(io.BytesIO(payload)).convert("L")
             px = np.asarray(img, dtype=np.uint8)
             return img.width, img.height, px.ravel()
+        if payload[:8] == _PNG_SIG:
+            # REAL dependency-free decode (8-bit gray/RGB/GA/RGBA, all
+            # filters); interlace/palette/16-bit name the gap honestly
+            try:
+                return decode_png(payload)
+            except ValueError as e:
+                raise NotImplementedError(str(e)) from e
         raise NotImplementedError(
-            "only binary PGM decodes without external libraries; JPEG/PNG "
-            "decode via PIL when it is installed (absent in this "
-            "container). Construct DecodeImage(fake=True) for the "
-            "deterministic fake test codec."
+            "PGM and 8-bit PNG decode without external libraries; JPEG "
+            "(and interlaced/palette PNG) decode via PIL when it is "
+            "installed (absent in this container). Construct "
+            "DecodeImage(fake=True) for the deterministic fake test codec."
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
