@@ -892,6 +892,126 @@ def test_png_codec_real_decode(ray_session):
             DecodeImage()._decode(interlaced)
 
 
+def _encode_jpeg_color_420(gray: np.ndarray, quality: int = 90,
+                           restart_mcus: int = 0) -> bytes:
+    """Test-side 3-component 4:2:0 baseline encoder: Y carries the
+    image, Cb/Cr are flat 128 (zero after level shift). Exercises MCU
+    interleaving, chroma entropy passes, subsampled geometry and
+    restart markers in decode_jpeg_baseline — the shapes the grayscale
+    production encoder never emits."""
+    import struct
+
+    from wikilinks_ray.ops import jpeg as J
+
+    h, w = gray.shape
+    q = J._quality_table(quality)
+    H, W = -(-h // 16) * 16, -(-w // 16) * 16
+    ypad = np.pad(gray.astype(np.float64) - 128.0,
+                  ((0, H - h), (0, W - w)), mode="edge")
+    dc = J._canonical_codes(J._DC_BITS, J._DC_VALS)
+    ac = J._canonical_codes(J._AC_BITS, J._AC_VALS)
+    bw = J._BitWriter()
+    pred = [0, 0, 0]
+    zero_zz = np.zeros(64, np.int64)
+    n = rst = 0
+    for my in range(H // 16):
+        for mx in range(W // 16):
+            if restart_mcus and n and n % restart_mcus == 0:
+                bw.align()
+                bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                pred = [0, 0, 0]
+            for by in range(2):
+                for bx in range(2):
+                    blk = ypad[my * 16 + by * 8:my * 16 + by * 8 + 8,
+                               mx * 16 + bx * 8:mx * 16 + bx * 8 + 8]
+                    coeff = J._A @ blk @ J._A.T
+                    zz = np.rint(coeff / q.reshape(8, 8)) \
+                        .astype(np.int64).ravel()[J._ZIGZAG]
+                    pred[0] = J._write_block(bw, zz, pred[0], dc, ac)
+            for ci in (1, 2):
+                pred[ci] = J._write_block(bw, zero_zz, pred[ci], dc, ac)
+            n += 1
+    data = bw.flush()
+
+    def seg(m, body):
+        return struct.pack(">BBH", 0xFF, m, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in q[J._ZIGZAG]))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00] + J._DC_BITS) + bytes(J._DC_VALS))
+    out += seg(0xC4, bytes([0x10] + J._AC_BITS) + bytes(J._AC_VALS))
+    if restart_mcus:
+        out += seg(0xDD, struct.pack(">H", restart_mcus))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    out += data + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_codec_real_decode(ray_session):
+    """Baseline JPEG decodes for REAL (numpy DCT + canonical Huffman,
+    tables read from the file): lossy round-trip within tight error,
+    4:2:0 color MCU interleaving, restart intervals, distributed
+    decode, and honest progressive rejection."""
+    import ray.data as rd
+
+    from wikilinks_ray.ops.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+    from wikilinks_ray.ops.multimodal import DecodeImage
+
+    y, x = np.mgrid[0:40, 0:56]
+    img = (127 + 80 * np.sin(x / 9.0) * np.cos(y / 7.0)).astype(np.uint8)
+    # grayscale round-trip at three qualities
+    for q, tol in ((95, 3), (85, 5), (60, 9)):
+        w, h, px = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=q))
+        assert (w, h) == (56, 40)
+        err = np.abs(px.reshape(h, w).astype(int) - img.astype(int))
+        assert err.max() <= tol, f"q={q}: max err {err.max()}"
+    # flat image is exact; pure noise at q100 is within 1
+    flat = np.full((16, 16), 77, np.uint8)
+    _, _, px = decode_jpeg_baseline(encode_jpeg_baseline(flat))
+    assert (px == 77).all()
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    _, _, px = decode_jpeg_baseline(encode_jpeg_baseline(noise, quality=100))
+    assert np.abs(px.reshape(24, 24).astype(int)
+                  - noise.astype(int)).max() <= 1
+    # 3-component 4:2:0 with interleaved MCUs; Y carries the image
+    w, h, px = decode_jpeg_baseline(_encode_jpeg_color_420(img, quality=90))
+    assert (w, h) == (56, 40)
+    err = np.abs(px.reshape(h, w).astype(int) - img.astype(int))
+    assert err.max() <= 5, f"color 4:2:0 max err {err.max()}"
+    base = px
+    # restart intervals reproduce the exact same pixels
+    for ri in (1, 3):
+        w, h, px = decode_jpeg_baseline(
+            _encode_jpeg_color_420(img, quality=90, restart_mcus=ri))
+        assert (px == base).all(), f"restart interval {ri} diverged"
+    # distributed decode through the actor stage, JPEG auto-detected
+    imgs = {i: (127 + 60 * np.sin((x[:24, :24] + i) / 5.0)).astype(np.uint8)
+            for i in range(3)}
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array(list(imgs), pa.int64()),
+        "payload": pa.array([encode_jpeg_baseline(m, quality=95)
+                             for m in imgs.values()], pa.binary()),
+    }))
+    out = ds.map_batches(DecodeImage, batch_format="pyarrow", batch_size=2,
+                         concurrency=2).to_pandas().set_index("media_id")
+    for i, m in imgs.items():
+        assert (out.loc[i, "height"], out.loc[i, "width"]) == m.shape
+        assert out.loc[i, "mean_intensity"] == pytest.approx(m.mean(), abs=2)
+    # honest gap: progressive (SOF2) names PIL
+    prog = bytearray(encode_jpeg_baseline(img))
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg_baseline(bytes(prog))
+
+
 def test_wav_codec_real_decode(ray_session):
     """RIFF/WAVE decodes for REAL via the stdlib wave module: synthesize
     sine clips, decode distributed, check duration/rms/peak against the

@@ -7,10 +7,14 @@ metadata struct alongside. Codec status, honestly:
   and re-encode with numpy alone; 8-bit PNG (gray/RGB/gray+alpha/RGBA,
   all five scanline filters, CRC-checked) decodes with stdlib ``zlib``
   + numpy and grayscale re-encodes (``decode_png``/``encode_png``);
-  WAV audio decodes with the stdlib ``wave`` module. ``DecodeImage``
-  auto-detects PGM and PNG payloads; ``DecodeAudio`` handles RIFF/WAVE.
-- **Probed optional codecs**: JPEG (plus interlaced/palette/16-bit
-  PNG) decode through PIL and
+  baseline-sequential JPEG (grayscale + YCbCr any 1-2 sampling,
+  restart intervals) decodes and grayscale re-encodes via ``ops/jpeg``
+  (numpy DCT + canonical Huffman — tables read from the file); WAV
+  audio decodes with the stdlib ``wave`` module. ``DecodeImage``
+  auto-detects PGM/PNG/JPEG payloads; ``DecodeAudio`` handles
+  RIFF/WAVE.
+- **Probed optional codecs**: progressive/arithmetic JPEG (plus
+  interlaced/palette/16-bit PNG) decode through PIL and
   mp3/ogg/flac/mp4 through pyav wherever those libraries are installed
   — each decoder probes its library ONCE per actor in ``__init__``.
   Neither library is in this container, so here those payloads raise an
@@ -292,13 +296,14 @@ class DecodeAudio:
 class DecodeImage:
     """Actor-pool decode stage: payload -> pixel features.
 
-    Payloads auto-detect by magic: binary PGM (``P5``) and 8-bit PNG
-    decode for REAL (pure numpy / stdlib zlib — see :func:`decode_png`);
-    the deterministic fake format decodes when constructed with
-    ``fake=True``; JPEG (and interlaced/palette PNG) needs PIL (absent
-    here) and raises NotImplementedError with setup guidance. Output:
-    (media_id, width, height, mean_intensity, phash) — the layout a
-    real decoder would produce.
+    Payloads auto-detect by magic: binary PGM (``P5``), 8-bit PNG and
+    baseline JPEG decode for REAL (pure numpy / stdlib — see
+    :func:`decode_png` and ``ops/jpeg.decode_jpeg_baseline``); the
+    deterministic fake format decodes when constructed with
+    ``fake=True``; progressive JPEG (and interlaced/palette PNG) needs
+    PIL (absent here) and raises NotImplementedError with setup
+    guidance. Output: (media_id, width, height, mean_intensity, phash)
+    — the layout a real decoder would produce.
     """
 
     def __init__(self, fake: bool = False):
@@ -335,11 +340,22 @@ class DecodeImage:
                 return decode_png(payload)
             except ValueError as e:
                 raise NotImplementedError(str(e)) from e
+        if payload[:2] == b"\xff\xd8":
+            # REAL dependency-free baseline-sequential decode (grayscale
+            # + YCbCr with 1-2 sampling, restart intervals); progressive/
+            # arithmetic/12-bit name the gap honestly
+            from .jpeg import decode_jpeg_baseline
+
+            try:
+                return decode_jpeg_baseline(payload)
+            except ValueError as e:
+                raise NotImplementedError(str(e)) from e
         raise NotImplementedError(
-            "PGM and 8-bit PNG decode without external libraries; JPEG "
-            "(and interlaced/palette PNG) decode via PIL when it is "
-            "installed (absent in this container). Construct "
-            "DecodeImage(fake=True) for the deterministic fake test codec."
+            "PGM, 8-bit PNG and baseline JPEG decode without external "
+            "libraries; progressive JPEG and interlaced/palette PNG "
+            "decode via PIL when it is installed (absent in this "
+            "container). Construct DecodeImage(fake=True) for the "
+            "deterministic fake test codec."
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
