@@ -1693,9 +1693,10 @@ def q_similarity_ivf(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """REAL dependency-free codecs (binary PGM via numpy, WAV via
-    stdlib wave) over a deterministic synthetic media table — the
-    multimodal actor-pool plumbing exercised through the driver gate.
+    """REAL dependency-free codecs (binary PGM via numpy, 8-bit PNG via
+    stdlib zlib + numpy, baseline JPEG via ops/jpeg, WAV via stdlib
+    wave) over a deterministic synthetic media table — the multimodal
+    actor-pool plumbing exercised through the driver gate.
     Oracle-gated as a SPEC-vs-ROUNDTRIP differential: every clip's
     dimensions follow a closed-form formula of its id, the engine must
     push the payloads through encode -> distributed actor decode and
@@ -1703,14 +1704,15 @@ def q_media_decode(sf_dir: str):
     the formulas alone (no decoder) — a hash mismatch means the codec
     round-trip corrupted shape metadata. Pixel/sample CONTENT equality
     is pinned by pytest (decode features vs the numpy source).
-    JPEG/PNG/MP3 remain honest NotImplementedError stubs (PIL-optional
-    for JPEG/PNG)."""
+    Progressive JPEG / mp3 remain honest PIL/pyav-gated stubs."""
     import ray.data
 
+    from wikilinks_ray.ops.jpeg import encode_jpeg_baseline
     from wikilinks_ray.ops.multimodal import (
         decode_audio_batch,
         decode_image_batch,
         encode_pgm,
+        encode_png,
         encode_wav,
     )
 
@@ -1721,6 +1723,12 @@ def q_media_decode(sf_dir: str):
     img_rows = [(i, encode_pgm(rng.integers(
         0, 256, size=(24 + (i * 3) % 23, 16 + i % 17), dtype=np.uint8)))
                 for i in range(40)]
+    img_rows += [(40 + i, encode_png(rng.integers(
+        0, 256, size=(20 + (i * 5) % 19, 12 + i % 13), dtype=np.uint8)))
+                 for i in range(20)]
+    img_rows += [(60 + i, encode_jpeg_baseline(rng.integers(
+        0, 256, size=(18 + (i * 7) % 15, 10 + i % 11), dtype=np.uint8)))
+                 for i in range(20)]
     wav_rows = [(100 + i, encode_wav(
         (np.sin(2 * np.pi * 220 * (i + 1)
                 * np.arange(3200 + 160 * i) / 16000)
@@ -2557,6 +2565,14 @@ def oracle_sql() -> dict[str, str]:
                    (24 + (i * 3) % 23)::BIGINT AS height,
                    'image' AS kind, (-1)::BIGINT AS duration_ms
             FROM (SELECT unnest(generate_series(0, 39)) AS i)
+            UNION ALL                                   -- PNG payloads
+            SELECT 40 + i, (12 + i % 13)::BIGINT,
+                   (20 + (i * 5) % 19)::BIGINT, 'image', (-1)::BIGINT
+            FROM (SELECT unnest(generate_series(0, 19)) AS i)
+            UNION ALL                                   -- JPEG payloads
+            SELECT 60 + i, (10 + i % 11)::BIGINT,
+                   (18 + (i * 7) % 15)::BIGINT, 'image', (-1)::BIGINT
+            FROM (SELECT unnest(generate_series(0, 19)) AS i)
             UNION ALL
             SELECT 100 + i, -1, -1, 'audio', (3200 + 160 * i) // 16
             FROM (SELECT unnest(generate_series(0, 9)) AS i)
