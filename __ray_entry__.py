@@ -1733,6 +1733,11 @@ def q_media_decode(sf_dir: str):
         (np.sin(2 * np.pi * 220 * (i + 1)
                 * np.arange(3200 + 160 * i) / 16000)
          * 9000).astype(np.int16))) for i in range(10)]
+    from wikilinks_ray.ops.flac import encode_flac
+    wav_rows += [(110 + i, encode_flac(
+        (np.sin(2 * np.pi * 330 * (i + 1)
+                * np.arange(1600 + 320 * i) / 16000)
+         * 9000).astype(np.int64), 16000)) for i in range(10)]
 
     def tbl(rows):
         return ray.data.from_arrow(pa.table({
@@ -2575,6 +2580,9 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(generate_series(0, 19)) AS i)
             UNION ALL
             SELECT 100 + i, -1, -1, 'audio', (3200 + 160 * i) // 16
+            FROM (SELECT unnest(generate_series(0, 9)) AS i)
+            UNION ALL                                   -- FLAC payloads
+            SELECT 110 + i, -1, -1, 'audio', (1600 + 320 * i) // 16
             FROM (SELECT unnest(generate_series(0, 9)) AS i)
         """,
         # SQL twin of ops/sample.py: md5_number_upper == first 8 md5

@@ -1012,6 +1012,141 @@ def test_jpeg_codec_real_decode(ray_session):
         decode_jpeg_baseline(bytes(prog))
 
 
+def _encode_flac_predictive_ms(left: np.ndarray, right: np.ndarray,
+                               rate: int = 16000) -> bytes:
+    """Test-side one-frame FLAC encoder using the shapes the lossless
+    production encoder never emits: mid/side stereo decorrelation, a
+    FIXED order-2 subframe with 2-partition rice residuals, and an LPC
+    order-1 subframe with 5-bit rice + ONE wasted bit (side is kept
+    even by construction). Exercises decode_flac's predictive paths."""
+    import struct
+
+    from wikilinks_ray.ops import flac as F
+
+    n = len(left)
+    assert n % 2 == 0
+    mid = (left + right) >> 1
+    side = left - right          # even by construction in the test
+    assert (side % 2 == 0).all()
+    out = bytearray(b"fLaC")
+    siw = F._BitW()
+    for v, b in ((n, 16), (n, 16), (0, 24), (0, 24), (rate, 20),
+                 (1, 3), (15, 5), (n, 36)):
+        siw.write(v, b)
+    body = siw.bytes() + b"\x00" * 16
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+    bw = F._BitW()
+    bw.write(0x3FFE, 14)
+    bw.write(0, 2)
+    bw.write(7, 4)      # 16-bit blocksize-1 follows
+    bw.write(0, 4)      # rate from STREAMINFO
+    bw.write(10, 4)     # mid/side
+    bw.write(0, 3)      # bps from STREAMINFO
+    bw.write(0, 1)
+    F._write_utf8_number(bw, 0)
+    bw.write(n - 1, 16)
+    hdr = bw.bytes()
+    hdr += bytes([F.crc8(hdr)])
+    body = F._BitW()
+    # subframe 0: mid, bps 16, FIXED order 2, rice method 0, porder 1
+    body.write(0, 1)
+    body.write(8 + 2, 6)
+    body.write(0, 1)
+    body.write_signed(int(mid[0]), 16)
+    body.write_signed(int(mid[1]), 16)
+    res = mid[2:] - 2 * mid[1:-1] + mid[:-2]
+
+    def rice_write(w, vals, param):
+        for v in vals:
+            u = (int(v) << 1) ^ (int(v) >> 63)  # zigzag (int64)
+            w.write(1, (u >> param) + 1)        # unary: q zeros then 1
+            if param:
+                w.write(u & ((1 << param) - 1), param)
+
+    body.write(0, 2)    # rice method 0 (4-bit params)
+    body.write(1, 4)    # partition order 1
+    half = n // 2
+    p1, p2 = res[:half - 2], res[half - 2:]
+    for part in (p1, p2):
+        param = max(1, int(np.ceil(np.log2(
+            max(2.0, 2.0 * np.abs(part).mean())))))
+        body.write(param, 4)
+        rice_write(body, part, param)
+    # subframe 1: side, bps 17 (side=+1), LPC order 1, wasted bit 1
+    body.write(0, 1)
+    body.write(32 + 0, 6)   # LPC order 1 -> type 32
+    body.write(1, 1)        # wasted-bits flag
+    # k=1 wasted bits encodes as unary k-1 = "1" (a single 1-bit)
+    body.write(1, 1)
+    sw = side >> 1          # effective bps 16
+    body.write_signed(int(sw[0]), 16)
+    body.write(1, 4)        # precision-1 -> 2 bits
+    body.write_signed(0, 5)  # shift 0
+    body.write_signed(1, 2)  # coeff [1] -> predict previous sample
+    res2 = sw[1:] - sw[:-1]
+    body.write(1, 2)        # rice method 1 (5-bit params)
+    body.write(0, 4)        # partition order 0
+    param = max(1, int(np.ceil(np.log2(
+        max(2.0, 2.0 * np.abs(res2).mean())))))
+    body.write(param, 5)
+    rice_write(body, res2, param)
+    frame = hdr + body.bytes()
+    out += frame + struct.pack(">H", F.crc16(frame))
+    return bytes(out)
+
+
+def test_flac_codec_real_decode(ray_session):
+    """Native FLAC decodes for REAL (rice + fixed/LPC prediction +
+    stereo decorrelation + CRCs, numpy/stdlib only): lossless
+    round-trip via the production encoder, predictive/mid-side frames
+    via the test-side encoder, distributed decode, honest gaps."""
+    import ray.data as rd
+
+    from wikilinks_ray.ops.flac import decode_flac, encode_flac
+    from wikilinks_ray.ops.multimodal import DecodeAudio
+
+    rng = np.random.default_rng(7)
+    # lossless round-trip, mono + stereo + non-multiple tail
+    mono = rng.integers(-30000, 30000, 5001, dtype=np.int64)
+    rate, ch, out = decode_flac(encode_flac(mono, 22050, block_size=1024))
+    assert (rate, ch) == (22050, 1) and (out == mono).all()
+    st = np.stack([rng.integers(-5000, 5000, 2000),
+                   np.full(2000, -7, np.int64)], axis=1)
+    rate, ch, out = decode_flac(encode_flac(st, 44100, block_size=512))
+    assert (rate, ch) == (44100, 2) and (out == st.ravel()).all()
+    # predictive mid/side frame: smooth signals (fixed/LPC-friendly)
+    t = np.arange(2048)
+    left = (9000 * np.sin(t / 40.0)).astype(np.int64)
+    right = left - 2 * (1000 * np.cos(t / 55.0)).astype(np.int64)
+    rate, ch, out = decode_flac(_encode_flac_predictive_ms(left, right))
+    got = out.reshape(-1, 2)
+    assert (got[:, 0] == left).all() and (got[:, 1] == right).all()
+    # distributed decode through the actor stage, FLAC auto-detected
+    clips = {i: (np.sin(2 * np.pi * 220 * (i + 1)
+                        * np.arange(1600) / 16000) * 9000).astype(np.int64)
+             for i in range(3)}
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array(list(clips), pa.int64()),
+        "payload": pa.array([encode_flac(s, 16000) for s in clips.values()],
+                            pa.binary()),
+    }))
+    res = ds.map_batches(DecodeAudio, batch_format="pyarrow",
+                         concurrency=2).to_pandas().set_index("media_id")
+    for i, s in clips.items():
+        assert res.loc[i, "sample_rate"] == 16000
+        assert res.loc[i, "duration_ms"] == 100
+        x = s.astype(np.float64)
+        assert res.loc[i, "rms"] == pytest.approx(np.sqrt(np.mean(x * x)))
+        assert res.loc[i, "peak"] == np.abs(s).max()
+    # honest gaps + corruption detection
+    with pytest.raises(ValueError, match="Ogg"):
+        decode_flac(b"OggS" + b"\0" * 30)
+    p = bytearray(encode_flac(mono[:64], 8000))
+    p[-3] ^= 0x40  # flip a bit inside the last frame's sample data
+    with pytest.raises(ValueError, match="CRC-16"):
+        decode_flac(bytes(p))
+
+
 def test_wav_codec_real_decode(ray_session):
     """RIFF/WAVE decodes for REAL via the stdlib wave module: synthesize
     sine clips, decode distributed, check duration/rms/peak against the

@@ -10,9 +10,11 @@ metadata struct alongside. Codec status, honestly:
   baseline-sequential JPEG (grayscale + YCbCr any 1-2 sampling,
   restart intervals) decodes and grayscale re-encodes via ``ops/jpeg``
   (numpy DCT + canonical Huffman — tables read from the file); WAV
-  audio decodes with the stdlib ``wave`` module. ``DecodeImage``
-  auto-detects PGM/PNG/JPEG payloads; ``DecodeAudio`` handles
-  RIFF/WAVE.
+  audio decodes with the stdlib ``wave`` module and native FLAC with
+  ``ops/flac`` (every subframe type incl. LPC, rice residuals,
+  wasted bits, stereo decorrelation, CRC-checked; lossless VERBATIM/
+  CONSTANT re-encode). ``DecodeImage`` auto-detects PGM/PNG/JPEG
+  payloads; ``DecodeAudio`` handles RIFF/WAVE and FLAC.
 - **Probed optional codecs**: progressive/arithmetic JPEG (plus
   interlaced/palette/16-bit PNG) decode through PIL and
   mp3/ogg/flac/mp4 through pyav wherever those libraries are installed
@@ -212,12 +214,14 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16_000,
 
 
 class DecodeAudio:
-    """Actor-pool audio decode: WAV payloads -> per-clip features
+    """Actor-pool audio decode: WAV/FLAC payloads -> per-clip features
     (sample_rate, n_channels, duration_ms, rms, peak). RIFF/WAVE decodes
-    with the stdlib ``wave`` module — a REAL codec; compressed formats
-    (mp3/ogg/flac) decode through pyav when it is installed (probed once
-    per actor, same optional-dependency pattern as DecodeImage's PIL
-    probe), and raise an honest NotImplementedError otherwise."""
+    with the stdlib ``wave`` module and native FLAC with ``ops/flac``
+    (every subframe type, rice residuals, stereo decorrelation,
+    CRC-checked) — both REAL codecs; other compressed formats (mp3/ogg)
+    decode through pyav when it is installed (probed once per actor,
+    same optional-dependency pattern as DecodeImage's PIL probe), and
+    raise an honest NotImplementedError otherwise."""
 
     def __init__(self):
         try:
@@ -249,13 +253,19 @@ class DecodeAudio:
         return rate, ch, samples
 
     def _decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        if payload[:4] == b"fLaC":
+            # REAL dependency-free decode (every subframe type, rice
+            # residuals, stereo decorrelation, CRC-checked)
+            from .flac import decode_flac
+
+            return decode_flac(payload)
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             if self._av is not None:
                 return self._decode_av(payload)
             raise NotImplementedError(
-                "only RIFF/WAVE decodes without external libraries; "
-                "mp3/ogg/flac decode via pyav when it is installed "
-                "(absent in this container)")
+                "RIFF/WAVE and native FLAC decode without external "
+                "libraries; mp3/ogg decode via pyav when it is "
+                "installed (absent in this container)")
         import wave
 
         with wave.open(io.BytesIO(payload), "rb") as f:
