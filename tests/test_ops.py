@@ -1147,6 +1147,40 @@ def test_flac_codec_real_decode(ray_session):
         decode_flac(bytes(p))
 
 
+def test_codec_fuzz_clean_failures():
+    """Truncations and byte mutations of valid PNG/JPEG/FLAC payloads
+    must either decode or raise ValueError/NotImplementedError — never
+    a stray struct/zlib/index error or a hang. These decoders run
+    inside actor pools over untrusted corpus bytes."""
+    from wikilinks_ray.ops.flac import decode_flac, encode_flac
+    from wikilinks_ray.ops.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+    from wikilinks_ray.ops.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    snd = rng.integers(-1000, 1000, 500, dtype=np.int64)
+    cases = [(encode_png(img), decode_png),
+             (encode_jpeg_baseline(img), decode_jpeg_baseline),
+             (encode_flac(snd, 8000), decode_flac)]
+    for payload, dec in cases:
+        for cut in range(0, len(payload), max(1, len(payload) // 50)):
+            try:
+                dec(payload[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(150):
+            b = bytearray(payload)
+            i = int(rng.integers(0, len(b)))
+            b[i] = int(rng.integers(0, 256))
+            try:
+                dec(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+
+
 def test_wav_codec_real_decode(ray_session):
     """RIFF/WAVE decodes for REAL via the stdlib wave module: synthesize
     sine clips, decode distributed, check duration/rms/peak against the

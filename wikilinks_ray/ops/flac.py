@@ -194,7 +194,16 @@ _FIXED_COEFFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
 
 
 def decode_flac(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """FLAC -> (sample_rate, n_channels, interleaved int32 samples)."""
+    """FLAC -> (sample_rate, n_channels, interleaved int32 samples).
+    Truncated/corrupt payloads always raise ``ValueError``
+    (fuzz-pinned), never a stray struct/index error."""
+    try:
+        return _decode_flac(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt/truncated FLAC: {e}") from e
+
+
+def _decode_flac(payload: bytes) -> tuple[int, int, np.ndarray]:
     if payload[:3] == b"ID3":
         raise ValueError("ID3-prefixed FLAC needs a tag-aware reader")
     if payload[:4] == b"OggS":

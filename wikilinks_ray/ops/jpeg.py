@@ -202,7 +202,16 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Baseline JPEG -> (width, height, flat uint8 GRAYSCALE pixels)."""
+    """Baseline JPEG -> (width, height, flat uint8 GRAYSCALE pixels).
+    Truncated/corrupt payloads always raise ``ValueError``
+    (fuzz-pinned), never a stray struct/index error."""
+    try:
+        return _decode_jpeg(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt/truncated JPEG: {e}") from e
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
@@ -225,10 +234,15 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
             depth, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if depth != 8:
                 raise ValueError("12-bit JPEG precision needs PIL")
+            if not 1 <= ncomp <= 4 or w == 0 or h == 0:
+                raise ValueError("corrupt JPEG: bad SOF dimensions")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 15, tq))
+                ch_, cv_ = hv >> 4, hv & 15
+                if not (1 <= ch_ <= 4 and 1 <= cv_ <= 4):
+                    raise ValueError("corrupt JPEG: bad sampling factor")
+                comps.append((cid, ch_, cv_, tq))
             sof = (w, h, comps)
         elif m in (0xC2, 0xC6, 0xCA):
             raise ValueError("progressive JPEG (SOF2/6/10) needs PIL")

@@ -121,7 +121,18 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     (ITU-R 601: ``(299R + 587G + 114B) // 1000``; alpha ignored, no
     compositing) so the PIL leg and this one are interchangeable.
     Honestly rejected: interlace (Adam7), palette (colortype 3), and
-    16-bit depth — a ``ValueError`` names the gap."""
+    16-bit depth — a ``ValueError`` names the gap. Truncated/corrupt
+    payloads always raise ``ValueError`` too (fuzz-pinned), never a
+    stray struct/zlib/index error."""
+    import zlib
+
+    try:
+        return _decode_png(payload)
+    except (struct.error, IndexError, zlib.error) as e:
+        raise ValueError(f"corrupt/truncated PNG: {e}") from e
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     import zlib
 
     if payload[:8] != _PNG_SIG:
