@@ -1004,12 +1004,215 @@ def test_jpeg_codec_real_decode(ray_session):
     for i, m in imgs.items():
         assert (out.loc[i, "height"], out.loc[i, "width"]) == m.shape
         assert out.loc[i, "mean_intensity"] == pytest.approx(m.mean(), abs=2)
-    # honest gap: progressive (SOF2) names PIL
-    prog = bytearray(encode_jpeg_baseline(img))
-    sof = prog.find(b"\xff\xc0")
-    prog[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
-        decode_jpeg_baseline(bytes(prog))
+    # honest gap: arithmetic coding (SOF9) names PIL
+    arith = bytearray(encode_jpeg_baseline(img))
+    sof = arith.find(b"\xff\xc0")
+    arith[sof + 1] = 0xC9
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg_baseline(bytes(arith))
+
+
+def _encode_jpeg_progressive_gray(px: np.ndarray, quality: int = 90,
+                                  split: int = 5) -> bytes:
+    """Test-side PROGRESSIVE (SOF2) grayscale encoder with a 6-scan
+    script exercising every progressive decode path: DC first (Al=1),
+    DC refinement (Ah=1), AC first in two spectral bands (1..split,
+    split+1..63, Al=1) with cross-block EOB runs, and AC refinement
+    (Ah=1, Al=0) with correction bits, run-positioned new coefficients
+    and EOB-run regions."""
+    import struct
+
+    from wikilinks_ray.ops import jpeg as J
+
+    h, w = px.shape
+    q = J._quality_table(quality)
+    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(px.astype(np.float64) - 128.0,
+                    ((0, H - h), (0, W - w)), mode="edge")
+    blocks = padded.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    coeff = np.einsum("ij,abjk,lk->abil", J._A, blocks, J._A)
+    quant = np.rint(coeff / q.reshape(8, 8)).astype(np.int64)
+    zz = quant.reshape(-1, 64)[:, J._ZIGZAG]  # (nblocks, 64) zigzag
+    dc = J._canonical_codes(J._DC_BITS, J._DC_VALS)
+    # progressive scans need EOBn symbols (r<<4, r=1..14) that Annex K's
+    # sequential AC table lacks — ship a custom flat 8-bit table in DHT
+    # (tables are read from the file, so this also exercises decode of
+    # nonstandard tables)
+    ac_vals = sorted([(r << 4) | s for r in range(16)
+                      for s in range(1, 11)]
+                     + [r << 4 for r in range(15)] + [0xF0])
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)  # all codes 8 bits long
+    ac = J._canonical_codes(ac_bits, ac_vals)
+
+    def pt(v, s):  # point transform: truncate toward zero
+        return v >> s if v >= 0 else -((-v) >> s)
+
+    def scan_dc_first(bw, al):
+        pred = 0
+        for b in range(len(zz)):
+            v = int(zz[b, 0]) >> al  # DC point transform is ARITHMETIC
+            # shift (T.81 F.1.4.1); only AC truncates toward zero
+            diff = v - pred
+            pred = v
+            s = J._size_of(diff)
+            c, ln = dc[s]
+            bw.write(c, ln)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    def scan_dc_refine(bw, al):
+        for b in range(len(zz)):
+            bw.write((int(zz[b, 0]) >> al) & 1, 1)
+
+    def flush_eobrun(bw, run, deferred):
+        if run[0]:
+            r = run[0].bit_length() - 1
+            c, ln = ac[r << 4]
+            bw.write(c, ln)
+            if r:
+                bw.write(run[0] - (1 << r), r)
+            run[0] = 0
+        for bit in deferred:
+            bw.write(bit, 1)
+        deferred.clear()
+
+    def scan_ac_first(bw, ss, se, al):
+        run, deferred = [0], []
+        for b in range(len(zz)):
+            band = [pt(int(zz[b, k]), al) for k in range(ss, se + 1)]
+            nz = [i for i, v in enumerate(band) if v]
+            if not nz:
+                run[0] += 1
+                if run[0] == 0x7FFF:
+                    flush_eobrun(bw, run, deferred)
+                continue
+            flush_eobrun(bw, run, deferred)
+            r = 0
+            last = nz[-1]
+            for i, v in enumerate(band[:last + 1]):
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    c, ln = ac[0xF0]
+                    bw.write(c, ln)
+                    r -= 16
+                s = J._size_of(v)
+                c, ln = ac[(r << 4) | s]
+                bw.write(c, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                r = 0
+            if last < len(band) - 1:
+                run[0] += 1
+        flush_eobrun(bw, run, deferred)
+
+    def scan_ac_refine(bw, ss, se, ah, al):
+        run, deferred = [0], []
+        for b in range(len(zz)):
+            band = [int(zz[b, k]) for k in range(ss, se + 1)]
+            hist = [pt(v, ah) for v in band]
+            now = [pt(v, al) for v in band]
+            # last position with a NEW nonzero at this precision
+            news = [i for i in range(len(band))
+                    if hist[i] == 0 and now[i] != 0]
+            last_new = news[-1] if news else -1
+            r = 0
+            pending: list[int] = []
+            for i in range(len(band)):
+                if i > last_new:
+                    break
+                if hist[i] != 0:
+                    pending.append(abs(now[i]) & 1)
+                elif now[i] != 0:
+                    flush_eobrun(bw, run, deferred)
+                    while r > 15:
+                        c, ln = ac[0xF0]
+                        bw.write(c, ln)
+                        for bit in pending:
+                            bw.write(bit, 1)
+                        pending.clear()
+                        r -= 16
+                    c, ln = ac[(r << 4) | 1]
+                    bw.write(c, ln)
+                    bw.write(1 if now[i] > 0 else 0, 1)
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending.clear()
+                    r = 0
+                else:
+                    r += 1
+            # trailing region: correction bits ride the EOB run
+            tail = [abs(now[i]) & 1 for i in range(max(last_new + 1, 0),
+                                                   len(band))
+                    if hist[i] != 0]
+            if last_new < len(band) - 1 or tail:
+                run[0] += 1
+                deferred.extend(tail)
+                if run[0] == 0x7FFF:
+                    flush_eobrun(bw, run, deferred)
+        flush_eobrun(bw, run, deferred)
+
+    def seg(m, body):
+        return struct.pack(">BBH", 0xFF, m, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in q[J._ZIGZAG]))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00] + J._DC_BITS) + bytes(J._DC_VALS))
+    out += seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+    scans = [
+        ((0, 0, 0, 1), scan_dc_first, (1,)),
+        ((0, 0, 1, 0), scan_dc_refine, (0,)),
+        ((1, split, 0, 1), scan_ac_first, (1, split, 1)),
+        ((split + 1, 63, 0, 1), scan_ac_first, (split + 1, 63, 1)),
+        ((1, split, 1, 0), scan_ac_refine, (1, split, 1, 0)),
+        ((split + 1, 63, 1, 0), scan_ac_refine, (split + 1, 63, 1, 0)),
+    ]
+    for (ss, se, ahh, all_), fn, args in scans:
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ahh << 4) | all_]))
+        bw = J._BitWriter()
+        fn(bw, *args)
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_decode(ray_session):
+    """SOF2 progressive decodes for REAL: a 6-scan spectral-selection +
+    successive-approximation script (DC first/refine, two AC bands
+    first/refine with EOB runs) must reconstruct pixels IDENTICAL to
+    the same quantized coefficients decoded sequentially."""
+    from wikilinks_ray.ops.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    y, x = np.mgrid[0:40, 0:56]
+    img = (127 + 80 * np.sin(x / 9.0) * np.cos(y / 7.0)).astype(np.uint8)
+    for q in (95, 75):
+        w, h, seq = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=q))
+        w2, h2, prog = decode_jpeg_baseline(
+            _encode_jpeg_progressive_gray(img, quality=q))
+        assert (w, h) == (w2, h2) == (56, 40)
+        assert (seq == prog).all(), \
+            f"q={q}: progressive != sequential (max diff " \
+            f"{np.abs(seq.astype(int) - prog.astype(int)).max()})"
+    # sparse high-frequency image drives long EOB runs in both AC bands
+    sparse = np.full((48, 48), 100, np.uint8)
+    sparse[8, 8] = 240
+    sparse[40, 16] = 20
+    _, _, seq = decode_jpeg_baseline(encode_jpeg_baseline(sparse, quality=90))
+    _, _, prog = decode_jpeg_baseline(
+        _encode_jpeg_progressive_gray(sparse, quality=90))
+    assert (seq == prog).all()
+    # pure noise: every coefficient populated, heavy refinement traffic
+    rng = np.random.default_rng(9)
+    noise = rng.integers(0, 256, (32, 24), dtype=np.uint8)
+    _, _, seq = decode_jpeg_baseline(encode_jpeg_baseline(noise, quality=85))
+    _, _, prog = decode_jpeg_baseline(
+        _encode_jpeg_progressive_gray(noise, quality=85))
+    assert (seq == prog).all()
 
 
 def _encode_flac_predictive_ms(left: np.ndarray, right: np.ndarray,
@@ -1164,6 +1367,7 @@ def test_codec_fuzz_clean_failures():
     snd = rng.integers(-1000, 1000, 500, dtype=np.int64)
     cases = [(encode_png(img), decode_png),
              (encode_jpeg_baseline(img), decode_jpeg_baseline),
+             (_encode_jpeg_progressive_gray(img), decode_jpeg_baseline),
              (encode_flac(snd, 8000), decode_flac)]
     for payload, dec in cases:
         for cut in range(0, len(payload), max(1, len(payload) // 50)):

@@ -1,16 +1,21 @@
-"""Baseline-sequential JPEG codec — REAL and dependency-free (numpy +
-stdlib), correctness-grade.
+"""JPEG codec (sequential baseline AND progressive) — REAL and
+dependency-free (numpy + stdlib), correctness-grade.
 
-- :func:`decode_jpeg_baseline`: SOF0 baseline JPEG -> grayscale pixels.
-  Huffman and quantization tables are read FROM THE FILE (DHT/DQT), so
-  interop with real encoders does not depend on any table constants
-  here. Supports 1-component (grayscale) and 3-component YCbCr with
-  any 1-2 sampling factors (4:4:4, 4:2:0, 4:2:2), restart intervals,
-  and 0xFF00 byte unstuffing. The returned plane is the Y component —
-  identical (±1 rounding) to PIL's ``convert("L")``, since 601 luma of
-  YCbCr->RGB is Y by construction. Honestly rejected with a
-  ``ValueError`` naming the gap: progressive (SOF2), arithmetic
-  coding, 12-bit precision, 16-bit quant tables, hierarchical modes.
+- :func:`decode_jpeg_baseline`: SOF0/SOF1 sequential and SOF2
+  PROGRESSIVE JPEG -> grayscale pixels. Huffman and quantization
+  tables are read FROM THE FILE (DHT/DQT), so interop with real
+  encoders does not depend on any table constants here. Supports
+  1-component (grayscale) and 3-component YCbCr with any 1-4 sampling
+  factors, restart intervals, 0xFF00 byte unstuffing, and the full
+  progressive feature set: spectral selection, successive
+  approximation (DC + AC refinement scans, T.81 G.2), and EOB runs.
+  All scans accumulate into per-component coefficient planes; one
+  vectorized dequantize+IDCT reconstructs at the end. The returned
+  plane is the Y component — identical (±1 rounding) to PIL's
+  ``convert("L")``, since 601 luma of YCbCr->RGB is Y by construction.
+  Honestly rejected with a ``ValueError`` naming the gap: arithmetic
+  coding, 12-bit precision, 16-bit quant tables, lossless and
+  hierarchical modes.
 - :func:`encode_jpeg_baseline`: grayscale -> single-component baseline
   JFIF (Annex-K tables at an IJG-style quality scale). The lossy
   round-trip ``decode(encode(px))`` is pinned by test to small error.
@@ -211,13 +216,42 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(f"corrupt/truncated JPEG: {e}") from e
 
 
+class _JpegState:
+    """Shared decode state across scans: coefficient accumulators per
+    component (zigzag order, MCU-padded block grid) plus geometry."""
+
+    def __init__(self, w, h, comps, progressive):
+        self.w, self.h, self.comps = w, h, comps
+        self.progressive = progressive
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcus_x = -(-w // (8 * self.hmax))
+        self.mcus_y = -(-h // (8 * self.vmax))
+        self.coef = {cid: np.zeros((self.mcus_y * cv, self.mcus_x * ch, 64),
+                                   np.int32)
+                     for cid, ch, cv, _tq in comps}
+        self.scanned = False
+
+    def comp(self, cid):
+        for c in self.comps:
+            if c[0] == cid:
+                return c
+        raise ValueError("corrupt JPEG: scan names unknown component")
+
+    def noninterleaved_blocks(self, cid):
+        _, ch, cv, _ = self.comp(cid)
+        cw = -(-self.w * ch // self.hmax)
+        chh = -(-self.h * cv // self.vmax)
+        return -(-chh // 8), -(-cw // 8)  # rows, cols
+
+
 def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], _HuffTable] = {}
-    sof = None
+    st: _JpegState | None = None
     restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -230,7 +264,7 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             continue  # standalone
         (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
         seg = payload[pos + 2:pos + seglen]
-        if m == 0xC0 or m == 0xC1:  # SOF0/1 (both sequential Huffman)
+        if m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             depth, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if depth != 8:
                 raise ValueError("12-bit JPEG precision needs PIL")
@@ -243,9 +277,9 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 if not (1 <= ch_ <= 4 and 1 <= cv_ <= 4):
                     raise ValueError("corrupt JPEG: bad sampling factor")
                 comps.append((cid, ch_, cv_, tq))
-            sof = (w, h, comps)
-        elif m in (0xC2, 0xC6, 0xCA):
-            raise ValueError("progressive JPEG (SOF2/6/10) needs PIL")
+            st = _JpegState(w, h, comps, progressive=(m == 0xC2))
+        elif m in (0xC6, 0xCA):
+            raise ValueError("differential JPEG (SOF6/10) needs PIL")
         elif m in (0xC3, 0xC5, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("lossless/hierarchical/arithmetic JPEG needs PIL")
         elif m == 0xC9:
@@ -270,92 +304,194 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif m == 0xDA:  # SOS — entropy-coded data follows
-            if sof is None:
+            if st is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 15))
-            data_pos = pos + seglen
-            return _decode_scan(payload, data_pos, sof, scan, qtabs,
-                                htabs, restart_interval)
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            band = (ss, se, ahal >> 4, ahal & 15) if st.progressive \
+                else (0, 63, 0, 0)
+            pos = _decode_sos(payload, pos + seglen, scan, band, st,
+                              htabs, restart_interval)
+            st.scanned = True
+            continue  # pos is at the next marker's 0xFF
         pos += seglen
-    raise ValueError("corrupt JPEG: no SOS scan found")
+    if st is None or not st.scanned:
+        raise ValueError("corrupt JPEG: no SOS scan found")
+    return _reconstruct(st, qtabs)
 
 
-def _decode_scan(payload, data_pos, sof, scan, qtabs, htabs,
-                 restart_interval) -> tuple[int, int, np.ndarray]:
-    w, h, comps = sof
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-w // mcu_w)
-    mcus_y = -(-h // mcu_h)
-    # per component: plane + per-scan huffman/quant selections
-    planes = {}
+def _decode_sos(payload, data_pos, scan, band, st, htabs,
+                restart_interval) -> int:
+    """Decode one scan's entropy data into ``st.coef``; returns the
+    byte offset of the next marker. Handles sequential full-band scans
+    and all four progressive scan kinds (DC/AC x first/refinement,
+    spectral selection + successive approximation, EOB runs)."""
+    ss, se, ah, al = band
+    if ss > se or se > 63 or (ss == 0 and se != 0 and st.progressive):
+        raise ValueError("corrupt JPEG: bad spectral band")
+    dc_scan = ss == 0
     sel = {}
-    for cid, ch, cv, tq in comps:
-        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), np.float64)
-        for cs, td, ta in scan:
-            if cs == cid:
-                sel[cid] = (htabs.get((0, td)), htabs.get((1, ta)),
-                            qtabs.get(tq))
-        if cid not in sel or any(x is None for x in sel[cid]):
-            raise ValueError("corrupt JPEG: missing Huffman/quant table")
+    for cs, td, ta in scan:
+        dct = htabs.get((0, td))
+        act = htabs.get((1, ta))
+        if (dc_scan and ah == 0 and dct is None) or \
+                (se > 0 and act is None):
+            raise ValueError("corrupt JPEG: missing Huffman table")
+        sel[cs] = (dct, act)
     br = _BitReader(payload, data_pos)
-    pred = {cid: 0 for cid, *_ in comps}
-    n_mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                br.restart()
-                pred = {cid: 0 for cid in pred}
-            for cid, ch, cv, _tq in comps:
-                dct_t, act_t, q = sel[cid]
-                for by in range(cv):
-                    for bx in range(ch):
-                        blk = _decode_block(br, dct_t, act_t, q, pred, cid)
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
-            n_mcu += 1
-    # output: Y plane (first scan component), cropped
-    y_cid = comps[0][0]
-    ych, ycv = comps[0][1], comps[0][2]
-    plane = planes[y_cid]
-    # Y is stored at (ych/hmax, ycv/vmax) of full res; upsample if needed
-    if ych != hmax or ycv != vmax:
-        plane = np.repeat(np.repeat(plane, vmax // ycv, axis=0),
-                          hmax // ych, axis=1)
-    gray = np.clip(np.rint(plane[:h, :w] + 128), 0, 255).astype(np.uint8)
-    return w, h, gray.ravel()
+    pred = {cs: 0 for cs, *_ in scan}
+    eob = [0]
+
+    def do_block(cid, row, col):
+        blk = st.coef[cid][row, col]
+        dct_t, act_t = sel[cid]
+        if not st.progressive:
+            _block_dc_first(br, dct_t, pred, cid, blk, 0)
+            _block_ac_first(br, act_t, blk, 1, 63, 0, eob)
+        elif dc_scan and ah == 0:
+            _block_dc_first(br, dct_t, pred, cid, blk, al)
+        elif dc_scan:
+            if br.read(1):
+                blk[0] |= np.int32(1 << al)
+        elif ah == 0:
+            _block_ac_first(br, act_t, blk, ss, se, al, eob)
+        else:
+            _block_ac_refine(br, act_t, blk, ss, se, al, eob)
+
+    if len(scan) > 1:  # interleaved: baseline full scans or DC scans
+        if st.progressive and not dc_scan:
+            raise ValueError("corrupt JPEG: interleaved progressive AC scan")
+        n_mcu = 0
+        for my in range(st.mcus_y):
+            for mx in range(st.mcus_x):
+                if restart_interval and n_mcu \
+                        and n_mcu % restart_interval == 0:
+                    br.restart()
+                    pred.update({c: 0 for c in pred})
+                    eob[0] = 0
+                for cs, _td, _ta in scan:
+                    _, ch, cv, _tq = st.comp(cs)
+                    for by in range(cv):
+                        for bx in range(ch):
+                            do_block(cs, my * cv + by, mx * ch + bx)
+                n_mcu += 1
+    else:
+        cid = scan[0][0]
+        rows, cols = st.noninterleaved_blocks(cid)
+        nblk = 0
+        for row in range(rows):
+            for col in range(cols):
+                if restart_interval and nblk \
+                        and nblk % restart_interval == 0:
+                    br.restart()
+                    pred.update({c: 0 for c in pred})
+                    eob[0] = 0
+                do_block(cid, row, col)
+                nblk += 1
+    # hunt the next marker (skip entropy padding; FF00 is stuffed data,
+    # RSTn can only appear inside the scan)
+    p = br.pos
+    d = payload
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00 \
+                and not 0xD0 <= d[p + 1] <= 0xD7:
+            return p
+        p += 1
+    return len(d)
 
 
-def _decode_block(br, dct_t, act_t, q, pred, cid) -> np.ndarray:
-    coeff = np.zeros(64, np.int64)
+def _block_dc_first(br, dct_t, pred, cid, blk, al):
     size = br.decode_symbol(dct_t)
     diff = _extend(br.read(size), size)
     pred[cid] += diff
-    coeff[0] = pred[cid]
-    k = 1
-    while k < 64:
+    blk[0] = pred[cid] << al
+
+
+def _block_ac_first(br, act_t, blk, ss, se, al, eob):
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
         rs = br.decode_symbol(act_t)
         r, s = rs >> 4, rs & 15
         if s == 0:
             if r == 15:  # ZRL
                 k += 16
                 continue
-            break  # EOB
+            eob[0] = (1 << r) - 1 + (br.read(r) if r else 0)
+            break
         k += r
-        if k > 63:
-            raise ValueError("corrupt JPEG: AC index past 63")
-        coeff[k] = _extend(br.read(s), s)
+        if k > se:
+            raise ValueError("corrupt JPEG: AC index past band end")
+        blk[k] = _extend(br.read(s), s) << al
         k += 1
-    dq = np.zeros(64, np.float64)
-    dq[_ZIGZAG] = coeff * q
-    block = dq.reshape(8, 8)
-    return _A.T @ block @ _A  # IDCT (orthonormal)
+
+
+def _block_ac_refine(br, act_t, blk, ss, se, al, eob):
+    """T.81 G.2 successive-approximation AC refinement: correction bits
+    for already-nonzero coefficients, run-positioned new ±1<<Al values,
+    and EOB-run regions that still carry correction bits."""
+    p1 = 1 << al
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = br.decode_symbol(act_t)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: bad refinement size")
+                val = p1 if br.read(1) else -p1
+            elif r != 15:
+                eob[0] = (1 << r) + (br.read(r) if r else 0)
+                break
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.read(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eob[0] > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0 and br.read(1) and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else -p1)
+            k += 1
+        eob[0] -= 1
+
+
+def _reconstruct(st: _JpegState, qtabs) -> tuple[int, int, np.ndarray]:
+    """Dequantize + IDCT the accumulated coefficients; return the Y
+    (first) component cropped to frame dims."""
+    cid, ych, ycv, tq = st.comps[0]
+    q = qtabs.get(tq)
+    if q is None:
+        raise ValueError("corrupt JPEG: missing quantization table")
+    zz = st.coef[cid].astype(np.float64) * q  # (by, bx, 64) zigzag
+    ny, nx = zz.shape[:2]
+    nat = np.zeros_like(zz)
+    nat[:, :, _ZIGZAG] = zz
+    blocks = nat.reshape(ny, nx, 8, 8)
+    spatial = np.einsum("ji,abjk,kl->abil", _A, blocks, _A)  # A.T X A
+    plane = spatial.transpose(0, 2, 1, 3).reshape(ny * 8, nx * 8)
+    if ych != st.hmax or ycv != st.vmax:
+        plane = np.repeat(np.repeat(plane, st.vmax // ycv, axis=0),
+                          st.hmax // ych, axis=1)
+    gray = np.clip(np.rint(plane[:st.h, :st.w] + 128), 0, 255) \
+        .astype(np.uint8)
+    return st.w, st.h, gray.ravel()
 
 
 # ---- encoder (grayscale, single component) --------------------------------

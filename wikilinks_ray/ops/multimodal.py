@@ -7,15 +7,16 @@ metadata struct alongside. Codec status, honestly:
   and re-encode with numpy alone; 8-bit PNG (gray/RGB/gray+alpha/RGBA,
   all five scanline filters, CRC-checked) decodes with stdlib ``zlib``
   + numpy and grayscale re-encodes (``decode_png``/``encode_png``);
-  baseline-sequential JPEG (grayscale + YCbCr any 1-2 sampling,
-  restart intervals) decodes and grayscale re-encodes via ``ops/jpeg``
-  (numpy DCT + canonical Huffman — tables read from the file); WAV
+  JPEG — sequential baseline AND progressive (spectral selection,
+  successive approximation, EOB runs) — decodes, and grayscale
+  re-encodes, via ``ops/jpeg`` (numpy DCT + canonical Huffman —
+  tables read from the file); WAV
   audio decodes with the stdlib ``wave`` module and native FLAC with
   ``ops/flac`` (every subframe type incl. LPC, rice residuals,
   wasted bits, stereo decorrelation, CRC-checked; lossless VERBATIM/
   CONSTANT re-encode). ``DecodeImage`` auto-detects PGM/PNG/JPEG
   payloads; ``DecodeAudio`` handles RIFF/WAVE and FLAC.
-- **Probed optional codecs**: progressive/arithmetic JPEG (plus
+- **Probed optional codecs**: arithmetic-coded/12-bit JPEG (plus
   interlaced/palette/16-bit PNG) decode through PIL and
   mp3/ogg/flac/mp4 through pyav wherever those libraries are installed
   — each decoder probes its library ONCE per actor in ``__init__``.
@@ -318,13 +319,14 @@ class DecodeImage:
     """Actor-pool decode stage: payload -> pixel features.
 
     Payloads auto-detect by magic: binary PGM (``P5``), 8-bit PNG and
-    baseline JPEG decode for REAL (pure numpy / stdlib — see
-    :func:`decode_png` and ``ops/jpeg.decode_jpeg_baseline``); the
-    deterministic fake format decodes when constructed with
-    ``fake=True``; progressive JPEG (and interlaced/palette PNG) needs
-    PIL (absent here) and raises NotImplementedError with setup
-    guidance. Output: (media_id, width, height, mean_intensity, phash)
-    — the layout a real decoder would produce.
+    JPEG (sequential baseline AND progressive) decode for REAL (pure
+    numpy / stdlib — see :func:`decode_png` and
+    ``ops/jpeg.decode_jpeg_baseline``); the deterministic fake format
+    decodes when constructed with ``fake=True``; arithmetic-coded JPEG
+    (and interlaced/palette PNG) needs PIL (absent here) and raises
+    NotImplementedError with setup guidance. Output: (media_id, width,
+    height, mean_intensity, phash) — the layout a real decoder would
+    produce.
     """
 
     def __init__(self, fake: bool = False):
@@ -362,9 +364,10 @@ class DecodeImage:
             except ValueError as e:
                 raise NotImplementedError(str(e)) from e
         if payload[:2] == b"\xff\xd8":
-            # REAL dependency-free baseline-sequential decode (grayscale
-            # + YCbCr with 1-2 sampling, restart intervals); progressive/
-            # arithmetic/12-bit name the gap honestly
+            # REAL dependency-free decode: sequential baseline AND
+            # progressive (spectral selection + successive approximation
+            # + EOB runs), grayscale + YCbCr, restart intervals;
+            # arithmetic/12-bit/lossless name the gap honestly
             from .jpeg import decode_jpeg_baseline
 
             try:
@@ -372,11 +375,11 @@ class DecodeImage:
             except ValueError as e:
                 raise NotImplementedError(str(e)) from e
         raise NotImplementedError(
-            "PGM, 8-bit PNG and baseline JPEG decode without external "
-            "libraries; progressive JPEG and interlaced/palette PNG "
-            "decode via PIL when it is installed (absent in this "
-            "container). Construct DecodeImage(fake=True) for the "
-            "deterministic fake test codec."
+            "PGM, 8-bit PNG and JPEG (sequential + progressive) decode "
+            "without external libraries; arithmetic-coded JPEG and "
+            "interlaced/palette PNG decode via PIL when it is installed "
+            "(absent in this container). Construct DecodeImage(fake=True) "
+            "for the deterministic fake test codec."
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
