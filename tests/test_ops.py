@@ -862,7 +862,7 @@ def test_png_codec_real_decode(ray_session):
     for i, m in imgs.items():
         assert (out.loc[i, "height"], out.loc[i, "width"]) == m.shape
         assert out.loc[i, "mean_intensity"] == pytest.approx(m.mean())
-    # honest gaps: corrupt CRC, interlace, palette
+    # corruption detection + the remaining honest gap (low bit depth)
     good = bytearray(encode_png(gray))
     good[-5] ^= 0xFF  # flip a byte inside IEND's CRC
     with pytest.raises(ValueError, match="CRC"):
@@ -875,21 +875,60 @@ def test_png_codec_real_decode(ray_session):
         return (_s.pack(">I", len(data)) + typ + data
                 + _s.pack(">I", _z.crc32(typ + data)))
 
-    interlaced = (sig + _chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
-                  + _chunk(b"IDAT", _z.compress(b"\0\0\0"))
-                  + _chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="Adam7"):
-        decode_png(interlaced)
-    paletted = (sig + _chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
-                + _chunk(b"IDAT", _z.compress(b"\0\0\0"))
+    onebit = (sig + _chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 1, 0, 0, 0, 0))
+              + _chunk(b"IDAT", _z.compress(b"\0\0\0\0"))
+              + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="depth"):
+        decode_png(onebit)
+
+    # PALETTE (colortype 3): indices + PLTE resolve to RGB then luma
+    pal_rng = np.random.default_rng(5)
+    palette = pal_rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = pal_rng.integers(0, 16, (9, 11), dtype=np.uint8)
+    raw = np.zeros((9, 11 + 1), np.uint8)
+    raw[:, 1:] = idx
+    paletted = (sig
+                + _chunk(b"IHDR", _s.pack(">IIBBBBB", 11, 9, 8, 3, 0, 0, 0))
+                + _chunk(b"PLTE", palette.tobytes())
+                + _chunk(b"IDAT", _z.compress(raw.tobytes()))
                 + _chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="colortype"):
-        decode_png(paletted)
-    # and through the actor stage they surface as the honest stub error
-    # (PIL would instead handle these when installed)
-    if DecodeImage()._pil_image is None:
-        with pytest.raises(NotImplementedError, match="Adam7"):
-            DecodeImage()._decode(interlaced)
+    w, h, px = decode_png(paletted)
+    rgbp = palette[idx].astype(np.int64)
+    wantp = ((299 * rgbp[:, :, 0] + 587 * rgbp[:, :, 1]
+              + 114 * rgbp[:, :, 2]) // 1000).astype(np.uint8)
+    assert (w, h) == (11, 9) and (px.reshape(9, 11) == wantp).all()
+    # out-of-range palette index is corruption, not garbage pixels
+    bad_idx = raw.copy()
+    bad_idx[0, 1] = 200
+    bad_pal = (sig
+               + _chunk(b"IHDR", _s.pack(">IIBBBBB", 11, 9, 8, 3, 0, 0, 0))
+               + _chunk(b"PLTE", palette.tobytes())
+               + _chunk(b"IDAT", _z.compress(bad_idx.tobytes()))
+               + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad_pal)
+
+    # ADAM7 interlace: 7 independently-filtered sub-images; compare to
+    # the plain encoding of the same pixels (odd dims stress pass grid)
+    from wikilinks_ray.ops.multimodal import _ADAM7
+    for dims in ((13, 17), (8, 8), (3, 5), (1, 1), (2, 10)):
+        src = pal_rng.integers(0, 256, dims, dtype=np.uint8)
+        hh, ww = dims
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = src[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            rows = np.zeros((sub.shape[0], sub.shape[1] + 1), np.uint8)
+            rows[:, 1:] = sub
+            parts.append(rows.tobytes())
+        inter = (sig
+                 + _chunk(b"IHDR", _s.pack(">IIBBBBB", ww, hh, 8, 0, 0, 0, 1))
+                 + _chunk(b"IDAT", _z.compress(b"".join(parts)))
+                 + _chunk(b"IEND", b""))
+        w, h, px = decode_png(inter)
+        assert (w, h) == (ww, hh), dims
+        assert (px.reshape(hh, ww) == src).all(), f"adam7 {dims}"
 
 
 def _encode_jpeg_color_420(gray: np.ndarray, quality: int = 90,

@@ -17,7 +17,7 @@ metadata struct alongside. Codec status, honestly:
   CONSTANT re-encode). ``DecodeImage`` auto-detects PGM/PNG/JPEG
   payloads; ``DecodeAudio`` handles RIFF/WAVE and FLAC.
 - **Probed optional codecs**: arithmetic-coded/12-bit JPEG (plus
-  interlaced/palette/16-bit PNG) decode through PIL and
+  low-bit-depth/16-bit PNG) decode through PIL and
   mp3/ogg/flac/mp4 through pyav wherever those libraries are installed
   — each decoder probes its library ONCE per actor in ``__init__``.
   Neither library is in this container, so here those payloads raise an
@@ -87,7 +87,7 @@ def decode_pgm(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# colortype -> channel count (palette/3 is rejected below)
+# colortype -> channel count (palette/3 resolves via PLTE below)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -116,15 +116,16 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     """PNG -> (width, height, flat uint8 GRAYSCALE pixels). REAL and
     dependency-free: stdlib ``zlib`` inflate + numpy unfiltering.
 
-    Supported: 8-bit depth, colortypes 0 (gray) / 2 (RGB) /
-    4 (gray+alpha) / 6 (RGBA), all five scanline filters, CRC-checked
-    chunks. Color converts to luma exactly like PIL's ``convert("L")``
-    (ITU-R 601: ``(299R + 587G + 114B) // 1000``; alpha ignored, no
-    compositing) so the PIL leg and this one are interchangeable.
-    Honestly rejected: interlace (Adam7), palette (colortype 3), and
-    16-bit depth — a ``ValueError`` names the gap. Truncated/corrupt
-    payloads always raise ``ValueError`` too (fuzz-pinned), never a
-    stray struct/zlib/index error."""
+    Supported: 8-bit depth, colortypes 0 (gray) / 2 (RGB) / 3 (palette,
+    via PLTE) / 4 (gray+alpha) / 6 (RGBA), all five scanline filters,
+    Adam7 interlace (7 independently-filtered sub-images scattered by
+    pass grid), CRC-checked chunks. Color converts to luma exactly like
+    PIL's ``convert("L")`` (ITU-R 601: ``(299R + 587G + 114B) // 1000``;
+    alpha ignored, no compositing) so the PIL leg and this one are
+    interchangeable. Honestly rejected: 1/2/4/16-bit depths — a
+    ``ValueError`` names the gap. Truncated/corrupt payloads always
+    raise ``ValueError`` too (fuzz-pinned), never a stray
+    struct/zlib/index error."""
     import zlib
 
     try:
@@ -133,39 +134,14 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(f"corrupt/truncated PNG: {e}") from e
 
 
-def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
-    import zlib
+# Adam7 pass grid: (x0, y0, dx, dy), pass order per the PNG spec
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, meta = 8, [], None
-    while pos + 8 <= len(payload):
-        (length,), typ = struct.unpack(">I", payload[pos:pos + 4]), \
-            payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        crc = struct.unpack(">I", payload[pos + 8 + length:
-                                          pos + 12 + length])[0]
-        if zlib.crc32(typ + data) != crc:
-            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
-        if typ == b"IHDR":
-            meta = struct.unpack(">IIBBBBB", data)
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-        pos += 12 + length
-    if meta is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, ctype, comp, filt, interlace = meta
-    if depth != 8 or ctype not in _PNG_CHANNELS or comp != 0 or filt != 0:
-        raise ValueError(
-            f"unsupported PNG (depth={depth}, colortype={ctype}): only "
-            "8-bit gray/RGB/gray+alpha/RGBA decode here; palette and "
-            "16-bit need PIL")
-    if interlace:
-        raise ValueError("interlaced (Adam7) PNG needs PIL")
-    ch = _PNG_CHANNELS[ctype]
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reconstruct one (sub)image from ``h`` filtered scanlines of
+    ``w*ch`` bytes (+1 filter byte each); returns (h, w*ch) uint8."""
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data size mismatch")
@@ -199,7 +175,76 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         else:
             raise ValueError(f"unknown PNG filter type {f}")
         out[y] = rec.astype(np.uint8)
-    px = out.reshape(h, w, ch)
+    return out
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta, plte = 8, [], None, None
+    while pos + 8 <= len(payload):
+        (length,), typ = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        crc = struct.unpack(">I", payload[pos + 8 + length:
+                                          pos + 12 + length])[0]
+        if zlib.crc32(typ + data) != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            if length % 3:
+                raise ValueError("corrupt PNG: PLTE length not *3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = meta
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}): only 8-bit depth decodes "
+            "here; 1/2/4/16-bit need PIL")
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("corrupt PNG: palette image without PLTE")
+        ch = 1
+    elif ctype in _PNG_CHANNELS:
+        ch = _PNG_CHANNELS[ctype]
+    else:
+        raise ValueError(f"unsupported PNG colortype {ctype}")
+    if w == 0 or h == 0:
+        raise ValueError("corrupt PNG: zero dimensions")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if interlace == 0:
+        px = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    elif interlace == 1:  # Adam7: 7 independently filtered sub-images
+        px = np.zeros((h, w, ch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(w - x0) // dx))
+            ph = max(0, -(-(h - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            nbytes = ph * (pw * ch + 1)
+            sub = _png_unfilter(raw[off:off + nbytes], ph, pw, ch)
+            off += nbytes
+            px[y0::dy, x0::dx, :] = sub.reshape(ph, pw, ch)
+        if off != len(raw):
+            raise ValueError("PNG pixel data size mismatch")
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    if ctype == 3:
+        idx = px[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("corrupt PNG: palette index out of range")
+        px = plte[idx]  # (h, w, 3)
+        ctype = 2
     if ctype == 0:
         gray = px[:, :, 0]
     elif ctype == 4:
@@ -323,7 +368,7 @@ class DecodeImage:
     numpy / stdlib — see :func:`decode_png` and
     ``ops/jpeg.decode_jpeg_baseline``); the deterministic fake format
     decodes when constructed with ``fake=True``; arithmetic-coded JPEG
-    (and interlaced/palette PNG) needs PIL (absent here) and raises
+    (and 1/2/4/16-bit-depth PNG) needs PIL (absent here) and raises
     NotImplementedError with setup guidance. Output: (media_id, width,
     height, mean_intensity, phash) — the layout a real decoder would
     produce.
@@ -377,7 +422,7 @@ class DecodeImage:
         raise NotImplementedError(
             "PGM, 8-bit PNG and JPEG (sequential + progressive) decode "
             "without external libraries; arithmetic-coded JPEG and "
-            "interlaced/palette PNG decode via PIL when it is installed "
+            "low-bit-depth/16-bit PNG decode via PIL when it is installed "
             "(absent in this container). Construct DecodeImage(fake=True) "
             "for the deterministic fake test codec."
         )
