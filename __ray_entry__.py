@@ -1180,6 +1180,29 @@ def q_wiki_template_links(sf_dir: str):
     return df.sort_values(["src_title", "dst_title"]).reset_index(drop=True)
 
 
+def q_wiki_anchors(sf_dir: str):
+    """Anchor-text aggregation (ops/anchors.anchor_stats) over the
+    flagship corpus + built graph: per link-target vertex, total link
+    occurrences, distinct-anchor count, and the most frequent anchor
+    (lexicographic-min tie-break). The classic web-link-graph text
+    feature (what the web *calls* a page) — no reference analog; the
+    oracle re-derives occurrence extraction + anchor split + title
+    resolution in SQL from the same corpus parquet."""
+    from wikilinks_ray.ops.anchors import anchor_stats
+    from wikilinks_ray.pipelines.flagship import (
+        ensure_oracle_corpus,
+        oracle_build,
+    )
+
+    import ray.data as rd
+
+    _quiet()
+    res = oracle_build()
+    pages = rd.read_parquet(ensure_oracle_corpus())
+    df = anchor_stats(pages, res.vertices()).to_pandas()
+    return df.sort_values("dst").reset_index(drop=True)
+
+
 def q_wiki_prefix(sf_dir: str):
     """Bounded prefix lookup (J4) over the flagship vertex index."""
     from wikilinks_ray.pipelines.flagship import oracle_build
@@ -2019,6 +2042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_quality": q_classify_quality,
         "dedup_clusters": q_dedup_clusters,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "wiki_anchors": q_wiki_anchors,
         "graph_edges": q_graph_edges,
         "graph_in_degree_hist": q_graph_in_degree_hist,
         "graph_components": q_graph_components,

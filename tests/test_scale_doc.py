@@ -154,3 +154,9 @@ def test_every_scale_gate_name_resolves():
                 found = True
                 break
         assert found, f"SCALE.md cites `{name}` but no module exports it"
+
+
+def test_anchor_gates():
+    from wikilinks_ray.ops.anchors import anchor_stats
+
+    _assert_knob(anchor_stats, "title_broadcast_limit")

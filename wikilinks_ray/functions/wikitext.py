@@ -59,11 +59,11 @@ def strip_markup(text: str) -> str:
     return text
 
 
-def iter_link_targets(text: str):
-    """Yield raw ``[[...]]`` inner texts, handling NESTED links (a
-    ``[[File:x|caption with [[Y]]]]`` image link): the non-greedy regex
-    stops at the first ``]]`` and would both truncate the outer link and
-    swallow the nested one.
+def iter_link_inners(text: str):
+    """Yield FULL raw ``[[...]]`` inner texts (pipes and all), handling
+    NESTED links (a ``[[File:x|caption with [[Y]]]]`` image link): the
+    non-greedy regex stops at the first ``]]`` and would both truncate
+    the outer link and swallow the nested one.
 
     Single O(n) pass with an explicit bracket stack (no recursion — deep
     nesting can't blow the interpreter stack; no restarts — a stray
@@ -71,8 +71,7 @@ def iter_link_targets(text: str):
     ``]]`` to form a balanced pair; unmatched openers are literal text,
     exactly how MediaWiki renders them, and links AFTER a stray opener
     still match. Pairs yield in document order of their ``[[`` (outer
-    before its nested caption links). Each pair's target is its inner
-    text up to the first ``|`` or nested ``[[``."""
+    before its nested caption links)."""
     stack: list[int] = []
     pairs: list[tuple[int, int]] = []
     i = 0
@@ -91,10 +90,24 @@ def iter_link_targets(text: str):
         else:
             i += 1
     for s, e in sorted(pairs):
-        head = text[s + 2:e].split("|", 1)[0]
-        if "[[" in head:  # nested link before any pipe — truncate
-            head = head[:head.find("[[")]
-        yield head
+        yield text[s + 2:e]
+
+
+def _target_head(inner: str) -> str:
+    """A link's target head: inner text up to the first ``|`` or nested
+    ``[[`` (a nested link before any pipe truncates the target)."""
+    head = inner.split("|", 1)[0]
+    if "[[" in head:
+        head = head[:head.find("[[")]
+    return head
+
+
+def iter_link_targets(text: str):
+    """Yield each balanced ``[[...]]`` pair's target head (see
+    :func:`iter_link_inners` for the scan, :func:`_target_head` for the
+    head rule)."""
+    for inner in iter_link_inners(text):
+        yield _target_head(inner)
 
 
 _INNER_TPL_RE = re.compile(r"\{\{([^{}]*)\}\}", re.DOTALL)
@@ -586,6 +599,47 @@ def parse_wikitext(text: str, template_lookup=None,
             seen.add(t)
             links.append(t)
     return False, None, links
+
+
+def link_anchor_pairs(text: str) -> list[tuple[str, str]]:
+    """Per-OCCURRENCE ``(target, anchor)`` pairs of an article page's
+    links, document order, no dedup — the per-page kernel of anchor-text
+    aggregation (the classic web-link-graph feature: what the web *calls*
+    a page).
+
+    Frozen semantics (mirrored exactly by the ``wiki_anchors`` SQL
+    oracle twin, pipelines/flagship.py):
+
+    - redirect pages contribute NO anchor occurrences (their single
+      ``#REDIRECT [[T]]`` link is navigation, not an endorsement);
+    - target: same normalization as the link walk
+      (:func:`normalize_link_target` — strip ``|anchor``/``#section``,
+      underscores→spaces, capitalize first); ``None`` targets drop;
+    - anchor: the inner text after the FIRST pipe, whitespace-stripped;
+      a pipe-less ``[[Target]]`` renders its inner text as written, so
+      the anchor defaults to the raw inner (stripped) — including any
+      ``#Section`` part and the original (possibly lowercase) first
+      letter, exactly what MediaWiki displays;
+    - markup stripping and nested-link handling are shared with
+      :func:`parse_wikitext` (same fast path / bracket-scanner
+      fallback); for a nesting OUTER link the as-written anchor keeps
+      the nested markup verbatim.
+    """
+    if _REDIRECT_RE.match(text):
+        return []
+    if _MARKUP_TRIGGER_RE.search(text):
+        text = strip_markup(text)
+    raws = _LINK_RE.findall(text)
+    if any("[[" in r for r in raws):
+        raws = list(iter_link_inners(text))
+    out: list[tuple[str, str]] = []
+    for raw in raws:
+        target = normalize_link_target(_target_head(raw))
+        if target is None:
+            continue
+        head, sep, rest = raw.partition("|")
+        out.append((target, (rest if sep else raw).strip()))
+    return out
 
 
 def extracted_text_bytes(is_redirect: bool, redirect_target: str | None,

@@ -287,4 +287,40 @@ def wiki_oracle_sql() -> dict[str, str]:
               (SELECT count(*) FROM ids)::BIGINT AS n_vertices,
               (SELECT count(*) FROM edges)::BIGINT AS n_edges
         """,
+        # SQL twin of ops/anchors.anchor_stats — semantics pinned in
+        # functions/wikitext.link_anchor_pairs' docstring: per-OCCURRENCE
+        # (no per-page dedup), articles only, anchor = text after the
+        # first pipe (else the raw inner as written), both sides compare
+        # anchors in code-point order (DuckDB binary UTF-8 == Python str)
+        "wiki_anchors": p + f"""
+            , anch AS (
+                SELECT {_norm('raw')} AS dst_title,
+                       CASE WHEN strpos(raw, '|') > 0
+                            THEN trim(substr(raw, strpos(raw, '|') + 1))
+                            ELSE trim(raw) END AS anchor
+                FROM rawlinks WHERE {_norm('raw')} IS NOT NULL
+            ),
+            resolved AS (
+                SELECT d.id AS dst, a.anchor FROM anch a
+                JOIN ids d ON d.title = a.dst_title
+            ),
+            pair_counts AS (
+                SELECT dst, anchor, count(*)::BIGINT AS cnt
+                FROM resolved GROUP BY dst, anchor
+            ),
+            ranked AS (
+                SELECT dst, anchor, cnt,
+                       row_number() OVER (PARTITION BY dst
+                                          ORDER BY cnt DESC, anchor) AS rn
+                FROM pair_counts
+            ),
+            totals AS (
+                SELECT dst, sum(cnt)::BIGINT AS occurrences,
+                       count(*)::BIGINT AS n_distinct_anchors
+                FROM pair_counts GROUP BY dst
+            )
+            SELECT t.dst, t.occurrences, t.n_distinct_anchors,
+                   r.anchor AS top_anchor, r.cnt AS top_count
+            FROM totals t JOIN ranked r ON r.dst = t.dst AND r.rn = 1
+        """,
     }
