@@ -201,6 +201,23 @@ def q_graph_hits(sf_dir: str):
                              "hub_scaled": hub[g.vertices]})
 
 
+def q_graph_katz(sf_dir: str):
+    """EXACT-match Katz centrality: 10 fixed iterations in scaled int64
+    arithmetic (x' = scale + S // a_den, beta = 1, alpha = 1/a_den with
+    a_den = max_in_degree + 1 — attenuation pinned below the spectral
+    radius bound, so the series contracts on every input). One extra
+    distributed unit-scatter superstep derives a_den; the oracle unrolls
+    the same recurrence and reproduces identical integers."""
+    from wikilinks_ray.pipelines.derived import DerivedGraph
+    from wikilinks_ray.pipelines.katz import katz_int
+
+    _quiet()
+    with DerivedGraph(sf_dir, num_shards=4) as g:
+        x = katz_int(g.actors, g.n, iters=10)
+        return pd.DataFrame({"vertex": g.vertices,
+                             "katz_scaled": x[g.vertices]})
+
+
 def q_graph_clustering(sf_dir: str):
     """Per-vertex triangle counts + local clustering coefficient in
     scaled integer arithmetic: lcc_scaled = (2*T(v)*10^6) // (d(v) *
@@ -2043,6 +2060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "text_bpe_tokens": q_text_bpe_tokens,
         "wiki_anchors": q_wiki_anchors,
+        "graph_katz": q_graph_katz,
         "graph_edges": q_graph_edges,
         "graph_in_degree_hist": q_graph_in_degree_hist,
         "graph_components": q_graph_components,
@@ -2168,6 +2186,32 @@ def _pagerank_oracle_sql(iters: int = 20, scale: int = 10**12) -> str:
             f"FROM verts v LEFT JOIN s{k} s ON s.v = v.v)")
     return ("WITH " + ",\n".join(ctes) +
             f"\nSELECT v AS vertex, r AS pagerank_scaled FROM pr{iters} "
+            "WHERE v IN (SELECT v FROM pverts)")
+
+
+def _katz_oracle_sql(iters: int = 10, scale: int = 10**9) -> str:
+    """SQL twin of pipelines.katz.katz_int: x' = scale + S // a_den with
+    a_den = max_in_degree + 1, unrolled into chained BIGINT CTEs —
+    identical integers to the engine's distributed combiner exchange."""
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES})",
+        "maxv AS MATERIALIZED (SELECT max(greatest(src, dst))::BIGINT AS m FROM edges)",
+        "verts AS MATERIALIZED (SELECT unnest(generate_series(0, (SELECT m FROM maxv))) AS v)",
+        "indeg AS MATERIALIZED (SELECT dst AS v, count(*)::BIGINT AS deg FROM edges GROUP BY dst)",
+        "ad AS MATERIALIZED (SELECT (coalesce(max(deg), 0) + 1)::BIGINT AS a FROM indeg)",
+        "pverts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges UNION SELECT DISTINCT dst FROM edges)",
+        f"k0 AS MATERIALIZED (SELECT v, {scale}::BIGINT AS x FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT e.dst AS v, sum(p.x)::BIGINT AS s "
+            f"FROM edges e JOIN k{k - 1} p ON e.src = p.v GROUP BY e.dst)")
+        ctes.append(
+            f"k{k} AS MATERIALIZED (SELECT v.v, {scale}::BIGINT "
+            f"+ coalesce(s.s, 0)::BIGINT // (SELECT a FROM ad) AS x "
+            f"FROM verts v LEFT JOIN s{k} s ON s.v = v.v)")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT v AS vertex, x AS katz_scaled FROM k{iters} "
             "WHERE v IN (SELECT v FROM pverts)")
 
 
@@ -2477,6 +2521,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT in_degree, count(*) AS n_vertices FROM ind GROUP BY in_degree
         """,
         "graph_pagerank": _pagerank_oracle_sql(iters=20),
+        "graph_katz": _katz_oracle_sql(iters=10),
         "graph_ppr": _ppr_oracle_sql(iters=20),
         "graph_hits": _hits_oracle_sql(iters=10),
         "supplier_approx_distinct": _hll_oracle_sql(),
