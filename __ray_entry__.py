@@ -201,6 +201,21 @@ def q_graph_hits(sf_dir: str):
                              "hub_scaled": hub[g.vertices]})
 
 
+def q_graph_assortativity(sf_dir: str):
+    """Directed out-in degree assortativity as EXACT integer moment
+    sums (m, Σxy, Σx, Σy, Σx², Σy² over edges with x = out_deg(src),
+    y = in_deg(dst)) — the sufficient statistic for Newman's r, kept
+    integer so the combiner-first distributed pass is under the
+    value-hash gate (the float r itself is one driver expression,
+    pinned separately by pytest vs networkx)."""
+    from wikilinks_ray.pipelines.assortativity import assortativity_moments
+    from wikilinks_ray.pipelines.derived import derived_edges
+
+    _quiet()
+    mo = assortativity_moments(derived_edges(sf_dir))
+    return pd.DataFrame({k: [v] for k, v in mo.items()})
+
+
 def q_graph_katz(sf_dir: str):
     """EXACT-match Katz centrality: 10 fixed iterations in scaled int64
     arithmetic (x' = scale + S // a_den, beta = 1, alpha = 1/a_den with
@@ -2061,6 +2076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "wiki_anchors": q_wiki_anchors,
         "graph_katz": q_graph_katz,
+        "graph_assortativity": q_graph_assortativity,
         "graph_edges": q_graph_edges,
         "graph_in_degree_hist": q_graph_in_degree_hist,
         "graph_components": q_graph_components,
@@ -2522,6 +2538,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(iters=20),
         "graph_katz": _katz_oracle_sql(iters=10),
+        "graph_assortativity": f"""
+            WITH edges AS MATERIALIZED ({_EDGES}),
+            outdeg AS (SELECT src AS v, count(*)::BIGINT AS d
+                       FROM edges GROUP BY src),
+            indeg AS (SELECT dst AS v, count(*)::BIGINT AS d
+                      FROM edges GROUP BY dst),
+            xy AS (SELECT o.d AS x, i.d AS y FROM edges e
+                   JOIN outdeg o ON o.v = e.src
+                   JOIN indeg i ON i.v = e.dst)
+            SELECT count(*)::BIGINT AS m, sum(x * y)::BIGINT AS sxy,
+                   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                   sum(x * x)::BIGINT AS sx2, sum(y * y)::BIGINT AS sy2
+            FROM xy
+        """,
         "graph_ppr": _ppr_oracle_sql(iters=20),
         "graph_hits": _hits_oracle_sql(iters=10),
         "supplier_approx_distinct": _hll_oracle_sql(),

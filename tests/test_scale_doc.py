@@ -123,7 +123,7 @@ def test_every_scale_gate_name_resolves():
         "title_broadcast_limit", "dual_expand_limit", "salt",
         "num_buckets", "max_docs_per_shingle", "max_docs_per_bucket",
         "max_bucket", "broadcast_limit", "driver_merge_limit",
-        "checkpoint_every", "capacity",
+        "checkpoint_every", "capacity", "degree_broadcast_limit",
         "n_cells", "num_partitions", "batch_size", "kind", "analytics",
         "route", "permille",
     }
@@ -160,3 +160,9 @@ def test_anchor_gates():
     from wikilinks_ray.ops.anchors import anchor_stats
 
     _assert_knob(anchor_stats, "title_broadcast_limit")
+
+
+def test_assortativity_gates():
+    from wikilinks_ray.pipelines.assortativity import assortativity_moments
+
+    _assert_knob(assortativity_moments, "degree_broadcast_limit")
