@@ -201,6 +201,26 @@ def q_graph_hits(sf_dir: str):
                              "hub_scaled": hub[g.vertices]})
 
 
+def q_graph_truss(sf_dir: str):
+    """12-truss of the derived graph: iterated triangle-support peel
+    (support >= 10 per surviving edge) via the degree-oriented fused
+    wedge-closure crediting pass. Exact set semantics — the oracle
+    unrolls 14 peel rounds (idempotent once converged); the engine runs
+    to fixpoint and asserts it converged within the unroll budget."""
+    from wikilinks_ray.pipelines.derived import derived_edges
+    from wikilinks_ray.pipelines.truss import k_truss
+
+    _quiet()
+    res = k_truss(derived_edges(sf_dir), 12, max_rounds=14)
+    assert res.converged, "k-truss did not converge within the oracle's " \
+                          "14-round unroll; raise max_rounds in both"
+    df = res.edges.to_pandas()
+    if not len(df):  # to_pandas drops columns on empty datasets
+        df = pd.DataFrame({"lo": pd.Series([], dtype="int64"),
+                           "hi": pd.Series([], dtype="int64")})
+    return df.sort_values(["lo", "hi"]).reset_index(drop=True)
+
+
 def q_graph_assortativity(sf_dir: str):
     """Directed out-in degree assortativity as EXACT integer moment
     sums (m, Σxy, Σx, Σy, Σx², Σy² over edges with x = out_deg(src),
@@ -2077,6 +2097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wiki_anchors": q_wiki_anchors,
         "graph_katz": q_graph_katz,
         "graph_assortativity": q_graph_assortativity,
+        "graph_truss": q_graph_truss,
         "graph_edges": q_graph_edges,
         "graph_in_degree_hist": q_graph_in_degree_hist,
         "graph_components": q_graph_components,
@@ -2203,6 +2224,34 @@ def _pagerank_oracle_sql(iters: int = 20, scale: int = 10**12) -> str:
     return ("WITH " + ",\n".join(ctes) +
             f"\nSELECT v AS vertex, r AS pagerank_scaled FROM pr{iters} "
             "WHERE v IN (SELECT v FROM pverts)")
+
+
+def _truss_oracle_sql(k: int = 12, rounds: int = 14) -> str:
+    """SQL twin of pipelines.truss.k_truss: ``rounds`` unrolled peel
+    rounds (triangle enumeration via the id-ordered triple join, per-
+    edge credits, support >= k-2 filter). Idempotent after convergence,
+    so a fixed unroll >= the measured round count equals the fixpoint;
+    the engine side asserts convergence within it."""
+    ctes = [
+        f"dedges AS MATERIALIZED ({_EDGES})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS x, "
+        "greatest(src, dst) AS y FROM dedges WHERE src != dst)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"t{r} AS MATERIALIZED (SELECT e1.x AS a, e1.y AS b, e2.y AS c "
+            f"FROM e{r} e1 JOIN e{r} e2 ON e2.x = e1.x AND e2.y > e1.y "
+            f"JOIN e{r} e3 ON e3.x = e1.y AND e3.y = e2.y)")
+        ctes.append(
+            f"cr{r} AS MATERIALIZED (SELECT x, y, count(*)::BIGINT AS n FROM ("
+            f"SELECT a AS x, b AS y FROM t{r} "
+            f"UNION ALL SELECT a, c FROM t{r} "
+            f"UNION ALL SELECT b, c FROM t{r}) GROUP BY x, y)")
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT e.x, e.y FROM e{r} e "
+            f"JOIN cr{r} c ON c.x = e.x AND c.y = e.y WHERE c.n >= {k - 2})")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT x AS lo, y AS hi FROM e{rounds}")
 
 
 def _katz_oracle_sql(iters: int = 10, scale: int = 10**9) -> str:
@@ -2538,6 +2587,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(iters=20),
         "graph_katz": _katz_oracle_sql(iters=10),
+        "graph_truss": _truss_oracle_sql(k=12, rounds=14),
         "graph_assortativity": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),
             outdeg AS (SELECT src AS v, count(*)::BIGINT AS d

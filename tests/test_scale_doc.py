@@ -124,6 +124,7 @@ def test_every_scale_gate_name_resolves():
         "num_buckets", "max_docs_per_shingle", "max_docs_per_bucket",
         "max_bucket", "broadcast_limit", "driver_merge_limit",
         "checkpoint_every", "capacity", "degree_broadcast_limit",
+        "broadcast_edge_limit", "max_rounds", "converged",
         "n_cells", "num_partitions", "batch_size", "kind", "analytics",
         "route", "permille",
     }
@@ -131,7 +132,7 @@ def test_every_scale_gate_name_resolves():
         # Dataset/numpy API and column-name conventions, not our symbols
         "map_batches", "map_groups", "groupby", "ray", "n", "k",
         "batch_format", "pyarrow", "local", "to_pylist", "reduceat",
-        "src", "dst", "__init__",
+        "src", "dst", "__init__", "repartition",
     }
     for name in cited - known_params - modules:
         # importable as a wikilinks_ray attribute somewhere?
@@ -166,3 +167,11 @@ def test_assortativity_gates():
     from wikilinks_ray.pipelines.assortativity import assortativity_moments
 
     _assert_knob(assortativity_moments, "degree_broadcast_limit")
+
+
+def test_truss_gates():
+    from wikilinks_ray.pipelines.truss import edge_support, k_truss
+
+    _assert_knob(k_truss, "broadcast_edge_limit")
+    _assert_knob(k_truss, "max_rounds")
+    _assert_knob(edge_support, "broadcast_edge_limit")

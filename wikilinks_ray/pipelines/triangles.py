@@ -170,7 +170,12 @@ def triangle_count(edges: "ray.data.Dataset", *, num_partitions: int = 8,
         # object ref, never the edge array itself
         @_ray.remote
         def _pack_sorted_keys(*tables: pa.Table) -> np.ndarray:
-            # empty blocks arrive schema-less; concat would reject them
+            # to_arrow_refs takes its zero-copy path on the dataset
+            # SCHEMA, so an empty pandas block from an upstream
+            # map_groups can arrive unconverted — normalize per block;
+            # empty blocks also arrive schema-less (concat would reject)
+            tables = [pa.Table.from_pandas(t) if isinstance(t, pd.DataFrame)
+                      else t for t in tables]
             tables = [t for t in tables
                       if t.num_rows and "u" in t.column_names]
             if not tables:
