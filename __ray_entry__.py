@@ -1618,6 +1618,24 @@ def q_supplier_qty_quantiles(sf_dir: str):
                             "l_suppkey", "qty", [0.25, 0.5, 0.9])
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel (view -> click -> purchase) per user: deepest
+    stage reached by a greedy strictly-increasing subsequence of the
+    user's events, ordered by the monotone event_id. One bucketed
+    shuffle; non-stage events combine to per-batch presence rows before
+    moving. The oracle mirrors the same min-id recurrence stage by
+    stage."""
+    from wikilinks_ray.ops.funnel import funnel_stages
+
+    import ray.data as rd
+
+    _quiet()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "event_type"])
+    df = funnel_stages(ev, ["view", "click", "purchase"]).to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding windows (size 1h, hop 15m): every event contributes to
     the k=4 overlapping windows covering it."""
@@ -2098,6 +2116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_katz": q_graph_katz,
         "graph_assortativity": q_graph_assortativity,
         "graph_truss": q_graph_truss,
+        "events_funnel": q_events_funnel,
         "graph_edges": q_graph_edges,
         "graph_in_degree_hist": q_graph_in_degree_hist,
         "graph_components": q_graph_components,
@@ -2588,6 +2607,29 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle_sql(iters=20),
         "graph_katz": _katz_oracle_sql(iters=10),
         "graph_truss": _truss_oracle_sql(k=12, rounds=14),
+        "events_funnel": """
+            WITH ev AS (SELECT user_id, event_id, event_type FROM events),
+            s1 AS (SELECT user_id, min(event_id) AS i1 FROM ev
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.event_id) AS i2 FROM ev e
+                   JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.event_id > s1.i1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.event_id) AS i3 FROM ev e
+                   JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.event_id > s2.i2
+                   GROUP BY e.user_id),
+            u AS (SELECT DISTINCT user_id FROM ev)
+            SELECT u.user_id,
+                   (CASE WHEN i3 IS NOT NULL THEN 3
+                         WHEN i2 IS NOT NULL THEN 2
+                         WHEN i1 IS NOT NULL THEN 1
+                         ELSE 0 END)::BIGINT AS stage,
+                   coalesce(i3, i2, i1, -1)::BIGINT AS last_event_id
+            FROM u LEFT JOIN s1 USING (user_id)
+                   LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)
+        """,
         "graph_assortativity": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),
             outdeg AS (SELECT src AS v, count(*)::BIGINT AS d

@@ -147,7 +147,9 @@ def test_every_scale_gate_name_resolves():
                     "ops.classify", "ops.curate", "ops.sample",
                     "ops.pack", "ops.windows", "ops.multimodal",
                     "state.csr", "state.checkpoint", "state.fsio",
-                    "state.lookup", "sources.xml_dump"):
+                    "state.lookup", "sources.xml_dump",
+                    "ops.anchors", "ops.funnel", "pipelines.truss",
+                    "pipelines.assortativity", "pipelines.katz"):
             import importlib
 
             m = importlib.import_module(f"wikilinks_ray.{mod}")
