@@ -1636,6 +1636,22 @@ def q_events_funnel(sf_dir: str):
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+def q_events_retention(sf_dir: str):
+    """Daily retention cohorts: users bucketed by first-event day, then
+    active-user counts per (cohort, day-offset). Integer day arithmetic
+    end to end; the deduped (user, day) pairs — not raw events — are
+    what shuffles."""
+    from wikilinks_ray.ops.retention import retention_cohorts
+
+    import ray.data as rd
+
+    _quiet()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    df = retention_cohorts(ev).to_pandas()
+    return df.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding windows (size 1h, hop 15m): every event contributes to
     the k=4 overlapping windows covering it."""
@@ -2117,6 +2133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_assortativity": q_graph_assortativity,
         "graph_truss": q_graph_truss,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "graph_edges": q_graph_edges,
         "graph_in_degree_hist": q_graph_in_degree_hist,
         "graph_components": q_graph_components,
@@ -2629,6 +2646,15 @@ def oracle_sql() -> dict[str, str]:
             FROM u LEFT JOIN s1 USING (user_id)
                    LEFT JOIN s2 USING (user_id)
                    LEFT JOIN s3 USING (user_id)
+        """,
+        "events_retention": """
+            WITH pairs AS (SELECT DISTINCT user_id AS u,
+                           epoch_us(ts) // 86400000000 AS day FROM events),
+            cohort AS (SELECT u, min(day) AS cohort FROM pairs GROUP BY u)
+            SELECT c.cohort AS cohort_day,
+                   (p.day - c.cohort)::BIGINT AS day_offset,
+                   count(*)::BIGINT AS n_users
+            FROM pairs p JOIN cohort c USING (u) GROUP BY 1, 2
         """,
         "graph_assortativity": f"""
             WITH edges AS MATERIALIZED ({_EDGES}),

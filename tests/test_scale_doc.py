@@ -124,7 +124,7 @@ def test_every_scale_gate_name_resolves():
         "num_buckets", "max_docs_per_shingle", "max_docs_per_bucket",
         "max_bucket", "broadcast_limit", "driver_merge_limit",
         "checkpoint_every", "capacity", "degree_broadcast_limit",
-        "broadcast_edge_limit", "max_rounds", "converged",
+        "broadcast_edge_limit", "max_rounds", "converged", "user_broadcast_limit",
         "n_cells", "num_partitions", "batch_size", "kind", "analytics",
         "route", "permille",
     }
@@ -148,7 +148,7 @@ def test_every_scale_gate_name_resolves():
                     "ops.pack", "ops.windows", "ops.multimodal",
                     "state.csr", "state.checkpoint", "state.fsio",
                     "state.lookup", "sources.xml_dump",
-                    "ops.anchors", "ops.funnel", "pipelines.truss",
+                    "ops.anchors", "ops.funnel", "ops.retention", "pipelines.truss",
                     "pipelines.assortativity", "pipelines.katz"):
             import importlib
 
@@ -177,3 +177,9 @@ def test_truss_gates():
     _assert_knob(k_truss, "broadcast_edge_limit")
     _assert_knob(k_truss, "max_rounds")
     _assert_knob(edge_support, "broadcast_edge_limit")
+
+
+def test_retention_gates():
+    from wikilinks_ray.ops.retention import retention_cohorts
+
+    _assert_knob(retention_cohorts, "user_broadcast_limit")
