@@ -1618,6 +1618,35 @@ def q_supplier_qty_quantiles(sf_dir: str):
                             "l_suppkey", "qty", [0.25, 0.5, 0.9])
 
 
+def q_text_inverted_index(sf_dir: str):
+    """Inverted-index build + committed-layout readback: postings are
+    hash-partitioned parquet (one bucket dir per token-hash class,
+    sentinel-last commit), and the gated result is the top-50 tokens by
+    document frequency (token code-point tie-break) computed FROM the
+    index rows — so tokenization, per-(doc,token) tf combine, the
+    partitioned write, and the readback aggregation are all under the
+    value-hash gate."""
+    import os
+
+    from wikilinks_ray.ops.index import (
+        build_inverted_index,
+        read_postings,
+        term_stats_topk,
+    )
+
+    import ray.data as rd
+
+    _quiet()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n = docs.count()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = f"/tmp/wl_invidx_{tag}_{n}"
+    build_inverted_index(docs, idx, num_buckets=32)
+    ds, _meta = read_postings(idx)
+    return term_stats_topk(ds, k=50)
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered funnel (view -> click -> purchase) per user: deepest
     stage reached by a greedy strictly-increasing subsequence of the
@@ -2134,6 +2163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_truss": q_graph_truss,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "text_inverted_index": q_text_inverted_index,
         "graph_edges": q_graph_edges,
         "graph_in_degree_hist": q_graph_in_degree_hist,
         "graph_components": q_graph_components,
@@ -2646,6 +2676,17 @@ def oracle_sql() -> dict[str, str]:
             FROM u LEFT JOIN s1 USING (user_id)
                    LEFT JOIN s2 USING (user_id)
                    LEFT JOIN s3 USING (user_id)
+        """,
+        "text_inverted_index": r"""
+            WITH toks AS (SELECT doc_id,
+                          unnest(regexp_extract_all(lower(text), '\w+')) AS token
+                          FROM documents),
+            tfs AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                    FROM toks GROUP BY doc_id, token),
+            agg AS (SELECT token, count(*)::BIGINT AS df,
+                    sum(tf)::BIGINT AS tf FROM tfs GROUP BY token)
+            SELECT token, df, tf FROM agg
+            ORDER BY df DESC, token LIMIT 50
         """,
         "events_retention": """
             WITH pairs AS (SELECT DISTINCT user_id AS u,

@@ -148,7 +148,7 @@ def test_every_scale_gate_name_resolves():
                     "ops.pack", "ops.windows", "ops.multimodal",
                     "state.csr", "state.checkpoint", "state.fsio",
                     "state.lookup", "sources.xml_dump",
-                    "ops.anchors", "ops.funnel", "ops.retention", "pipelines.truss",
+                    "ops.anchors", "ops.funnel", "ops.retention", "ops.index", "pipelines.truss",
                     "pipelines.assortativity", "pipelines.katz"):
             import importlib
 
@@ -183,3 +183,9 @@ def test_retention_gates():
     from wikilinks_ray.ops.retention import retention_cohorts
 
     _assert_knob(retention_cohorts, "user_broadcast_limit")
+
+
+def test_index_gates():
+    from wikilinks_ray.ops.index import build_inverted_index
+
+    _assert_knob(build_inverted_index, "num_buckets")
