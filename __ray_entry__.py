@@ -1255,6 +1255,28 @@ def q_wiki_anchors(sf_dir: str):
     return df.sort_values("dst").reset_index(drop=True)
 
 
+def q_wiki_html_edges(sf_dir: str):
+    """The link graph derived from the rendered ``html`` column ALONE
+    (``<a href="/wiki/...">`` extraction, ops/html_links.py) — the
+    Common-Crawl-shaped input path, resolved against the flagship
+    vertices. Differential pytest additionally pins these edges equal
+    to the wikitext walk's article edges; the oracle re-derives the
+    href extraction independently in SQL."""
+    from wikilinks_ray.ops.html_links import html_link_edges
+    from wikilinks_ray.pipelines.flagship import (
+        ensure_oracle_corpus,
+        oracle_build,
+    )
+
+    import ray.data as rd
+
+    _quiet()
+    res = oracle_build()
+    pages = rd.read_parquet(ensure_oracle_corpus())
+    df = html_link_edges(pages, res.vertices()).to_pandas()
+    return df.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def q_wiki_prefix(sf_dir: str):
     """Bounded prefix lookup (J4) over the flagship vertex index."""
     from wikilinks_ray.pipelines.flagship import oracle_build
@@ -2164,6 +2186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "text_inverted_index": q_text_inverted_index,
+        "wiki_html_edges": q_wiki_html_edges,
         "graph_edges": q_graph_edges,
         "graph_in_degree_hist": q_graph_in_degree_hist,
         "graph_components": q_graph_components,

@@ -148,7 +148,7 @@ def test_every_scale_gate_name_resolves():
                     "ops.pack", "ops.windows", "ops.multimodal",
                     "state.csr", "state.checkpoint", "state.fsio",
                     "state.lookup", "sources.xml_dump",
-                    "ops.anchors", "ops.funnel", "ops.retention", "ops.index", "pipelines.truss",
+                    "ops.anchors", "ops.funnel", "ops.retention", "ops.index", "ops.html_links", "pipelines.truss",
                     "pipelines.assortativity", "pipelines.katz"):
             import importlib
 
@@ -189,3 +189,9 @@ def test_index_gates():
     from wikilinks_ray.ops.index import build_inverted_index
 
     _assert_knob(build_inverted_index, "num_buckets")
+
+
+def test_html_links_gates():
+    from wikilinks_ray.ops.html_links import html_link_edges
+
+    _assert_knob(html_link_edges, "title_broadcast_limit")

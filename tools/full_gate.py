@@ -38,6 +38,12 @@ SF01_SET = [
     "supplier_distinct_parts", "supplier_qty_quantiles",
     "supplier_top_orders", "doc_source_stats", "top_parts",
     "dedup_clusters", "text_bpe_tokens",
+    # round-5 second-session additions (graph_katz/graph_truss stay
+    # sf0.01-only like the rest of the unrolled graph oracles — DuckDB
+    # cost, not engine cost; truss is networkx-exact at sf0.001 and
+    # soaked at sf0.1 in-engine)
+    "wiki_anchors", "graph_assortativity", "events_funnel",
+    "events_retention", "text_inverted_index",
 ]
 
 _CHILD = r"""

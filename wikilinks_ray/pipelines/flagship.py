@@ -287,6 +287,27 @@ def wiki_oracle_sql() -> dict[str, str]:
               (SELECT count(*) FROM ids)::BIGINT AS n_vertices,
               (SELECT count(*) FROM edges)::BIGINT AS n_edges
         """,
+        # SQL twin of ops/html_links.html_link_edges — the SAME link
+        # graph derived from the rendered html column alone (href
+        # extraction), independently of the wikitext walk above
+        "wiki_html_edges": p + rf"""
+            , hraw AS (
+                SELECT regexp_extract(decode(html), '<title>(.*?)</title>', 1)
+                           AS src_title,
+                       unnest(regexp_extract_all(decode(html),
+                           '<a href="/wiki/(.*?)">', 1)) AS raw
+                FROM read_parquet('{ORACLE_CORPUS_DIR}/part-*.parquet')
+                WHERE NOT regexp_matches(decode(html),
+                                         '<body>\s*#REDIRECT', 'i')
+            ),
+            hlinks AS (
+                SELECT DISTINCT src_title, {_norm('raw')} AS dst_title
+                FROM hraw WHERE {_norm('raw')} IS NOT NULL
+            )
+            SELECT DISTINCT s.id AS src, d.id AS dst FROM hlinks h
+            JOIN ids s ON s.title = h.src_title
+            JOIN ids d ON d.title = h.dst_title
+        """,
         # SQL twin of ops/anchors.anchor_stats — semantics pinned in
         # functions/wikitext.link_anchor_pairs' docstring: per-OCCURRENCE
         # (no per-page dedup), articles only, anchor = text after the
