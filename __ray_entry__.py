@@ -1277,6 +1277,32 @@ def q_wiki_html_edges(sf_dir: str):
     return df.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
+def q_wiki_warc_edges(sf_dir: str):
+    """The full crawl-shaped ingest under one gate: the oracle corpus
+    re-sharded as plain WARC files (sources/warc.py — Content-Length
+    framing, HTTP response payloads), read back with read_warc (one
+    parse task per shard), then the href walk + resolution
+    (ops/html_links.py). The oracle is the independent SQL href
+    derivation — identical edges to wiki_html_edges, but the engine
+    path here exercises the WARC source end to end."""
+    from wikilinks_ray.ops.html_links import html_link_edges
+    from wikilinks_ray.pipelines.flagship import (
+        ensure_warc_corpus,
+        oracle_build,
+    )
+    from wikilinks_ray.sources.warc import read_warc
+    from wikilinks_ray.state import fsio
+
+    _quiet()
+    res = oracle_build()
+    warc_dir = ensure_warc_corpus()
+    shards = [fsio.join(warc_dir, p) for p in fsio.listdir(warc_dir)
+              if p.endswith(".warc")]
+    pages = read_warc(shards)
+    df = html_link_edges(pages, res.vertices()).to_pandas()
+    return df.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
 def q_wiki_prefix(sf_dir: str):
     """Bounded prefix lookup (J4) over the flagship vertex index."""
     from wikilinks_ray.pipelines.flagship import oracle_build
@@ -2187,6 +2213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": q_events_retention,
         "text_inverted_index": q_text_inverted_index,
         "wiki_html_edges": q_wiki_html_edges,
+        "wiki_warc_edges": q_wiki_warc_edges,
         "graph_edges": q_graph_edges,
         "graph_in_degree_hist": q_graph_in_degree_hist,
         "graph_components": q_graph_components,

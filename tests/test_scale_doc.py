@@ -132,7 +132,7 @@ def test_every_scale_gate_name_resolves():
         # Dataset/numpy API and column-name conventions, not our symbols
         "map_batches", "map_groups", "groupby", "ray", "n", "k",
         "batch_format", "pyarrow", "local", "to_pylist", "reduceat",
-        "src", "dst", "__init__", "repartition",
+        "src", "dst", "__init__", "repartition", "read_binary_files",
     }
     for name in cited - known_params - modules:
         # importable as a wikilinks_ray attribute somewhere?
@@ -147,7 +147,7 @@ def test_every_scale_gate_name_resolves():
                     "ops.classify", "ops.curate", "ops.sample",
                     "ops.pack", "ops.windows", "ops.multimodal",
                     "state.csr", "state.checkpoint", "state.fsio",
-                    "state.lookup", "sources.xml_dump",
+                    "state.lookup", "sources.xml_dump", "sources.warc",
                     "ops.anchors", "ops.funnel", "ops.retention", "ops.index", "ops.html_links", "pipelines.truss",
                     "pipelines.assortativity", "pipelines.katz"):
             import importlib

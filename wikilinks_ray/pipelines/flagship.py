@@ -156,6 +156,31 @@ def ensure_oracle_corpus() -> str:
     return ORACLE_CORPUS_DIR
 
 
+ORACLE_WARC_DIR = f"/tmp/wl_wiki_oracle_warc_n{CORPUS_N}_s{CORPUS_SEED}_{_TAG}"
+
+
+def ensure_warc_corpus() -> str:
+    """The oracle corpus re-sharded as plain WARC files (the crawl-
+    shaped input for the wiki_warc_edges gate). Same atomic-rename
+    protocol as the parquet corpus."""
+    if not os.path.isdir(ORACLE_WARC_DIR):
+        import ray.data
+
+        from ..sources.warc import write_warc_corpus
+
+        ensure_oracle_corpus()
+        pages = ray.data.read_parquet(ORACLE_CORPUS_DIR)
+        tmp = ORACLE_WARC_DIR + f".tmp{os.getpid()}"
+        write_warc_corpus(pages, tmp, n_shards=8)
+        try:
+            os.rename(tmp, ORACLE_WARC_DIR)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return ORACLE_WARC_DIR
+
+
 def oracle_build():
     """Build (or reuse — build_graph skips on existing _STATS.json) the
     flagship graph over the oracle corpus."""
@@ -253,7 +278,7 @@ edges AS (  -- resolve both endpoints against surviving vertices
 
 def wiki_oracle_sql() -> dict[str, str]:
     p = wiki_cte_prefix()
-    return {
+    d = {
         "wiki_vertices": p + "SELECT id, title, is_redirect FROM ids",
         "wiki_edges": p + "SELECT src, dst FROM edges",
         "wiki_bfs": p + """
@@ -308,6 +333,11 @@ def wiki_oracle_sql() -> dict[str, str]:
             JOIN ids s ON s.title = h.src_title
             JOIN ids d ON d.title = h.dst_title
         """,
+        # wiki_warc_edges: the SAME href-derived edge SQL — the engine
+        # side goes WARC shards -> read_warc -> html_link_edges, so the
+        # whole crawl-shaped ingest (WARC framing, HTTP payload strip,
+        # href walk, resolution) sits under one value-hash gate
+        "wiki_warc_edges": "__SEE_BELOW__",
         # SQL twin of ops/anchors.anchor_stats — semantics pinned in
         # functions/wikitext.link_anchor_pairs' docstring: per-OCCURRENCE
         # (no per-page dedup), articles only, anchor = text after the
@@ -345,3 +375,5 @@ def wiki_oracle_sql() -> dict[str, str]:
             FROM totals t JOIN ranked r ON r.dst = t.dst AND r.rn = 1
         """,
     }
+    d["wiki_warc_edges"] = d["wiki_html_edges"]
+    return d
