@@ -163,6 +163,58 @@ def main() -> int:
           and np.array_equal(stats["kin"].to_numpy(), kin))
     out["modularity_exact"] = bool(ok)
 
+    # ---- round-5 additions (SQL oracles sf0.01-only for DuckDB cost) ----
+    # Katz: dense numpy twin of the scaled-int recurrence, bit-exact
+    from wikilinks_ray.pipelines.derived import DerivedGraph as _DG
+    from wikilinks_ray.pipelines.katz import katz_int
+
+    with _DG(sf_dir, num_shards=8) as g:
+        got = katz_int(g.actors, g.n, iters=10)
+        a_den = int(np.bincount(dst, minlength=g.n).max()) + 1
+        x = np.full(g.n, 10**9, dtype=np.int64)
+        for _ in range(10):
+            s = np.zeros(g.n, dtype=np.int64)
+            np.add.at(s, dst, x[src])
+            x = 10**9 + s // a_den
+        out["katz_exact"] = bool(np.array_equal(got, x))
+
+    # assortativity: moments vs numpy + float r vs networkx
+    from wikilinks_ray.pipelines.assortativity import (
+        assortativity_moments,
+        coefficient_from_moments,
+    )
+
+    mo = assortativity_moments(derived_edges(sf_dir))
+    n_ids = int(max(src.max(), dst.max())) + 1
+    od = np.bincount(src, minlength=n_ids)
+    idg = np.bincount(dst, minlength=n_ids)
+    xx, yy = od[src].astype(np.int64), idg[dst].astype(np.int64)
+    want_mo = {"m": len(src), "sxy": int((xx * yy).sum()),
+               "sx": int(xx.sum()), "sy": int(yy.sum()),
+               "sx2": int((xx * xx).sum()), "sy2": int((yy * yy).sum())}
+    g_nx = nx.DiGraph()
+    g_nx.add_edges_from(pairs)
+    r_nx = nx.degree_assortativity_coefficient(g_nx, x="out", y="in")
+    out["assortativity_exact"] = bool(
+        mo == want_mo
+        and abs(coefficient_from_moments(mo) - r_nx) < 1e-9)
+
+    # k-truss (k=8: nontrivial peel at this scale) vs networkx
+    from wikilinks_ray.pipelines.truss import k_truss
+
+    res = k_truss(derived_edges(sf_dir), 8, num_partitions=16,
+                  max_rounds=40)
+    tdf = res.edges.to_pandas()
+    got_e = (set(map(tuple, tdf[["lo", "hi"]].to_numpy().tolist()))
+             if len(tdf) else set())
+    gu = nx.Graph()
+    gu.add_edges_from(pairs)
+    gu.remove_edges_from(nx.selfloop_edges(gu))
+    want_e = {(min(a, b), max(a, b)) for a, b in nx.k_truss(gu, 8).edges()}
+    out["truss_rows"] = len(got_e)
+    out["truss_rounds"] = res.rounds
+    out["truss_exact"] = bool(res.converged and got_e == want_e)
+
     print(json.dumps(out))
     ray.shutdown()
     return 0 if all(v for k, v in out.items()
