@@ -97,3 +97,13 @@ class TestAnchorStats:
             self._run(pages, vertices, title_broadcast_limit=0,
                       num_partitions=2).astype(EXPECTED.dtypes),
             EXPECTED)
+
+
+def test_bucket_count_invariance(tiny_graph):
+    from wikilinks_ray.ops.anchors import anchor_stats
+
+    pages, vertices = tiny_graph
+    def run(**kw):
+        df = anchor_stats(pages, vertices, **kw).to_pandas()
+        return df.sort_values("dst").reset_index(drop=True)
+    pd.testing.assert_frame_equal(run(num_buckets=2), run(num_buckets=64))

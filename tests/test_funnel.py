@@ -81,3 +81,28 @@ def test_empty_stage_list_rejected(ray_session):
     ds = rd.from_items([{"user_id": 1, "event_id": 0, "event_type": "x"}])
     with pytest.raises(ValueError):
         funnel_stages(ds, [])
+
+
+def test_partition_and_order_invariance(ray_session):
+    """Same stream under different bucket counts AND a permuted row
+    order must match: matching depends only on (user, event_id)."""
+    import random
+
+    import ray.data as rd
+
+    rng = random.Random(7)
+    events = []
+    for i in range(300):
+        events.append({"user_id": rng.randrange(20), "event_id": i,
+                       "event_type": rng.choice(
+                           ["view", "click", "purchase", "error"])})
+    shuffled = events[:]
+    rng.shuffle(shuffled)
+
+    def run(rows, **kw):
+        df = funnel_stages(rd.from_items(rows), STAGES, **kw).to_pandas()
+        return df.sort_values("user_id").reset_index(drop=True)
+
+    base = run(events)
+    pd.testing.assert_frame_equal(run(shuffled), base)
+    pd.testing.assert_frame_equal(run(events, num_buckets=2), base)

@@ -102,3 +102,52 @@ def test_wikitext_parser_total_on_adversarial_markup(parts):
         assert not l[0].islower()
     if is_r and tgt is not None:
         assert links == [tgt]
+
+
+# ---- round-5 additions: pure-kernel properties -----------------------
+
+from wikilinks_ray.functions.wikitext import link_anchor_pairs
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=200)
+def test_anchor_pairs_never_crash_and_align_with_parse(text):
+    """Anchor occurrences project onto the link walk: the ordered
+    first-occurrence dedup of anchor-pair targets equals parse_wikitext's
+    links on non-redirect pages; targets are normalized."""
+    pairs = link_anchor_pairs(text)
+    is_r, _t, links = parse_wikitext(text)
+    if is_r:
+        assert pairs == []
+        return
+    seen, ordered = set(), []
+    for tgt, _anchor in pairs:
+        assert tgt == capitalize_first(tgt) and tgt.strip() == tgt and tgt
+        if tgt not in seen:
+            seen.add(tgt)
+            ordered.append(tgt)
+    assert ordered == links
+
+
+@given(st.lists(
+    st.tuples(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+                      max_size=40),
+              st.binary(max_size=200)),
+    min_size=0, max_size=8))
+@settings(max_examples=100)
+def test_warc_framing_round_trip(records):
+    """Arbitrary (url, body) records — including bodies embedding the
+    CRLFCRLF separator — survive framing + parsing byte-for-byte."""
+    from wikilinks_ray.sources.warc import _record, iter_warc_records
+
+    # header values are CRLF-unsafe and whitespace-stripped on parse
+    # (WARC field grammar), so normalize the expectation the same way
+    urls = [u.replace("\r", " ").replace("\n", " ").strip()
+            for u, _ in records]
+    blob = b"".join(_record(u, i, b)
+                    for i, (u, (_, b)) in enumerate(zip(urls, records)))
+    got = list(iter_warc_records(blob))
+    assert [h["WARC-Target-URI"] for h, _ in got] == urls
+    for (_, want_body), (h, body) in zip(records, got):
+        assert body.endswith(want_body)
+        assert len(body) == int(h["Content-Length"])
