@@ -797,3 +797,34 @@ def test_betweenness_vs_networkx(rand_graph, tmp_path_factory):
     for v, w in want.items():
         if v not in got:
             assert w == pytest.approx(0.0, abs=1e-12)
+
+
+def test_out_closeness_formula_vs_networkx(rand_graph):
+    """q_graph_closeness's integer Wasserman-Faust formula over
+    path_count_bfs distances vs networkx closeness_centrality on the
+    reversed digraph (outward closeness), within the 1-ulp floor-div
+    truncation."""
+    import networkx as nx
+
+    from wikilinks_ray.pipelines.pathcount import path_count_bfs
+
+    n, pairs, _ds, fwd, _symA = rand_graph
+    verts = np.unique(pairs)
+    pivots = [int(v) for v in verts[:8]]
+    pc = path_count_bfs(fwd, n, pivots)
+    dist = pc.distances()
+
+    G = nx.DiGraph()
+    G.add_nodes_from(verts.tolist())
+    G.add_edges_from(map(tuple, pairs.tolist()))
+    ref = nx.closeness_centrality(G.reverse(), wf_improved=True)
+
+    n_verts = len(verts)
+    for j, s in enumerate(pivots):
+        d = dist[:, j]
+        reach = d >= 0
+        r = int(reach.sum())
+        sd = int(d[reach].sum())
+        scaled = ((r - 1) * (r - 1) * 10 ** 6) // (sd * (n_verts - 1)) \
+            if sd > 0 else 0
+        assert abs(scaled / 1e6 - ref[s]) < 2e-6

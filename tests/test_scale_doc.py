@@ -126,7 +126,7 @@ def test_every_scale_gate_name_resolves():
         "checkpoint_every", "capacity", "degree_broadcast_limit",
         "broadcast_edge_limit", "max_rounds", "converged", "user_broadcast_limit",
         "n_cells", "num_partitions", "batch_size", "kind", "analytics",
-        "route", "permille",
+        "route", "permille", "idf_scale",
     }
     modules = {
         # Dataset/numpy API and column-name conventions, not our symbols
@@ -195,3 +195,10 @@ def test_html_links_gates():
     from wikilinks_ray.ops.html_links import html_link_edges
 
     _assert_knob(html_link_edges, "title_broadcast_limit")
+
+
+def test_bm25_gates():
+    from wikilinks_ray.ops.index import bm25_topk
+
+    _assert_knob(bm25_topk, "idf_scale")
+    _assert_knob(bm25_topk, "k")

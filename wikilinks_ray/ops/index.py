@@ -45,6 +45,10 @@ TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
 SENTINEL = "_INDEX_OK"
 
+# bump when the posting-row schema changes; a cached index whose
+# sentinel carries an older format is rebuilt, never half-read
+INDEX_FORMAT = 2
+
 
 def _token_u64(token: str) -> int:
     return int.from_bytes(
@@ -63,17 +67,26 @@ def _postings_batch(t: pa.Table, num_buckets: int) -> pa.Table:
         return pa.table({"token": pa.array([], pa.string()),
                          "doc_id": pa.array([], pa.int64()),
                          "tf": pa.array([], pa.int64()),
+                         "dl": pa.array([], pa.int64()),
                          "bucket": pa.array([], pa.int64())})
     df = pd.DataFrame({"doc_id": np.asarray(doc_ids, dtype=np.int64),
                        "token": toks})
     g = (df.groupby(["doc_id", "token"], sort=False).size()
          .reset_index(name="tf"))
+    # dl (token length of the whole doc) rides on every posting row —
+    # the "norms live in the postings" layout real engines use, so a
+    # scoring read touches ONLY the query terms' buckets, never a
+    # doc-side join. A batch holds whole docs, so the per-doc tf sum
+    # within the batch IS the doc length.
+    dl_map = g.groupby("doc_id", sort=False)["tf"].sum()
+    dl = dl_map.loc[g["doc_id"]].to_numpy().astype(np.int64)
     buckets = np.fromiter((_token_u64(s) % num_buckets for s in g["token"]),
                           dtype=np.int64, count=len(g))
     return pa.table({
         "token": pa.array(g["token"], pa.string()),
         "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
         "tf": pa.array(g["tf"].to_numpy().astype(np.int64)),
+        "dl": pa.array(dl),
         "bucket": pa.array(buckets),
     })
 
@@ -87,18 +100,32 @@ def build_inverted_index(docs: "ray.data.Dataset", out_uri: str, *,
     unless ``overwrite``."""
     sent = fsio.join(out_uri, SENTINEL)
     if fsio.exists(sent) and not overwrite:
-        return json.loads(fsio.read_text(sent))
+        meta = json.loads(fsio.read_text(sent))
+        # layout upgrades (e.g. the dl norms column) rebuild a cached
+        # older-format index instead of serving rows it doesn't have
+        if meta.get("format") == INDEX_FORMAT:
+            return meta
     if fsio.exists(sent):
         fsio.delete_file(sent)  # uncommit BEFORE any rewrite
+    if fsio.exists(out_uri):
+        # a rebuild (overwrite, or a format upgrade of a cached index)
+        # must not mix old bucket files with the new write — clear the
+        # tree first; the sentinel is already gone, so a crash here
+        # leaves an uncommitted dir, never a torn one
+        fsio.rmtree(out_uri)
     fsio.makedirs(out_uri)
 
+    n_docs = docs.count()
     postings = docs.select_columns(["doc_id", "text"]).map_batches(
         lambda t, nb=num_buckets: _postings_batch(t, nb),
         batch_format="pyarrow", concurrency=concurrency)
     postings = postings.materialize()
     n_rows = postings.count()
+    total_tokens = int(postings.sum("tf") or 0)
     postings.write_parquet(out_uri, partition_cols=["bucket"])
-    meta = {"num_buckets": num_buckets, "n_posting_rows": int(n_rows)}
+    meta = {"format": INDEX_FORMAT, "num_buckets": num_buckets,
+            "n_posting_rows": int(n_rows), "n_docs": int(n_docs),
+            "total_tokens": total_tokens}
     fsio.write_text(sent, json.dumps(meta))
     return meta
 
@@ -128,6 +155,112 @@ def lookup_postings(index_uri: str, term: str) -> pd.DataFrame:
         filter=pads.field("token") == term)
     df = table.select(["doc_id", "tf"]).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def bm25_topk(index_uri: str, terms: list[str], *, k: int = 25,
+              idf_scale: int = 10 ** 4) -> pd.DataFrame:
+    """Integer-exact BM25-style ranked retrieval over the committed
+    index: top-k docs for a bag-of-terms query, `(doc_id,
+    bm25_scaled)`, score desc / doc_id asc.
+
+    Scoring is Okapi BM25 with k1 = 6/5, b = 3/4 and the log-idf
+    replaced by its exact rational linearization so every arithmetic
+    step is int64 and the DuckDB oracle reproduces identical integers
+    (the same convention as the scaled PageRank/Katz twins):
+
+        idf   = ((2N - 2df + 1) * idf_scale) // (2df + 1)
+                      -- (N - df + .5)/(df + .5) as an exact fraction
+        c     = (idf * 44 * tf * S) // (20*tf*S + 6*S + 18*dl*N)
+                      -- tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+                         with k1=6/5, b=3/4, avgdl=S/N folded to one
+                         integer ratio: 44=(6+5)*4, 20=5*4, 6=6*(4-3),
+                         18=6*3
+        score = sum(c) over query terms present in the doc
+
+    Scale shape: the read touches ONLY the query terms' bucket
+    partitions (token filter pushed into the parquet scan); dl rides on
+    each posting row so there is no doc-side join; per-term df is a
+    tiny count over those same rows; scoring + per-doc sum + local
+    top-k all run cluster-side and the driver collects <= k rows per
+    scoring batch.
+    """
+    import pyarrow.dataset as pads
+
+    meta = json.loads(fsio.read_text(fsio.join(index_uri, SENTINEL)))
+    if meta.get("format") != INDEX_FORMAT:
+        raise ValueError(f"index at {index_uri} has format "
+                         f"{meta.get('format')}, need {INDEX_FORMAT}")
+    nb = int(meta["num_buckets"])
+    n_docs = int(meta["n_docs"])
+    total = int(meta["total_tokens"])
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "bm25_scaled": pd.Series([], dtype="int64")})
+    terms = sorted(set(terms))
+    if not terms or n_docs == 0 or total == 0:
+        return empty
+    # int64 headroom: max contribution numerator is
+    # idf(<=2N*idf_scale) * 44 * tf * S — assert instead of silently
+    # wrapping (same guardrail pattern as csr.scatter_weighted_int);
+    # shrink idf_scale for corpora big enough to trip this
+    assert 2 * n_docs * idf_scale * 44 * total < 2 ** 62, \
+        "bm25 int64 headroom: lower idf_scale for this corpus size"
+
+    bucket_dirs = sorted({_token_u64(t) % nb for t in terms})
+    paths, fs = [], None
+    for b in bucket_dirs:
+        part = fsio.join(index_uri, f"bucket={b}")
+        if fsio.exists(part):
+            fs, _p = fsio.resolve(part)
+            paths.extend(fsio.resolve(fsio.join(part, name))[1]
+                         for name in fsio.listdir(part))
+    if not paths:
+        return empty
+    ds = ray.data.read_parquet(
+        paths, filesystem=fs, columns=["token", "doc_id", "tf", "dl"],
+        filter=pads.field("token").isin(terms)).materialize()
+    if ds.count() == 0:
+        return empty
+
+    # per-term document frequency: posting rows are unique per
+    # (doc, token), so df is a plain row count per token
+    dfs = ds.groupby("token").count().to_pandas()
+    df_map = {t: int(c) for t, c in zip(dfs["token"], dfs["count()"])}
+    idf_map = {t: ((2 * n_docs - 2 * df + 1) * idf_scale) // (2 * df + 1)
+               for t, df in df_map.items()}
+
+    def score(t: pa.Table, idf_map=idf_map, s=total, n=n_docs,
+              k=k) -> pa.Table:
+        toks = t.column("token").to_pylist()
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+        idf = np.fromiter((idf_map[x] for x in toks), dtype=np.int64,
+                          count=len(toks))
+        c = (idf * 44 * tf * s) // (20 * tf * s + 6 * s + 18 * dl * n)
+        df = pd.DataFrame({
+            "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
+            "c": c})
+        g = df.groupby("doc_id", sort=False)["c"].sum().reset_index()
+        # local top-k is NOT safe before the cross-batch sum (a doc's
+        # postings can split across buckets/batches) — emit partials
+        return pa.table({"doc_id": pa.array(g["doc_id"], pa.int64()),
+                         "c": pa.array(g["c"], pa.int64())})
+
+    from ..stages.agg import grouped_agg
+
+    scores = grouped_agg(ds.map_batches(score, batch_format="pyarrow"),
+                         ["doc_id"], "c", "sum", out_col="bm25_scaled")
+
+    def local_topk(t: pa.Table, k=k) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["bm25_scaled", "doc_id"], ascending=[False, True],
+            kind="stable").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = scores.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = cand.sort_values(["bm25_scaled", "doc_id"],
+                           ascending=[False, True], kind="stable").head(k)
+    return out[["doc_id", "bm25_scaled"]].astype("int64").reset_index(
+        drop=True)
 
 
 def term_stats_topk(index_ds: "ray.data.Dataset", k: int = 50
