@@ -745,6 +745,71 @@ _SCC_ORACLE_SQL = """
 """
 
 
+def q_graph_bowtie(sf_dir: str):
+    """EXACT-match bow-tie decomposition (Broder et al., WWW 2000):
+    every vertex labeled CORE / IN / OUT / TENDRIL / DISCONNECTED
+    relative to the largest SCC. Engine = SCC + three core-seeded
+    multi-source BFS runs (forward, reverse, symmetric pools); the
+    oracle re-derives all four region predicates from the recursive
+    reachability closure."""
+    from wikilinks_ray.pipelines.bowtie import bowtie_regions
+    from wikilinks_ray.pipelines.derived import DerivedGraph
+    from wikilinks_ray.pipelines.scc import (min_relabel,
+                                             strongly_connected_components)
+
+    _quiet()
+    with DerivedGraph(sf_dir, num_shards=4, reverse=True) as g:
+        res = strongly_connected_components(g.actors, g.rev_actors, g.n)
+        assert res.converged, \
+            "SCC exited at max_rounds with unassigned vertices"
+        labels = min_relabel(res.to_array())
+        with DerivedGraph(sf_dir, num_shards=4, symmetric=True) as gs:
+            return bowtie_regions(g.actors, g.rev_actors, gs.actors,
+                                  g.n, labels, g.vertices)
+
+
+_BOWTIE_ORACLE_SQL = """
+    WITH RECURSIVE edges AS ({edges}),
+    -- explicit outer DISTINCT: inside WITH RECURSIVE, DuckDB does not
+    -- dedup a plain UNION in a non-recursive CTE (observed 2x rows)
+    verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges
+              UNION ALL SELECT dst FROM edges)),
+    reach(a, b) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+    ),
+    scc AS (
+        SELECT r1.a AS v, min(r1.b) AS l
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        GROUP BY r1.a
+    ),
+    core_label AS (
+        SELECT l FROM (SELECT l, count(*) AS c FROM scc GROUP BY l
+                       ORDER BY c DESC, l LIMIT 1)
+    ),
+    corev AS (SELECT v FROM scc WHERE l = (SELECT l FROM core_label)),
+    outr AS (SELECT DISTINCT r.b AS v FROM reach r
+             JOIN corev c ON r.a = c.v),
+    inr AS (SELECT DISTINCT r.a AS v FROM reach r
+            JOIN corev c ON r.b = c.v),
+    und AS (SELECT src, dst FROM edges
+            UNION SELECT dst, src FROM edges),
+    wreach(v) AS (
+        SELECT v FROM corev
+        UNION
+        SELECT e.dst FROM wreach w JOIN und e ON e.src = w.v
+    )
+    SELECT v AS vertex,
+           CASE WHEN v IN (SELECT v FROM corev) THEN 'CORE'
+                WHEN v IN (SELECT v FROM outr) THEN 'OUT'
+                WHEN v IN (SELECT v FROM inr) THEN 'IN'
+                WHEN v IN (SELECT v FROM wreach) THEN 'TENDRIL'
+                ELSE 'DISCONNECTED' END AS region
+    FROM verts ORDER BY v
+"""
+
+
 def q_graph_linkpred(sf_dir: str):
     """EXACT-match link prediction: common-out-neighbor counts +
     scaled-integer Jaccard for vertex pairs with >= 10 shared
@@ -1744,6 +1809,20 @@ def q_text_inverted_index(sf_dir: str):
     return term_stats_topk(ds, k=50)
 
 
+def q_text_collocations(sf_dir: str):
+    """Top-30 adjacent-token bigrams by corpus count (collocation /
+    boilerplate-phrase statistics; ties w1, w2 asc). Per-batch combine
+    means occurrences never shuffle; the bucketed reduce emits one
+    top-k per bigram-hash bucket. Exact integer counts — the oracle
+    re-derives bigrams with list indexing over the same `\\w+`
+    tokenization."""
+    from wikilinks_ray.ops.text import bigram_topk
+
+    _quiet()
+    return bigram_topk(_read(sf_dir, "documents", ["doc_id", "text"]),
+                       k=30)
+
+
 # fixed bag-of-terms query for the gated BM25 ranking — common corpus
 # words so the scored set is non-trivial at every sf
 BM25_QUERY_TERMS = ["join", "merge", "spark", "window"]
@@ -2263,6 +2342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # locally each round (committed as CORRECTNESS_r{N}_full.json).
         "text_bm25": q_text_bm25,
         "graph_closeness": q_graph_closeness,
+        "text_collocations": q_text_collocations,
+        "graph_bowtie": q_graph_bowtie,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2808,6 +2889,17 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN s3 USING (user_id)
         """,
         "graph_closeness": _closeness_oracle_sql(levels=24, n_pivots=16),
+        "text_collocations": r"""
+            WITH lists AS (SELECT doc_id,
+                           regexp_extract_all(lower(text), '\w+') AS l
+                           FROM documents),
+            idx AS (SELECT doc_id, l,
+                    unnest(generate_series(1, len(l) - 1)) AS i
+                    FROM lists),
+            big AS (SELECT l[i] AS w1, l[i + 1] AS w2 FROM idx)
+            SELECT w1, w2, count(*)::BIGINT AS n FROM big
+            GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 30
+        """,
         "text_bm25": r"""
             WITH toks AS (SELECT doc_id,
                           unnest(regexp_extract_all(lower(text), '\w+'))
@@ -2877,6 +2969,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_mis": _mis_oracle_sql(rounds=12),
         "graph_linkpred": _linkpred_oracle_sql(min_common=10),
         "graph_scc": _SCC_ORACLE_SQL.format(edges=_EDGES),
+        "graph_bowtie": _BOWTIE_ORACLE_SQL.format(edges=_EDGES),
         "graph_pathcount": _pathcount_oracle_sql(levels=24, n_pivots=16),
         "graph_stress": _stress_oracle_sql(levels=24, n_pivots=16),
         "graph_densest": _densest_oracle_sql(rounds=16),

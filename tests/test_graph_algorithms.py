@@ -828,3 +828,75 @@ def test_out_closeness_formula_vs_networkx(rand_graph):
         scaled = ((r - 1) * (r - 1) * 10 ** 6) // (sd * (n_verts - 1)) \
             if sd > 0 else 0
         assert abs(scaled / 1e6 - ref[s]) < 2e-6
+
+
+def test_bowtie_regions_vs_networkx(rand_graph):
+    """Bow-tie decomposition vs networkx first principles: largest SCC
+    (min-member tie-break), descendants/ancestors of it, weak
+    connectivity — exact per-vertex region match; also exercises the
+    set-seeded (source_ids) BFS path."""
+    import networkx as nx
+    import pandas as pd
+
+    from wikilinks_ray.pipelines.bowtie import bowtie_regions
+    from wikilinks_ray.pipelines.components import symmetrize_edges
+    from wikilinks_ray.pipelines.scc import (min_relabel,
+                                             strongly_connected_components)
+    from wikilinks_ray.state.csr import create_shard_actors, shard_edges
+
+    import ray
+
+    n, pairs, ds, fwd, symA = rand_graph
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bowtie_rev_")
+    rev = create_shard_actors(
+        shard_edges(ds, n, 3, d + "/rev", by="dst"), n, key="dst")[0]
+    try:
+        res = strongly_connected_components(fwd, rev, n)
+        assert res.converged
+        labels = min_relabel(res.to_array())
+        verts = np.unique(pairs)
+        got = bowtie_regions(fwd, rev, symA, n, labels, verts)
+    finally:
+        for a in rev:
+            ray.kill(a)
+
+    G = nx.DiGraph()
+    G.add_nodes_from(verts.tolist())
+    G.add_edges_from(map(tuple, pairs.tolist()))
+    sccs = list(nx.strongly_connected_components(G))
+    core = max(sccs, key=lambda s: (len(s), -min(s)))
+    reach_out = set(core)
+    frontier = set(core)
+    while frontier:
+        nxt = {w for v in frontier for w in G.successors(v)} - reach_out
+        reach_out |= nxt
+        frontier = nxt
+    reach_in = set(core)
+    frontier = set(core)
+    while frontier:
+        nxt = {w for v in frontier for w in G.predecessors(v)} - reach_in
+        reach_in |= nxt
+        frontier = nxt
+    U = G.to_undirected()
+    weak = set()
+    for comp in nx.connected_components(U):
+        if comp & core:
+            weak |= comp
+    want = {}
+    for v in verts.tolist():
+        if v in core:
+            want[v] = "CORE"
+        elif v in reach_out:
+            want[v] = "OUT"
+        elif v in reach_in:
+            want[v] = "IN"
+        elif v in weak:
+            want[v] = "TENDRIL"
+        else:
+            want[v] = "DISCONNECTED"
+    got_map = dict(zip(got["vertex"], got["region"]))
+    assert got_map == want
+    # sanity: decomposition covers >1 region on this random digraph
+    assert len(set(want.values())) >= 2

@@ -126,7 +126,7 @@ def test_every_scale_gate_name_resolves():
         "checkpoint_every", "capacity", "degree_broadcast_limit",
         "broadcast_edge_limit", "max_rounds", "converged", "user_broadcast_limit",
         "n_cells", "num_partitions", "batch_size", "kind", "analytics",
-        "route", "permille", "idf_scale",
+        "route", "permille", "idf_scale", "source_ids",
     }
     modules = {
         # Dataset/numpy API and column-name conventions, not our symbols
@@ -202,3 +202,9 @@ def test_bm25_gates():
 
     _assert_knob(bm25_topk, "idf_scale")
     _assert_knob(bm25_topk, "k")
+
+
+def test_set_seeded_bfs_knob():
+    from wikilinks_ray.pipelines.bfs import multi_source_bfs
+
+    _assert_knob(multi_source_bfs, "source_ids")

@@ -285,3 +285,69 @@ def bpe_token_counts(docs, *, text_col: str = "text",
 
     return docs.map_batches(counts, batch_format="pyarrow",
                             concurrency=concurrency)
+
+
+def bigram_topk(docs, *, text_col: str = "text", k: int = 30,
+                num_buckets: int = 32, concurrency: int = 4):
+    """Top-k adjacent-token bigrams by corpus count (ties: w1, w2
+    code-point asc) — the collocation statistic an LM-data pipeline
+    uses to spot boilerplate phrases and build phrase vocabularies.
+
+    Tokenization is the repo-wide lowercase ``\\w+`` twin of the SQL
+    oracles. Per batch: one findall per doc, bigrams by list shift, a
+    vectorized local (w1, w2) count combine — what shuffles is one row
+    per distinct bigram per batch, never per occurrence. Final reduce
+    is bigram-hash bucketed `map_groups` (string keys, so the same plan
+    as `ops/index.term_stats_topk`, not the int-keyed `grouped_agg`);
+    each bucket emits its own top-k, the driver merges <= k *
+    num_buckets rows. Exact integers end to end."""
+    import hashlib
+
+    import pandas as pd
+
+    tok_re = _TOKEN_RE
+
+    def _u64(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                              "little")
+
+    def combine(t: pa.Table) -> pa.Table:
+        w1: list[str] = []
+        w2: list[str] = []
+        for text in t.column(text_col).to_pylist():
+            toks = tok_re.findall((text or "").lower())
+            if len(toks) >= 2:
+                w1.extend(toks[:-1])
+                w2.extend(toks[1:])
+        if not w1:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        df = pd.DataFrame({"w1": w1, "w2": w2})
+        g = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="n")
+        part = np.fromiter(
+            (_u64(a + "\x00" + b) % num_buckets
+             for a, b in zip(g["w1"], g["w2"])),
+            dtype=np.int64, count=len(g))
+        return pa.table({"w1": pa.array(g["w1"], pa.string()),
+                         "w2": pa.array(g["w2"], pa.string()),
+                         "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+                         "__part": pa.array(part)})
+
+    def reduce_(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["w1", "w2"], sort=False)["n"].sum().reset_index()
+        # a bigram lives in exactly one bucket, so the bucket's own
+        # top-k is globally safe to truncate
+        return m.sort_values(["n", "w1", "w2"],
+                             ascending=[False, True, True],
+                             kind="stable").head(k)
+
+    cand = (docs.map_batches(combine, batch_format="pyarrow",
+                             concurrency=concurrency)
+            .groupby("__part").map_groups(reduce_, batch_format="pandas")
+            .to_pandas())
+    out = cand.sort_values(["n", "w1", "w2"],
+                           ascending=[False, True, True],
+                           kind="stable").head(k).reset_index(drop=True)
+    return out[["w1", "w2", "n"]]

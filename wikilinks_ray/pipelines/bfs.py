@@ -119,6 +119,7 @@ def multi_source_bfs(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     resume: bool = True,
+    source_ids: list[int] | None = None,
 ) -> BFSResult:
     """Level-synchronous BFS from K sources in one pass.
 
@@ -128,9 +129,19 @@ def multi_source_bfs(
     intersection, RouteFinder.kt:91-93). With ``checkpoint_dir`` every
     superstep persists per-partition dist/parent/frontier chunks + a
     manifest, and ``resume=True`` continues from the newest complete
-    level."""
+    level.
+
+    ``source_ids``: optional sid per source, collapsing several seed
+    vertices into one dist column — a SET-seeded BFS ("super-source"),
+    e.g. reachability from a whole SCC (pipelines/bowtie.py). State is
+    then O(n · distinct sids), not O(n · seeds). Default: one column
+    per source."""
     P = len(actors)
-    K = len(sources)
+    if source_ids is None:
+        source_ids = list(range(len(sources)))
+    if len(source_ids) != len(sources):
+        raise ValueError("source_ids must parallel sources")
+    K = (max(source_ids) + 1) if sources else 0
     bounds = vertex_ranges(n_vertices, P)
     sizes = [int(bounds[p + 1] - bounds[p]) for p in range(P)]
 
@@ -151,7 +162,7 @@ def multi_source_bfs(
         for p in range(P):
             dist = np.full((sizes[p], K), -1, dtype=np.int32)
             parent = np.full((sizes[p], K), -1, dtype=np.int64)
-            for sid, src in enumerate(sources):
+            for sid, src in zip(source_ids, sources):
                 if bounds[p] <= src < bounds[p + 1]:
                     dist[src - bounds[p], sid] = 0
                     parent[src - bounds[p], sid] = src
