@@ -1809,6 +1809,18 @@ def q_text_inverted_index(sf_dir: str):
     return term_stats_topk(ds, k=50)
 
 
+def q_events_anomaly(sf_dir: str):
+    """Per-user 3-sigma outlier events in exact integer arithmetic:
+    (n*x - s)^2 > 9*(n*s2 - s^2) over cents — no division, no sqrt, so
+    the oracle reproduces identical flags. Combiner-first moments, one
+    bucketed reduce, broadcast attach under `user_broadcast_limit`."""
+    from wikilinks_ray.ops.anomaly import zscore_outliers
+
+    _quiet()
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return zscore_outliers(ev, min_events=5, t_sigma=3)
+
+
 def q_text_collocations(sf_dir: str):
     """Top-30 adjacent-token bigrams by corpus count (collocation /
     boilerplate-phrase statistics; ties w1, w2 asc). Per-batch combine
@@ -2344,6 +2356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_closeness": q_graph_closeness,
         "text_collocations": q_text_collocations,
         "graph_bowtie": q_graph_bowtie,
+        "events_anomaly": q_events_anomaly,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2889,6 +2902,21 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN s3 USING (user_id)
         """,
         "graph_closeness": _closeness_oracle_sql(levels=24, n_pivots=16),
+        "events_anomaly": """
+            WITH ev AS (SELECT event_id, user_id,
+                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                        FROM events),
+            m AS (SELECT user_id, count(*)::BIGINT AS n,
+                  sum(cents)::BIGINT AS s,
+                  sum(cents * cents)::BIGINT AS s2
+                  FROM ev GROUP BY user_id)
+            SELECT e.event_id, e.user_id, e.cents
+            FROM ev e JOIN m USING (user_id)
+            WHERE m.n >= 5
+              AND (m.n * e.cents - m.s) * (m.n * e.cents - m.s)
+                  > 9 * (m.n * m.s2 - m.s * m.s)
+            ORDER BY e.event_id
+        """,
         "text_collocations": r"""
             WITH lists AS (SELECT doc_id,
                            regexp_extract_all(lower(text), '\w+') AS l

@@ -215,6 +215,61 @@ def main() -> int:
     out["truss_rounds"] = res.rounds
     out["truss_exact"] = bool(res.converged and got_e == want_e)
 
+    # pivot out-closeness (16 pivots) + bow-tie decomposition
+    from wikilinks_ray.pipelines.bowtie import bowtie_regions
+    from wikilinks_ray.pipelines.pathcount import path_count_bfs
+    from wikilinks_ray.pipelines.scc import (min_relabel,
+                                             strongly_connected_components)
+
+    g_rev = g_dir.reverse()
+    with DerivedGraph(sf_dir, reverse=True) as g:
+        pivots = [int(v) for v in g.vertices[:16]]
+        pc = path_count_bfs(g.actors, g.n, pivots)
+        dist = pc.distances()
+        nv = len(g.vertices)
+        ok = True
+        for j, s in enumerate(pivots):
+            d = dist[:, j]
+            reach = d >= 0
+            r, sd = int(reach.sum()), int(d[reach].sum())
+            scaled = ((r - 1) * (r - 1) * 10 ** 6) // (sd * (nv - 1)) \
+                if sd > 0 else 0
+            want = nx.closeness_centrality(g_rev, u=s, wf_improved=True)
+            ok &= abs(scaled / 1e6 - want) < 2e-6
+        out["closeness_exact"] = bool(ok)
+
+        scc = strongly_connected_components(g.actors, g.rev_actors, g.n)
+        labels = min_relabel(scc.to_array())
+        with DerivedGraph(sf_dir, symmetric=True) as gs:
+            bt = bowtie_regions(g.actors, g.rev_actors, gs.actors,
+                                g.n, labels, g.vertices)
+    core = max(nx.strongly_connected_components(g_dir),
+               key=lambda s: (len(s), -min(s)))
+    reach_out, frontier = set(core), set(core)
+    while frontier:
+        nxt = {w for v in frontier for w in g_dir.successors(v)} - reach_out
+        reach_out |= nxt
+        frontier = nxt
+    reach_in, frontier = set(core), set(core)
+    while frontier:
+        nxt = {w for v in frontier for w in g_dir.predecessors(v)} - reach_in
+        reach_in |= nxt
+        frontier = nxt
+    weak = set()
+    for comp in nx.connected_components(g_und):
+        if comp & core:
+            weak |= comp
+    want_region = {}
+    for v in map(int, g_und.nodes):
+        want_region[v] = ("CORE" if v in core else
+                          "OUT" if v in reach_out else
+                          "IN" if v in reach_in else
+                          "TENDRIL" if v in weak else "DISCONNECTED")
+    got_region = dict(zip(bt["vertex"], bt["region"]))
+    out["bowtie_counts"] = {k: int(v) for k, v
+                            in bt["region"].value_counts().items()}
+    out["bowtie_exact"] = bool(got_region == want_region)
+
     print(json.dumps(out))
     ray.shutdown()
     return 0 if all(v for k, v in out.items()

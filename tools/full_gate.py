@@ -44,6 +44,11 @@ SF01_SET = [
     # soaked at sf0.1 in-engine)
     "wiki_anchors", "graph_assortativity", "events_funnel",
     "events_retention", "text_inverted_index",
+    # round-5 third-session additions (graph_bowtie stays sf0.01-only:
+    # its oracle is the SCC transitive-closure SQL, DuckDB cost — the
+    # engine side is BFS-family and sf0.1-proven via the crosscheck)
+    "text_bm25", "text_collocations", "graph_closeness",
+    "events_anomaly",
 ]
 
 _CHILD = r"""
@@ -137,8 +142,8 @@ def main():
         "note": ("supplementary FULL gate: every queries() entry vs its "
                  "DuckDB oracle (tools/full_gate.py). sf0.01 = all "
                  f"{sf001['n_queries']} queries (the external driver gate "
-                 "checks only the first 50). sf0.1 = the 40-entry "
-                 "high-risk + past-the-window tail set. 'head' is the git "
+                 "checks only the first 50). sf0.1 = the "
+                 f"{sf01['n_queries']}-entry high-risk + past-the-window tail set. 'head' is the git "
                  "commit this gate ran against."),
         "head": head,
         "worktree_dirty": dirty,
