@@ -1192,6 +1192,55 @@ def q_graph_labelprop(sf_dir: str):
                              "community": labels[g.vertices]})
 
 
+def q_graph_louvain(sf_dir: str):
+    """EXACT-match Louvain-style community detection: 8 synchronous
+    parity-alternating modularity-gain move rounds in pure int64 over
+    the symmetric SIMPLE derived graph (self-loops dropped, undirected
+    edges deduped, both directions sharded). The DuckDB oracle
+    (`_louvain_oracle_sql`) replays the identical trajectory round by
+    round — integer gain score ``2m*k_in - deg*sig_tot(c\\i)``, max
+    score / smallest-community tie-break, parity gating, final
+    min-member canonicalization — so the match is value-exact, not
+    rows-only. No reference counterpart (SURVEY.md §2.12 extension,
+    Blondel et al. 2008 local-move phase)."""
+    import hashlib as _hl
+
+    import ray as _ray
+
+    from wikilinks_ray.pipelines.derived import derived_edges
+    from wikilinks_ray.pipelines.louvain import (louvain_rounds,
+                                                 undirected_simple_edges)
+    from wikilinks_ray.state import fsio
+    from wikilinks_ray.state.csr import (create_shard_actors,
+                                         default_num_shards, shard_edges)
+
+    _quiet()
+    es = undirected_simple_edges(derived_edges(sf_dir)).materialize()
+
+    def vmax(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([int(s.max()) if len(s) else -1],
+                                       pa.int64())})
+
+    n = max((r["m"] for r in
+             es.map_batches(vmax, batch_format="pyarrow").take_all()),
+            default=-1) + 1
+    tag = _hl.md5(f"louvain|{sf_dir}".encode()).hexdigest()[:12]
+    shard_dir = fsio.join("/tmp/wikilinks_ray_derived", tag)
+    P = default_num_shards(n, kind="analytics")
+    paths = shard_edges(es, n, P, shard_dir, by="src")
+    actors, _bounds = create_shard_actors(paths, n)
+    try:
+        degs = np.concatenate(
+            _ray.get([a.out_degrees.remote() for a in actors]))
+        res = louvain_rounds(actors, n, degs, rounds=8)
+    finally:
+        for a in actors:
+            _ray.kill(a)
+    vs = np.flatnonzero(degs > 0)
+    return pd.DataFrame({"vertex": vs, "community": res.labels[vs]})
+
+
 def q_graph_kcore(sf_dir: str):
     """Vertices of the 30-core (the derived graph has median degree
     ~26, so k=30 forces real peeling rounds). Oracled by an UNROLLED
@@ -2413,6 +2462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_matching": q_graph_matching,
         "graph_host_pagerank": q_graph_host_pagerank,
         "graph_labelprop": q_graph_labelprop,
+        "graph_louvain": q_graph_louvain,
         "graph_kcore": q_graph_kcore,
         "wiki_vertices": q_wiki_vertices,
         "wiki_edges": q_wiki_edges,
@@ -2680,6 +2730,61 @@ def _labelprop_oracle_sql(iters: int = 5) -> str:
     return ("WITH " + ",\n".join(ctes) +
             f"\nSELECT v AS vertex, lbl AS community FROM lab{iters} "
             "WHERE v IN (SELECT v FROM pverts)")
+
+
+def _louvain_oracle_sql(rounds: int = 8) -> str:
+    """SQL twin of pipelines.louvain.louvain_rounds: the symmetric
+    SIMPLE graph (self-loops dropped, undirected edges deduped), unit
+    weights, singleton init, and per round k an integer gain argmax
+    ``2m*k_in(i,c) - deg(i)*(sig_tot(c) - deg(i)*[c = cur(i)])`` with
+    max-score / smallest-c tie-break, applied only to vertices of
+    parity ``k % 2``; labels canonicalized to each community's min
+    member at the end. The round count is FIXED on both sides (a
+    deterministic trajectory, not a convergence claim), so the replay
+    is value-exact."""
+    ctes = [
+        f"edges0 AS MATERIALIZED ({_EDGES})",
+        "cedges AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo, "
+        "greatest(src, dst) AS hi FROM edges0 WHERE src <> dst)",
+        "sym AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM cedges "
+        "UNION ALL SELECT hi AS src, lo AS dst FROM cedges)",
+        "deg AS MATERIALIZED (SELECT src AS v, count(*)::BIGINT AS d "
+        "FROM sym GROUP BY src)",
+        "mm AS MATERIALIZED (SELECT sum(d)::BIGINT AS m2 FROM deg)",
+        "lab0 AS MATERIALIZED (SELECT v, v AS lbl FROM deg)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"lab{k - 1}"
+        ctes.append(
+            f"sig{k} AS MATERIALIZED (SELECT p.lbl AS c, "
+            f"sum(d.d)::BIGINT AS s FROM {p} p "
+            f"JOIN deg d ON d.v = p.v GROUP BY p.lbl)")
+        ctes.append(
+            f"kin{k} AS MATERIALIZED (SELECT e.src AS v, p.lbl AS c, "
+            f"count(*)::BIGINT AS kin FROM sym e "
+            f"JOIN {p} p ON p.v = e.dst GROUP BY e.src, p.lbl)")
+        ctes.append(
+            f"cand{k} AS MATERIALIZED (SELECT v, c, max(kin) AS kin FROM ("
+            f"SELECT v, c, kin FROM kin{k} "
+            f"UNION ALL SELECT v, lbl AS c, 0::BIGINT AS kin FROM {p}"
+            f") GROUP BY v, c)")
+        ctes.append(
+            f"win{k} AS MATERIALIZED (SELECT cd.v, cd.c FROM cand{k} cd "
+            f"JOIN deg dv ON dv.v = cd.v "
+            f"JOIN {p} pp ON pp.v = cd.v "
+            f"JOIN sig{k} sg ON sg.c = cd.c CROSS JOIN mm "
+            f"QUALIFY row_number() OVER (PARTITION BY cd.v ORDER BY "
+            f"mm.m2 * cd.kin - dv.d * (sg.s - CASE WHEN cd.c = pp.lbl "
+            f"THEN dv.d ELSE 0 END) DESC, cd.c ASC) = 1)")
+        ctes.append(
+            f"lab{k} AS MATERIALIZED (SELECT p.v, "
+            f"CASE WHEN p.v % 2 = {k % 2} THEN w.c ELSE p.lbl END AS lbl "
+            f"FROM {p} p JOIN win{k} w ON w.v = p.v)")
+    return ("WITH " + ",\n".join(ctes) +
+            f",\ncanon AS (SELECT lbl, min(v) AS rep FROM lab{rounds} "
+            "GROUP BY lbl)\n"
+            f"SELECT f.v AS vertex, c.rep AS community FROM lab{rounds} f "
+            "JOIN canon c ON c.lbl = f.lbl")
 
 
 _M64 = "18446744073709551616"  # 2^64
@@ -3153,6 +3258,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bucket, "bin", bin_offset FROM rec
         """,
         "graph_labelprop": _labelprop_oracle_sql(iters=5),
+        "graph_louvain": _louvain_oracle_sql(rounds=8),
         "graph_components": f"""
             WITH RECURSIVE {_UND},
             reach(v, w) AS (

@@ -900,3 +900,94 @@ def test_bowtie_regions_vs_networkx(rand_graph):
     assert got_map == want
     # sanity: decomposition covers >1 region on this random digraph
     assert len(set(want.values())) >= 2
+
+
+# ---------------------------------------------------------------------------
+# Louvain (synchronous integer modularity-gain rounds)
+# ---------------------------------------------------------------------------
+
+
+def dense_louvain_oracle(pairs, n, rounds):
+    """Row-by-row dense replay of pipelines.louvain.louvain_rounds:
+    same integer gain, same parity gating, same smallest-c tie-break,
+    same min-member canonicalization."""
+    A = np.zeros((n, n), dtype=np.int64)
+    for s, d in pairs:
+        if s != d:
+            A[s, d] = 1
+            A[d, s] = 1
+    deg = A.sum(1)
+    m2 = int(deg.sum())
+    lab = np.arange(n, dtype=np.int64)
+    for t in range(1, rounds + 1):
+        sig = np.zeros(n, np.int64)
+        np.add.at(sig, lab[deg > 0], deg[deg > 0])
+        new = lab.copy()
+        for v in range(n):
+            if deg[v] == 0 or v % 2 != t % 2:
+                continue
+            cs, counts = np.unique(lab[np.flatnonzero(A[v])],
+                                   return_counts=True)
+            kin = dict(zip(cs.tolist(), counts.tolist()))
+            kin.setdefault(int(lab[v]), 0)
+            best = None
+            for c in sorted(kin):
+                score = m2 * kin[c] - deg[v] * (
+                    int(sig[c]) - (int(deg[v]) if c == lab[v] else 0))
+                if best is None or score > best[0]:
+                    best = (score, c)
+            new[v] = best[1]
+        lab = new
+    canon = lab.copy()
+    for c in np.unique(lab[deg > 0]):
+        members = np.flatnonzero((lab == c) & (deg > 0))
+        canon[members] = members.min()
+    return canon, deg
+
+
+def modularity_int(pairs, labels, n):
+    """2m^2 * Q as an exact integer (positive iff Q > 0)."""
+    A = np.zeros((n, n), dtype=np.int64)
+    for s, d in pairs:
+        if s != d:
+            A[s, d] = 1
+            A[d, s] = 1
+    deg = A.sum(1)
+    m2 = int(deg.sum())
+    q = 0
+    for i in range(n):
+        for j in range(n):
+            if labels[i] == labels[j]:
+                q += m2 * int(A[i, j]) - int(deg[i]) * int(deg[j])
+    return q
+
+
+def test_louvain_exact_vs_dense_replay(ray_session, tmp_path):
+    from wikilinks_ray.pipelines.louvain import (louvain_rounds,
+                                                 undirected_simple_edges)
+
+    n = 120
+    pairs = random_digraph(n, 420, seed=23)
+    ds = edges_ds(pairs)
+    want, deg = dense_louvain_oracle(pairs, n, rounds=6)
+    sym = undirected_simple_edges(ds)
+    for P in (1, 3):
+        actors = create_shard_actors(
+            shard_edges(sym, n, P, str(tmp_path / f"lv{P}"), by="src"), n)[0]
+        import ray
+
+        degs = np.concatenate(ray.get([a.out_degrees.remote()
+                                       for a in actors]))
+        res = louvain_rounds(actors, n, degs, rounds=6)
+        for a in actors:
+            ray.kill(a)
+        np.testing.assert_array_equal(degs, deg)
+        vs = np.flatnonzero(deg > 0)
+        np.testing.assert_array_equal(res.labels[vs], want[vs])
+    # quality sanity: the moved partition has strictly positive
+    # modularity and beats singletons (whose Q < 0) on this graph
+    assert modularity_int(pairs, want, n) > 0
+    assert modularity_int(pairs, np.arange(n), n) < 0
+    # canonical form: every community labeled by its min member
+    for c in np.unique(want[deg > 0]):
+        assert np.flatnonzero((want == c) & (deg > 0)).min() == c
