@@ -2296,6 +2296,76 @@ def q_text_scrub_pii(sf_dir: str):
                             "n_phone"]]
 
 
+def q_text_bpe_train(sf_dir: str):
+    """EXACT-match distributed BPE merge training (ops/bpe.py
+    train_bpe): 12 learned merges over the documents corpus — the
+    "train the tokenizer" step of an LLM-data pipeline. Per round, only
+    vocabulary-bounded pair-count partials reach the driver and one
+    (left, right, new_id) triple broadcasts back; the word-shard symbol
+    state is resident in actors. The DuckDB oracle replays the same
+    trajectory round by round (overlapping pair counts, count-desc /
+    string-asc winner, greedy run-parity merge), so the match is
+    value-exact including tie-breaks."""
+    from wikilinks_ray.ops.bpe import train_bpe
+
+    _quiet()
+    t = train_bpe(_read(sf_dir, "documents", ["doc_id", "text"]),
+                  num_merges=12)
+    return t.to_pandas()
+
+
+def _bpe_train_oracle_sql(rounds: int = 12) -> str:
+    """SQL twin of ops.bpe.train_bpe — the full trajectory unrolled:
+    lowercase \\w+ words -> char-split sequences -> per round an
+    adjacent-pair freq-weighted count, a (count DESC, l ASC, r ASC)
+    winner, and a greedy left-to-right non-overlap merge expressed as
+    gaps-and-islands run parity (within each consecutive-match run the
+    1st, 3rd, ... positions merge; the following position drops via
+    lag). An empty pairs CTE makes every later round a no-op, matching
+    the engine's early stop."""
+    ctes = [
+        r"toks AS MATERIALIZED (SELECT unnest(regexp_extract_all("
+        r"lower(text), '\w+')) AS w FROM documents)",
+        "words AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq "
+        "FROM toks GROUP BY w)",
+        "seq0 AS MATERIALIZED (SELECT w AS word, freq, "
+        "unnest(regexp_extract_all(w, '.')) AS tok, "
+        "unnest(generate_series(1, length(w)))::BIGINT AS pos FROM words)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"seq{k - 1}"
+        ctes += [
+            f"pairs{k} AS MATERIALIZED (SELECT a.tok AS l, b.tok AS r, "
+            f"sum(a.freq)::BIGINT AS c FROM {p} a JOIN {p} b "
+            f"ON b.word = a.word AND b.pos = a.pos + 1 "
+            f"GROUP BY a.tok, b.tok)",
+            f"best{k} AS MATERIALIZED (SELECT l, r, c FROM pairs{k} "
+            f"ORDER BY c DESC, l ASC, r ASC LIMIT 1)",
+            f"m{k} AS MATERIALIZED (SELECT a.word, a.freq, a.pos, a.tok, "
+            f"CASE WHEN a.tok = (SELECT l FROM best{k}) "
+            f"AND b.tok = (SELECT r FROM best{k}) THEN 1 ELSE 0 END AS mt "
+            f"FROM {p} a LEFT JOIN {p} b "
+            f"ON b.word = a.word AND b.pos = a.pos + 1)",
+            f"g{k} AS MATERIALIZED (SELECT *, pos - row_number() OVER "
+            f"(PARTITION BY word, mt ORDER BY pos) AS grp FROM m{k})",
+            f"ap{k} AS MATERIALIZED (SELECT word, freq, pos, tok, "
+            f"CASE WHEN mt = 1 AND row_number() OVER "
+            f"(PARTITION BY word, mt, grp ORDER BY pos) % 2 = 1 "
+            f"THEN 1 ELSE 0 END AS ap FROM g{k})",
+            f"seq{k} AS MATERIALIZED (SELECT word, freq, "
+            f"row_number() OVER (PARTITION BY word ORDER BY pos)::BIGINT "
+            f"AS pos, CASE WHEN ap = 1 THEN (SELECT l || r FROM best{k}) "
+            f"ELSE tok END AS tok FROM (SELECT *, lag(ap, 1, 0) OVER "
+            f"(PARTITION BY word ORDER BY pos) AS pap FROM ap{k}) "
+            f"WHERE pap = 0)",
+        ]
+    unions = " UNION ALL ".join(
+        f"SELECT {k}::BIGINT AS merge_round, l AS lhs, r AS rhs, "
+        f"l || r AS merged, c AS pair_count FROM best{k}"
+        for k in range(1, rounds + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
 def q_text_bpe_tokens(sf_dir: str):
     """Token counting under two tokenizers per doc: whitespace split +
     the GPT-2-style BPE pre-tokenizer regex (ops/text.py bpe_token_counts
@@ -2428,6 +2498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_quality": q_classify_quality,
         "dedup_clusters": q_dedup_clusters,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "text_bpe_train": q_text_bpe_train,
         "wiki_anchors": q_wiki_anchors,
         "graph_katz": q_graph_katz,
         "graph_assortativity": q_graph_assortativity,
@@ -3622,6 +3693,7 @@ def oracle_sql() -> dict[str, str]:
         "classify_quality": _classify_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "text_bpe_tokens": _bpe_tokens_oracle_sql(),
+        "text_bpe_train": _bpe_train_oracle_sql(rounds=12),
         "text_scrub_pii": r"""
             WITH planted AS MATERIALIZED (
                 SELECT doc_id,

@@ -49,6 +49,9 @@ SF01_SET = [
     # engine side is BFS-family and sf0.1-proven via the crosscheck)
     "text_bm25", "text_collocations", "graph_closeness",
     "events_anomaly",
+    # round-5 fourth-session addition (the louvain oracle is cheap
+    # enough to replay at sf0.1: 8 unrolled rounds over ~1.2M sym rows)
+    "graph_louvain",
 ]
 
 _CHILD = r"""
