@@ -2366,6 +2366,44 @@ def _bpe_train_oracle_sql(rounds: int = 12) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + unions
 
 
+def q_text_bpe_encode(sf_dir: str):
+    """EXACT-match train→encode BPE pipeline: learn 12 merges on the
+    corpus (q_text_bpe_train's trajectory), then count every document's
+    tokens under the trained vocabulary — per-doc word occurrences and
+    the (word, n_tok) vocab meet in ONE word-hash bucketed map_groups
+    join (no vocabulary broadcast: at web scale the distinct-word table
+    is multi-GB), then a grouped sum per doc. The oracle extends the
+    training replay with the same word-length join; token-less docs
+    emit 0 on both sides."""
+    from wikilinks_ray.ops.bpe import bpe_encode_token_counts, train_bpe
+
+    _quiet()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    _, vocab = train_bpe(docs, num_merges=12, return_vocab=True)
+    out = bpe_encode_token_counts(docs, vocab)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _bpe_encode_oracle_sql(rounds: int = 12) -> str:
+    """Training replay (``_bpe_train_oracle_sql``'s CTE chain) extended
+    with the encode join: per-word trained token length from the final
+    seq table, summed over each document's word occurrences."""
+    train = _bpe_train_oracle_sql(rounds)
+    ctes = train[len("WITH "):train.rindex("\n")]
+    return (
+        "WITH " + ctes + ",\n"
+        f"wlen AS MATERIALIZED (SELECT word, count(*)::BIGINT AS n "
+        f"FROM seq{rounds} GROUP BY word),\n"
+        r"dtoks AS MATERIALIZED (SELECT doc_id, unnest("
+        r"regexp_extract_all(lower(text), '\w+')) AS w FROM documents),"
+        "\n"
+        "dsum AS (SELECT t.doc_id, sum(l.n)::BIGINT AS n_tokens "
+        "FROM dtoks t JOIN wlen l ON l.word = t.w GROUP BY t.doc_id)\n"
+        "SELECT d.doc_id, coalesce(s.n_tokens, 0)::BIGINT AS "
+        "bpe_vocab_tokens FROM documents d "
+        "LEFT JOIN dsum s ON s.doc_id = d.doc_id")
+
+
 def q_text_bpe_tokens(sf_dir: str):
     """Token counting under two tokenizers per doc: whitespace split +
     the GPT-2-style BPE pre-tokenizer regex (ops/text.py bpe_token_counts
@@ -2499,6 +2537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_bpe_train": q_text_bpe_train,
+        "text_bpe_encode": q_text_bpe_encode,
         "wiki_anchors": q_wiki_anchors,
         "graph_katz": q_graph_katz,
         "graph_assortativity": q_graph_assortativity,
@@ -3694,6 +3733,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "text_bpe_tokens": _bpe_tokens_oracle_sql(),
         "text_bpe_train": _bpe_train_oracle_sql(rounds=12),
+        "text_bpe_encode": _bpe_encode_oracle_sql(rounds=12),
         "text_scrub_pii": r"""
             WITH planted AS MATERIALIZED (
                 SELECT doc_id,

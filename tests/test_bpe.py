@@ -111,3 +111,42 @@ def test_bpe_string_canonicalization(ray_session):
     assert got == want
     merged = [g[3] for g in got]
     assert len(set(merged)) == len(merged)  # no duplicate symbols
+
+
+def test_bpe_encode_token_counts(ray_session):
+    """Train->encode: per-doc token counts under the learned vocab,
+    including a token-less doc (must emit 0) and multi-shard join."""
+    from wikilinks_ray.ops.bpe import bpe_encode_token_counts, train_bpe
+
+    texts = TEXTS + ["", "...!!!"]  # token-less docs
+    ds = docs_ds(texts)
+    merges, vocab = train_bpe(ds, num_merges=10, num_shards=3,
+                              return_vocab=True)
+
+    # reference: replay merges per word, count symbols
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(WORD_RE.findall(t.lower()))
+    seqs = {w: list(w) for w in wc}
+    for l, r, merged in zip(merges.column("lhs").to_pylist(),
+                            merges.column("rhs").to_pylist(),
+                            merges.column("merged").to_pylist()):
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    want = {
+        did: sum(len(seqs[w]) for w in WORD_RE.findall(t.lower()))
+        for did, t in enumerate(texts)
+    }
+
+    got = bpe_encode_token_counts(ds, vocab).to_pandas()
+    got_map = dict(zip(got["doc_id"], got["bpe_vocab_tokens"]))
+    assert got_map == want
+    assert got_map[len(texts) - 1] == 0  # token-less doc present as 0

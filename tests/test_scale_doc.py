@@ -144,7 +144,7 @@ def test_every_scale_gate_name_resolves():
                     "pipelines.stress", "pipelines.triangles",
                     "stages.agg", "stages.extract", "stages.ids",
                     "ops.dedup", "ops.similarity", "ops.text",
-                    "ops.classify", "ops.curate", "ops.sample",
+                    "ops.classify", "ops.curate", "ops.sample", "ops.bpe",
                     "ops.pack", "ops.windows", "ops.multimodal",
                     "state.csr", "state.checkpoint", "state.fsio",
                     "state.lookup", "sources.xml_dump", "sources.warc",

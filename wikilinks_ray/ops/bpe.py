@@ -123,11 +123,19 @@ class BPEShardState:
         words = t.column("word").to_pylist()
         freqs = t.column("freq").to_numpy(zero_copy_only=False)
         lens = np.array([len(w) for w in words], dtype=np.int64)
+        self.words = words
         self.freq = freqs.astype(np.int64)
         self.wid = np.repeat(np.arange(len(words), dtype=np.int64), lens)
         self.syms = (np.frombuffer("".join(words).encode("utf-32-le"),
                                    dtype=np.uint32).astype(np.int64)
                      if words else np.empty(0, np.int64))
+
+    def word_token_lengths(self) -> pa.Table:
+        """(word, n_tok) under the merges applied so far — the shard's
+        slice of the trained encoder vocabulary."""
+        n = np.bincount(self.wid, minlength=len(self.freq)).astype(np.int64)
+        return pa.table({"word": pa.array(self.words, pa.string()),
+                         "n_tok": pa.array(n, pa.int64())})
 
     def pair_counts(self) -> tuple[np.ndarray, np.ndarray]:
         """Freq-weighted counts of every adjacent (overlapping) symbol
@@ -179,9 +187,13 @@ def train_bpe(
     num_shards: int = 4,
     work_dir: str | None = None,
     num_buckets: int = 32,
-) -> pa.Table:
+    return_vocab: bool = False,
+):
     """Learn ``num_merges`` BPE merges over ``docs``; returns one row
-    per merge: (merge_round, lhs, rhs, merged, pair_count)."""
+    per merge: (merge_round, lhs, rhs, merged, pair_count). With
+    ``return_vocab`` also returns the trained encoder vocabulary
+    (word, n_tok) as a Dataset assembled from the shard actors' final
+    state via ``from_arrow_refs`` — no driver materialization."""
     import uuid
 
     from ..state import fsio
@@ -250,12 +262,96 @@ def train_bpe(
         rows.append((t, ls, rs, merged, int(tot.max())))
         ray.get([a.apply_merge.remote(l, r, new_id) for a in actors])
 
+    vocab = None
+    if return_vocab:
+        from ray.data import from_arrow_refs
+
+        refs = [a.word_token_lengths.remote() for a in actors]
+        ray.wait(refs, num_returns=len(refs))
+        vocab = from_arrow_refs(refs)
     for a in actors:
         ray.kill(a)
-    return pa.table({
+    merges = pa.table({
         "merge_round": pa.array([x[0] for x in rows], pa.int64()),
         "lhs": pa.array([x[1] for x in rows], pa.string()),
         "rhs": pa.array([x[2] for x in rows], pa.string()),
         "merged": pa.array([x[3] for x in rows], pa.string()),
         "pair_count": pa.array([x[4] for x in rows], pa.int64()),
     })
+    return (merges, vocab) if return_vocab else merges
+
+
+def bpe_encode_token_counts(
+    docs: "ray.data.Dataset",
+    vocab: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Per-document token counts under a trained BPE vocabulary:
+    (doc_id, bpe_vocab_tokens) where each word contributes its trained
+    symbol-sequence length times its occurrence count.
+
+    No vocabulary broadcast: at web scale the distinct-word table is
+    multi-GB, so both sides — per-batch-compacted (doc_id, word, n_occ)
+    occurrence rows and the (word, n_tok) vocab — are md5-word-hash
+    bucketed into ONE `map_groups` join (a word lives in exactly one
+    bucket), then a `grouped_agg` sum per doc. A zero row per document
+    rides along so token-less docs still emit 0."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_agg
+
+    def occ(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, ws, ns = [], [], []
+        for did, text in zip(t.column(id_col).to_pylist(),
+                             t.column(text_col).to_pylist()):
+            c = Counter(_WORD_RE.findall((text or "").lower()))
+            # the zero row: "" is never a \w+ token, so it joins to
+            # nothing and contributes 0 — but keeps doc_id present
+            ids.append(did)
+            ws.append("")
+            ns.append(0)
+            for w, k in c.items():
+                ids.append(did)
+                ws.append(w)
+                ns.append(k)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "word": pa.array(ws, pa.string()),
+            "n_occ": pa.array(ns, pa.int64()),
+            "n_tok": pa.array([0] * len(ids), pa.int64()),
+            "side": pa.array([0] * len(ids), pa.int64()),
+            "__b": pa.array(_word_bucket_hash(ws, num_buckets), pa.int64()),
+        })
+
+    def vrows(t: pa.Table) -> pa.Table:
+        ws = t.column("word").to_pylist()
+        n = t.num_rows
+        return pa.table({
+            "doc_id": pa.array([-1] * n, pa.int64()),
+            "word": t.column("word"),
+            "n_occ": pa.array([0] * n, pa.int64()),
+            "n_tok": t.column("n_tok").cast(pa.int64()),
+            "side": pa.array([1] * n, pa.int64()),
+            "__b": pa.array(_word_bucket_hash(ws, num_buckets), pa.int64()),
+        })
+
+    both = (docs.map_batches(occ, batch_format="pyarrow")
+            .union(vocab.map_batches(vrows, batch_format="pyarrow")))
+
+    def join(g: "pd.DataFrame") -> "pd.DataFrame":
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1][["word", "n_tok"]]
+        m = left.merge(right, on="word", how="left",
+                       suffixes=("_z", ""))
+        part = (m["n_occ"] * m["n_tok"].fillna(0)).astype(np.int64)
+        return pd.DataFrame({"doc_id": m["doc_id"].to_numpy(),
+                             "part": part.to_numpy()})
+
+    parts = both.groupby("__b").map_groups(join, batch_format="pandas")
+    return grouped_agg(parts, ["doc_id"], "part", "sum",
+                       out_col="bpe_vocab_tokens", num_buckets=num_buckets)
