@@ -1241,6 +1241,54 @@ def q_graph_louvain(sf_dir: str):
     return pd.DataFrame({"vertex": vs, "community": res.labels[vs]})
 
 
+def q_graph_louvain2(sf_dir: str):
+    """EXACT-match two-level Louvain (pipelines.louvain
+    louvain_multilevel): 6 unit-weight local-move rounds, then the
+    contracted community graph — pair-count edge weights, self-loop
+    mass in the strengths — takes 6 more weighted rounds through the
+    SAME sharded machinery (`shard_edges(weight_col=...)`), and labels
+    project back. The DuckDB oracle replays both phases round by
+    round, so the match is value-exact including tie-breaks."""
+    import hashlib as _hl
+
+    import ray as _ray
+
+    from wikilinks_ray.pipelines.derived import derived_edges
+    from wikilinks_ray.pipelines.louvain import (louvain_multilevel,
+                                                 undirected_simple_edges)
+    from wikilinks_ray.state import fsio
+    from wikilinks_ray.state.csr import (create_shard_actors,
+                                         default_num_shards, shard_edges)
+
+    _quiet()
+    es = undirected_simple_edges(derived_edges(sf_dir)).materialize()
+
+    def vmax(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([int(s.max()) if len(s) else -1],
+                                       pa.int64())})
+
+    n = max((r["m"] for r in
+             es.map_batches(vmax, batch_format="pyarrow").take_all()),
+            default=-1) + 1
+    tag = _hl.md5(f"louvain2|{sf_dir}".encode()).hexdigest()[:12]
+    shard_dir = fsio.join("/tmp/wikilinks_ray_derived", tag)
+    P = default_num_shards(n, kind="analytics")
+    paths = shard_edges(es, n, P, shard_dir, by="src")
+    actors, _bounds = create_shard_actors(paths, n)
+    try:
+        degs = np.concatenate(
+            _ray.get([a.out_degrees.remote() for a in actors]))
+        res = louvain_multilevel(actors, es, n, degs,
+                                 rounds1=6, rounds2=6,
+                                 shard_dir=shard_dir + "_l2")
+    finally:
+        for a in actors:
+            _ray.kill(a)
+    vs = np.flatnonzero(degs > 0)
+    return pd.DataFrame({"vertex": vs, "community": res.labels[vs]})
+
+
 def q_graph_kcore(sf_dir: str):
     """Vertices of the 30-core (the derived graph has median degree
     ~26, so k=30 forces real peeling rounds). Oracled by an UNROLLED
@@ -2573,6 +2621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_host_pagerank": q_graph_host_pagerank,
         "graph_labelprop": q_graph_labelprop,
         "graph_louvain": q_graph_louvain,
+        "graph_louvain2": q_graph_louvain2,
         "graph_kcore": q_graph_kcore,
         "wiki_vertices": q_wiki_vertices,
         "wiki_edges": q_wiki_edges,
@@ -2842,16 +2891,10 @@ def _labelprop_oracle_sql(iters: int = 5) -> str:
             "WHERE v IN (SELECT v FROM pverts)")
 
 
-def _louvain_oracle_sql(rounds: int = 8) -> str:
-    """SQL twin of pipelines.louvain.louvain_rounds: the symmetric
-    SIMPLE graph (self-loops dropped, undirected edges deduped), unit
-    weights, singleton init, and per round k an integer gain argmax
-    ``2m*k_in(i,c) - deg(i)*(sig_tot(c) - deg(i)*[c = cur(i)])`` with
-    max-score / smallest-c tie-break, applied only to vertices of
-    parity ``k % 2``; labels canonicalized to each community's min
-    member at the end. The round count is FIXED on both sides (a
-    deterministic trajectory, not a convergence claim), so the replay
-    is value-exact."""
+def _louvain_phase1_ctes(rounds: int) -> list[str]:
+    """Shared CTE chain for the Louvain oracles: symmetric simple
+    graph, unit weights, ``rounds`` parity-gated integer-gain move
+    rounds ending at ``lab{rounds}``."""
     ctes = [
         f"edges0 AS MATERIALIZED ({_EDGES})",
         "cedges AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo, "
@@ -2890,11 +2933,89 @@ def _louvain_oracle_sql(rounds: int = 8) -> str:
             f"lab{k} AS MATERIALIZED (SELECT p.v, "
             f"CASE WHEN p.v % 2 = {k % 2} THEN w.c ELSE p.lbl END AS lbl "
             f"FROM {p} p JOIN win{k} w ON w.v = p.v)")
+    return ctes
+
+
+def _louvain_oracle_sql(rounds: int = 8) -> str:
+    """SQL twin of pipelines.louvain.louvain_rounds: the symmetric
+    SIMPLE graph (self-loops dropped, undirected edges deduped), unit
+    weights, singleton init, and per round k an integer gain argmax
+    ``2m*k_in(i,c) - deg(i)*(sig_tot(c) - deg(i)*[c = cur(i)])`` with
+    max-score / smallest-c tie-break, applied only to vertices of
+    parity ``k % 2``; labels canonicalized to each community's min
+    member at the end. The round count is FIXED on both sides (a
+    deterministic trajectory, not a convergence claim), so the replay
+    is value-exact."""
+    ctes = _louvain_phase1_ctes(rounds)
     return ("WITH " + ",\n".join(ctes) +
             f",\ncanon AS (SELECT lbl, min(v) AS rep FROM lab{rounds} "
             "GROUP BY lbl)\n"
             f"SELECT f.v AS vertex, c.rep AS community FROM lab{rounds} f "
             "JOIN canon c ON c.lbl = f.lbl")
+
+
+def _louvain2_oracle_sql(rounds1: int = 6, rounds2: int = 6) -> str:
+    """SQL twin of pipelines.louvain.louvain_multilevel: phase 1 =
+    ``_louvain_phase1_ctes`` (unit weights), then the COMMUNITY graph —
+    inter edges weighted by pair counts (both directions, self-pairs
+    excluded), per-community self-loop mass (A_cc = the both-direction
+    intra count) joining the strength — replays the SAME parity-gated
+    integer gain rounds with weighted k_in over the phase-1 rep ids,
+    and final labels project back through the phase-1 map (min-rep
+    canonicalization == min-original-member, since reps ARE min
+    members)."""
+    ctes = _louvain_phase1_ctes(rounds1)
+    ctes += [
+        f"canon1 AS MATERIALIZED (SELECT lbl, min(v) AS rep "
+        f"FROM lab{rounds1} GROUP BY lbl)",
+        f"clab AS MATERIALIZED (SELECT f.v, c.rep FROM lab{rounds1} f "
+        f"JOIN canon1 c ON c.lbl = f.lbl)",
+        "iedges AS MATERIALIZED (SELECT a.rep AS src, b.rep AS dst, "
+        "count(*)::BIGINT AS w FROM sym e "
+        "JOIN clab a ON a.v = e.src JOIN clab b ON b.v = e.dst "
+        "WHERE a.rep <> b.rep GROUP BY a.rep, b.rep)",
+        "intw AS MATERIALIZED (SELECT a.rep AS c, count(*)::BIGINT AS w "
+        "FROM sym e JOIN clab a ON a.v = e.src "
+        "JOIN clab b ON b.v = e.dst WHERE a.rep = b.rep GROUP BY a.rep)",
+        "deg2 AS MATERIALIZED (SELECT r.v, "
+        "coalesce(o.s, 0) + coalesce(n.w, 0) AS d FROM "
+        "(SELECT DISTINCT rep AS v FROM clab) r "
+        "LEFT JOIN (SELECT src AS v, sum(w)::BIGINT AS s FROM iedges "
+        "GROUP BY src) o ON o.v = r.v "
+        "LEFT JOIN intw n ON n.c = r.v)",
+        "mm2 AS MATERIALIZED (SELECT sum(d)::BIGINT AS m2 FROM deg2)",
+        "l2_0 AS MATERIALIZED (SELECT v, v AS lbl FROM deg2)",
+    ]
+    for k in range(1, rounds2 + 1):
+        p = f"l2_{k - 1}"
+        ctes += [
+            f"s2_{k} AS MATERIALIZED (SELECT p.lbl AS c, "
+            f"sum(d.d)::BIGINT AS s FROM {p} p "
+            f"JOIN deg2 d ON d.v = p.v GROUP BY p.lbl)",
+            f"k2_{k} AS MATERIALIZED (SELECT e.src AS v, p.lbl AS c, "
+            f"sum(e.w)::BIGINT AS kin FROM iedges e "
+            f"JOIN {p} p ON p.v = e.dst GROUP BY e.src, p.lbl)",
+            f"c2_{k} AS MATERIALIZED (SELECT v, c, max(kin) AS kin FROM ("
+            f"SELECT v, c, kin FROM k2_{k} "
+            f"UNION ALL SELECT v, lbl AS c, 0::BIGINT AS kin FROM {p}"
+            f") GROUP BY v, c)",
+            f"w2_{k} AS MATERIALIZED (SELECT cd.v, cd.c FROM c2_{k} cd "
+            f"JOIN deg2 dv ON dv.v = cd.v "
+            f"JOIN {p} pp ON pp.v = cd.v "
+            f"JOIN s2_{k} sg ON sg.c = cd.c CROSS JOIN mm2 "
+            f"QUALIFY row_number() OVER (PARTITION BY cd.v ORDER BY "
+            f"mm2.m2 * cd.kin - dv.d * (sg.s - CASE WHEN cd.c = pp.lbl "
+            f"THEN dv.d ELSE 0 END) DESC, cd.c ASC) = 1)",
+            f"l2_{k} AS MATERIALIZED (SELECT p.v, "
+            f"CASE WHEN p.v % 2 = {k % 2} THEN w.c ELSE p.lbl END AS lbl "
+            f"FROM {p} p JOIN w2_{k} w ON w.v = p.v)",
+        ]
+    return ("WITH " + ",\n".join(ctes) +
+            f",\nproj AS (SELECT cl.v, l2.lbl FROM clab cl "
+            f"JOIN l2_{rounds2} l2 ON l2.v = cl.rep),\n"
+            "canon2 AS (SELECT lbl, min(v) AS rep FROM proj GROUP BY lbl)\n"
+            "SELECT p.v AS vertex, c2.rep AS community FROM proj p "
+            "JOIN canon2 c2 ON c2.lbl = p.lbl")
 
 
 _M64 = "18446744073709551616"  # 2^64
@@ -3369,6 +3490,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_labelprop": _labelprop_oracle_sql(iters=5),
         "graph_louvain": _louvain_oracle_sql(rounds=8),
+        "graph_louvain2": _louvain2_oracle_sql(rounds1=6, rounds2=6),
         "graph_components": f"""
             WITH RECURSIVE {_UND},
             reach(v, w) AS (

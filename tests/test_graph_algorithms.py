@@ -991,3 +991,57 @@ def test_louvain_exact_vs_dense_replay(ray_session, tmp_path):
     # canonical form: every community labeled by its min member
     for c in np.unique(want[deg > 0]):
         assert np.flatnonzero((want == c) & (deg > 0)).min() == c
+
+
+def test_louvain_multilevel_invariances(ray_session, tmp_path):
+    """Two-level Louvain: shard-count independence, projection
+    consistency (phase-1 communities never split in phase 2), strict
+    coarsening toward positive modularity."""
+    from wikilinks_ray.pipelines.louvain import (louvain_multilevel,
+                                                 undirected_simple_edges)
+
+    n = 150
+    pairs = random_digraph(n, 500, seed=41)
+    ds = edges_ds(pairs)
+    sym = undirected_simple_edges(ds)
+    results = []
+    for P in (1, 3):
+        actors = create_shard_actors(
+            shard_edges(sym, n, P, str(tmp_path / f"ml{P}"), by="src"), n)[0]
+        import ray
+
+        degs = np.concatenate(ray.get([a.out_degrees.remote()
+                                       for a in actors]))
+        res = louvain_multilevel(actors, sym, n, degs, rounds1=5,
+                                 rounds2=5,
+                                 shard_dir=str(tmp_path / f"ml{P}_l2"))
+        for a in actors:
+            ray.kill(a)
+        results.append(res)
+    a, b = results
+    np.testing.assert_array_equal(a.labels, b.labels)
+    np.testing.assert_array_equal(a.phase1_labels, b.phase1_labels)
+
+    deg = np.zeros(n, np.int64)
+    A = np.zeros((n, n), np.int64)
+    for s, d in pairs:
+        if s != d:
+            A[s, d] = 1
+            A[d, s] = 1
+    deg = A.sum(1)
+    present = deg > 0
+    # projection: same phase-1 community => same final community
+    p1, fin = a.phase1_labels[present], a.labels[present]
+    m = {}
+    for c1, c2 in zip(p1.tolist(), fin.tolist()):
+        assert m.setdefault(c1, c2) == c2
+    # coarsening: phase 2 can only merge
+    assert a.n_final <= a.n_phase1
+    assert a.n_final == len(np.unique(fin))
+    # final labels are min-member canonical
+    for c in np.unique(fin):
+        assert np.flatnonzero((a.labels == c) & present).min() == c
+    # quality: the final partition has strictly positive modularity
+    assert modularity_int(pairs, a.labels, n) > 0
+    assert modularity_int(pairs, a.labels, n) >= \
+        modularity_int(pairs, a.phase1_labels, n)

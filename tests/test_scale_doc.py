@@ -148,7 +148,7 @@ def test_every_scale_gate_name_resolves():
                     "ops.pack", "ops.windows", "ops.multimodal",
                     "state.csr", "state.checkpoint", "state.fsio",
                     "state.lookup", "sources.xml_dump", "sources.warc",
-                    "ops.anchors", "ops.funnel", "ops.retention", "ops.index", "ops.html_links", "pipelines.truss",
+                    "ops.anchors", "ops.funnel", "ops.retention", "ops.index", "ops.html_links", "pipelines.truss", "pipelines.louvain",
                     "pipelines.assortativity", "pipelines.katz"):
             import importlib
 

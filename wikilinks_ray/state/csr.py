@@ -294,6 +294,12 @@ class CSRShardActor:
     def out_degrees(self) -> np.ndarray:
         return self.csr.out_deg
 
+    def out_weights(self) -> np.ndarray:
+        """Per-vertex weighted out-strength (== out_degrees when the
+        shard was written without ``weight_col``)."""
+        return self.csr.out_wt if self.csr.out_wt is not None \
+            else self.csr.out_deg
+
     def dangling_sum(self, rank_chunk: np.ndarray) -> float:
         return float(rank_chunk[self.csr.out_deg == 0].sum())
 
@@ -624,6 +630,35 @@ class CSRShardActor:
         for q in range(len(self.bounds) - 1):
             a, b = self.segs[q], self.segs[q + 1]
             out.append((csr.dst_sorted_dst[a:b], edge_vals[a:b]))
+        return out if len(out) > 1 else out[0]
+
+    def label_weight_sums(self, label_chunk: np.ndarray):
+        """Per-dst-range (dst, label, weight_sum) rows, PRE-COMBINED per
+        (dst, label) inside the shard — the map-side combiner form for
+        ADDITIVE per-label aggregates (Louvain's k_in is a weighted sum,
+        unlike labelprop's mode): what ships is bounded by distinct
+        (dst, incoming-label) pairs per shard, never by edges. Weight
+        is the shard's per-edge weight when written with ``weight_col``,
+        else 1."""
+        csr = self.csr
+        edge_vals = csr.edge_values_by_dst(label_chunk)
+        w = csr.dst_sorted_weight if csr.dst_sorted_weight is not None \
+            else np.ones(len(edge_vals), dtype=np.int64)
+        out = []
+        for q in range(len(self.bounds) - 1):
+            a, b = self.segs[q], self.segs[q + 1]
+            d, l, ww = csr.dst_sorted_dst[a:b], edge_vals[a:b], w[a:b]
+            if len(d) == 0:
+                out.append((d, l, ww.astype(np.int64)))
+                continue
+            order = np.lexsort((l, d))
+            d, l, ww = d[order], l[order], ww[order]
+            first = np.empty(len(d), dtype=bool)
+            first[0] = True
+            first[1:] = (d[1:] != d[:-1]) | (l[1:] != l[:-1])
+            starts = np.flatnonzero(first)
+            sums = np.add.reduceat(ww.astype(np.int64), starts)
+            out.append((d[starts], l[starts], sums))
         return out if len(out) > 1 else out[0]
 
     def bfs_expand_val(self, frontier_v: np.ndarray,
