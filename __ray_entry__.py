@@ -2452,6 +2452,46 @@ def _bpe_encode_oracle_sql(rounds: int = 12) -> str:
         "LEFT JOIN dsum s ON s.doc_id = d.doc_id")
 
 
+def q_text_keywords(sf_dir: str):
+    """EXACT-match per-document TF-IDF keyword extraction
+    (ops/text.py doc_keywords_tfidf): top-5 words per doc by the
+    integer score ``tf * ((n_docs * 10^4) // df)``, word-asc
+    tie-break. Combiner-first tf rows, word-hash bucketed df +
+    join, doc-hash bucketed top-k truncation."""
+    from wikilinks_ray.ops.text import doc_keywords_tfidf
+
+    _quiet()
+    out = doc_keywords_tfidf(_read(sf_dir, "documents",
+                                   ["doc_id", "text"]), k=5)
+    return out.to_pandas().sort_values(["doc_id", "rank"]) \
+        .reset_index(drop=True)
+
+
+_KEYWORDS_ORACLE = r"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+    FROM documents
+),
+tf AS MATERIALIZED (
+    SELECT doc_id, w, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, w
+),
+df AS MATERIALIZED (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w),
+nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+sc AS (
+    SELECT t.doc_id, t.w, t.tf, d.df,
+           t.tf * ((nd.n * 10000) // d.df) AS score
+    FROM tf t JOIN df d ON d.w = t.w CROSS JOIN nd
+)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, w ASC)::BIGINT AS rank,
+       w AS word, tf, df, score
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, w ASC) <= 5
+"""
+
+
 def q_text_bpe_tokens(sf_dir: str):
     """Token counting under two tokenizers per doc: whitespace split +
     the GPT-2-style BPE pre-tokenizer regex (ops/text.py bpe_token_counts
@@ -2586,6 +2626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_bpe_train": q_text_bpe_train,
         "text_bpe_encode": q_text_bpe_encode,
+        "text_keywords": q_text_keywords,
         "wiki_anchors": q_wiki_anchors,
         "graph_katz": q_graph_katz,
         "graph_assortativity": q_graph_assortativity,
@@ -3856,6 +3897,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_tokens": _bpe_tokens_oracle_sql(),
         "text_bpe_train": _bpe_train_oracle_sql(rounds=12),
         "text_bpe_encode": _bpe_encode_oracle_sql(rounds=12),
+        "text_keywords": _KEYWORDS_ORACLE,
         "text_scrub_pii": r"""
             WITH planted AS MATERIALIZED (
                 SELECT doc_id,

@@ -1865,3 +1865,51 @@ def test_bpe_token_counts(ray_session):
     assert got.loc[1, "bpe_tokens"] == 7
     assert got.loc[2, "ws_tokens"] == 0 and got.loc[2, "bpe_tokens"] == 0
     assert got.loc[3, "ws_tokens"] == 0 and got.loc[3, "bpe_tokens"] == 0
+
+
+def test_doc_keywords_tfidf_vs_reference(ray_session):
+    """Integer TF-IDF top-k vs a dict/loop replay, incl. word-asc
+    tie-break and docs sharing words across buckets."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wikilinks_ray.ops.text import doc_keywords_tfidf
+
+    texts = [
+        "alpha beta beta gamma gamma gamma shared",
+        "alpha alpha delta shared shared",
+        "beta delta epsilon zeta zeta shared",
+        "",  # token-less doc: contributes to n_docs, emits no rows
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = doc_keywords_tfidf(ds, k=3, idf_scale=100).to_pandas()
+    got = got.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+    n = len(texts)
+    tf = {i: Counter(re.findall(r"\w+", t.lower()))
+          for i, t in enumerate(texts)}
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    rows = []
+    for i, c in tf.items():
+        scored = sorted(((w, k, df[w], k * ((n * 100) // df[w]))
+                         for w, k in c.items()),
+                        key=lambda x: (-x[3], x[0]))[:3]
+        for r, (w, k, d, s) in enumerate(scored, 1):
+            rows.append((i, r, w, k, d, s))
+    want = pd.DataFrame(rows, columns=["doc_id", "rank", "word", "tf",
+                                       "df", "score"])
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "rank", "word", "tf", "df", "score"]].astype(
+            {"doc_id": "int64", "rank": "int64", "tf": "int64",
+             "df": "int64", "score": "int64"}),
+        want.astype({"doc_id": "int64", "rank": "int64", "tf": "int64",
+                     "df": "int64", "score": "int64"}))

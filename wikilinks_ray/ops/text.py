@@ -351,3 +351,82 @@ def bigram_topk(docs, *, text_col: str = "text", k: int = 30,
                            ascending=[False, True, True],
                            kind="stable").head(k).reset_index(drop=True)
     return out[["w1", "w2", "n"]]
+
+
+def doc_keywords_tfidf(docs, *, text_col: str = "text", k: int = 5,
+                       idf_scale: int = 10 ** 4, num_buckets: int = 32,
+                       concurrency: int = 4):
+    """Per-document TF-IDF keyword extraction, integer-exact: rows
+    (doc_id, rank, word, tf, df, score) for each doc's top-``k`` words
+    by ``score = tf * ((n_docs * idf_scale) // df)``, ties broken by
+    word ascending (binary == code-point order, so the DuckDB twin
+    agrees).
+
+    Plan (SCALE.md): a batch holds whole documents, so per-doc tf rows
+    are complete after ONE pass (combiner form: what shuffles is one
+    row per distinct (doc, word), never per occurrence). df is a
+    word-hash bucketed count over those rows (a word lives in exactly
+    one bucket); the same bucketing joins tf back to df; the final
+    per-doc top-k re-buckets by doc id and truncates inside the bucket
+    (a doc lives in exactly one bucket, so per-bucket head-k is
+    globally safe). Integer idf keeps every value int64
+    (tf * n_docs * idf_scale headroom asserted)."""
+    import hashlib
+
+    import pandas as pd
+
+    n_docs = docs.count()
+    assert n_docs * idf_scale < 2 ** 40, \
+        "tfidf int64 headroom: lower idf_scale for this corpus size"
+
+    def _wb(ws) -> np.ndarray:
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+             % num_buckets for w in ws), dtype=np.int64, count=len(ws))
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, ws, tfs = [], [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column(text_col).to_pylist()):
+            for w, c in Counter(
+                    _TOKEN_RE.findall((text or "").lower())).items():
+                ids.append(did)
+                ws.append(w)
+                tfs.append(c)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "word": pa.array(ws, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "__b": pa.array(_wb(ws), pa.int64()),
+        })
+
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow",
+                          concurrency=concurrency).materialize()
+
+    def score_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        df_map = g.groupby("word", sort=False)["doc_id"].size()
+        dfv = df_map.loc[g["word"]].to_numpy().astype(np.int64)
+        idf = (n_docs * idf_scale) // dfv
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "word": g["word"].to_numpy(),
+            "tf": g["tf"].to_numpy(),
+            "df": dfv,
+            "score": g["tf"].to_numpy() * idf,
+        })
+        out["__d"] = out["doc_id"].to_numpy() % num_buckets
+        return out
+
+    scored = tf.groupby("__b").map_groups(score_bucket,
+                                          batch_format="pandas")
+
+    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["doc_id", "score", "word"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("doc_id", sort=False).head(k).copy()
+        g["rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        return g[["doc_id", "rank", "word", "tf", "df", "score"]]
+
+    return scored.groupby("__d").map_groups(topk, batch_format="pandas")
