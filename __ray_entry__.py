@@ -1906,6 +1906,51 @@ def q_text_inverted_index(sf_dir: str):
     return term_stats_topk(ds, k=50)
 
 
+def q_events_asof(sf_dir: str):
+    """EXACT-match backward AS-OF join (ops/joins.py asof_join — the
+    point-in-time join Ray Data lacks natively): every purchase event
+    joined to the same user's latest signup at-or-before it, with the
+    exact microsecond gap; -1 sentinels when no signup precedes. Both
+    sides hash-bucket by user into ONE map_groups, one
+    ``pandas.merge_asof`` per bucket; tie on equal timestamps -> max
+    event_id, matching the oracle's ORDER BY rts DESC, rid DESC."""
+    import pyarrow.compute as pc
+
+    from wikilinks_ray.ops.joins import asof_join
+
+    _quiet()
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def pick(kind):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), kind)) \
+                .select(["event_id", "ts", "user_id"])
+        return f
+
+    left = ev.map_batches(pick("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(pick("signup"), batch_format="pyarrow")
+    out = asof_join(left, right, by="user_id", on="ts", tie="event_id")
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+_ASOF_ORACLE = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'signup'),
+j AS (SELECT l.event_id, l.user_id, l.ts,
+             r.event_id AS rid, r.ts AS rts
+      FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts)
+SELECT event_id, user_id, ts,
+       coalesce(rid, -1)::BIGINT AS matched_event_id,
+       coalesce(epoch_us(ts) - epoch_us(rts), -1)::BIGINT AS gap_us
+FROM j
+QUALIFY row_number() OVER (PARTITION BY event_id
+                           ORDER BY rts DESC NULLS LAST, rid DESC) = 1
+"""
+
+
 def q_events_anomaly(sf_dir: str):
     """Per-user 3-sigma outlier events in exact integer arithmetic:
     (n*x - s)^2 > 9*(n*s2 - s^2) over cents — no division, no sqrt, so
@@ -2602,6 +2647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_collocations": q_text_collocations,
         "graph_bowtie": q_graph_bowtie,
         "events_anomaly": q_events_anomaly,
+        "events_asof": q_events_asof,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3279,6 +3325,7 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN s3 USING (user_id)
         """,
         "graph_closeness": _closeness_oracle_sql(levels=24, n_pivots=16),
+        "events_asof": _ASOF_ORACLE,
         "events_anomaly": """
             WITH ev AS (SELECT event_id, user_id,
                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
