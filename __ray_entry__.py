@@ -1951,6 +1951,47 @@ QUALIFY row_number() OVER (PARTITION BY event_id
 """
 
 
+def q_events_interval_join(sf_dir: str):
+    """EXACT-match trailing-window RANGE join (ops/joins.py
+    interval_join): every (purchase, signup) pair of the same user with
+    the signup inside the purchase's trailing 1-hour window, exact
+    microsecond gaps. Rank-packed two-searchsorted plan per user-hash
+    bucket — no per-user cross product ever materializes."""
+    import pyarrow.compute as pc
+
+    from wikilinks_ray.ops.joins import interval_join
+
+    _quiet()
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def pick(kind):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), kind)) \
+                .select(["event_id", "ts", "user_id"])
+        return f
+
+    left = ev.map_batches(pick("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(pick("signup"), batch_format="pyarrow")
+    out = interval_join(left, right, by="user_id", on="ts",
+                        tie="event_id", window_us=3_600_000_000)
+    return out.to_pandas().sort_values(["event_id", "matched_event_id"]) \
+        .reset_index(drop=True)
+
+
+_INTERVAL_JOIN_ORACLE = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'signup')
+SELECT l.event_id, r.event_id AS matched_event_id, l.user_id,
+       (epoch_us(l.ts) - epoch_us(r.ts))::BIGINT AS gap_us
+FROM l JOIN r ON r.user_id = l.user_id
+  AND epoch_us(r.ts) >= epoch_us(l.ts) - 3600000000
+  AND epoch_us(r.ts) <= epoch_us(l.ts)
+"""
+
+
 def q_events_anomaly(sf_dir: str):
     """Per-user 3-sigma outlier events in exact integer arithmetic:
     (n*x - s)^2 > 9*(n*s2 - s^2) over cents — no division, no sqrt, so
@@ -2648,6 +2689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bowtie": q_graph_bowtie,
         "events_anomaly": q_events_anomaly,
         "events_asof": q_events_asof,
+        "events_interval_join": q_events_interval_join,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3326,6 +3368,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_closeness": _closeness_oracle_sql(levels=24, n_pivots=16),
         "events_asof": _ASOF_ORACLE,
+        "events_interval_join": _INTERVAL_JOIN_ORACLE,
         "events_anomaly": """
             WITH ev AS (SELECT event_id, user_id,
                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -97,3 +97,93 @@ def asof_join(
         return out
 
     return both.groupby("__b").map_groups(join, batch_format="pandas")
+
+
+def interval_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    by: str = "user_id",
+    on: str = "ts",
+    tie: str = "event_id",
+    window_us: int = 3_600_000_000,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Trailing-window RANGE join: every (left, right) pair of the same
+    ``by`` key with ``right.on`` in ``[left.on - window_us, left.on]``
+    — the interval join Ray Data lacks natively (trades⋈quotes within
+    an hour, event⋈recent-context). Returns rows
+    (tie, matched_<tie>, by, gap_us), one per matching pair.
+
+    Fully vectorized, NO per-user cross product: inside each key-hash
+    bucket both sides' (key, time) pairs pack into ONE int64 rank key
+    (dense key rank x time rank — overflow asserted), and two
+    ``np.searchsorted`` calls bound every left row's match run in the
+    lexicographically sorted right arrays; pairs materialize by
+    repeat+arange expansion, so per-bucket work is
+    O((L + R) log R + matches)."""
+    import pandas as pd
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            b = t.column(by).to_numpy(zero_copy_only=False) % num_buckets
+            return pa.table({
+                by: t.column(by).cast(pa.int64()),
+                on: t.column(on),
+                tie: t.column(tie).cast(pa.int64()),
+                "__side": pa.array(np.full(t.num_rows, side, np.int64)),
+                "__b": pa.array(b.astype(np.int64)),
+            })
+        return f
+
+    both = (left.map_batches(tag(0), batch_format="pyarrow")
+            .union(right.map_batches(tag(1), batch_format="pyarrow")))
+
+    def join(g: "pd.DataFrame") -> "pd.DataFrame":
+        lm = g["__side"].to_numpy() == 0
+        lu = g[by].to_numpy()[lm]
+        lt = g[on].to_numpy().astype("datetime64[us]").astype(np.int64)[lm]
+        lid = g[tie].to_numpy()[lm]
+        ru = g[by].to_numpy()[~lm]
+        rt = g[on].to_numpy().astype("datetime64[us]").astype(np.int64)[~lm]
+        rid = g[tie].to_numpy()[~lm]
+        empty = pd.DataFrame({tie: pd.Series(dtype="int64"),
+                              f"matched_{tie}": pd.Series(dtype="int64"),
+                              by: pd.Series(dtype="int64"),
+                              "gap_us": pd.Series(dtype="int64")})
+        if len(lu) == 0 or len(ru) == 0:
+            return empty
+        # dense key ranks over the union keep the packed key small
+        uu, uinv = np.unique(np.concatenate([lu, ru]), return_inverse=True)
+        lur, rur = uinv[:len(lu)], uinv[len(lu):]
+        # global time rank (monotone in ts, so lexicographic
+        # (key_rank, ts_rank) order == (key, ts) order)
+        allt = np.unique(np.concatenate([rt, lt, lt - window_us]))
+        base = len(allt) + 2
+        assert len(uu) * base < 2 ** 62, \
+            "interval_join rank-key overflow: raise num_buckets"
+        rkey = rur * base + np.searchsorted(allt, rt)
+        order = np.argsort(rkey, kind="stable")
+        rkey_s, rid_s, rt_s = rkey[order], rid[order], rt[order]
+        lo = np.searchsorted(rkey_s,
+                             lur * base + np.searchsorted(allt,
+                                                          lt - window_us),
+                             side="left")
+        hi = np.searchsorted(rkey_s,
+                             lur * base + np.searchsorted(allt, lt),
+                             side="right")
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        li = np.repeat(np.arange(len(lu)), counts)
+        ri = (np.repeat(lo + counts - np.cumsum(counts), counts)
+              + np.arange(total))
+        return pd.DataFrame({
+            tie: lid[li],
+            f"matched_{tie}": rid_s[ri],
+            by: lu[li],
+            "gap_us": lt[li] - rt_s[ri],
+        })
+
+    return both.groupby("__b").map_groups(join, batch_format="pandas")
