@@ -1992,6 +1992,35 @@ FROM l JOIN r ON r.user_id = l.user_id
 """
 
 
+def q_events_transitions(sf_dir: str):
+    """Markov transition matrix over the event stream: per-user
+    sequences ordered by (ts, event_id), adjacent event_type bigram
+    counts summed globally (ops/windows.py transition_counts). What
+    leaves each key-hash bucket is bounded by |types|^2, never by
+    events."""
+    from wikilinks_ray.ops.windows import transition_counts
+
+    _quiet()
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    return (transition_counts(ev).to_pandas()
+            .sort_values(["prev_type", "next_type"])
+            .reset_index(drop=True))
+
+
+_TRANSITIONS_ORACLE = """
+WITH o AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id)
+               AS next_type
+    FROM events)
+SELECT event_type AS prev_type, next_type, count(*)::BIGINT AS n
+FROM o WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_events_anomaly(sf_dir: str):
     """Per-user 3-sigma outlier events in exact integer arithmetic:
     (n*x - s)^2 > 9*(n*s2 - s^2) over cents — no division, no sqrt, so
@@ -2690,6 +2719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly": q_events_anomaly,
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
+        "events_transitions": q_events_transitions,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3369,6 +3399,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_closeness": _closeness_oracle_sql(levels=24, n_pivots=16),
         "events_asof": _ASOF_ORACLE,
         "events_interval_join": _INTERVAL_JOIN_ORACLE,
+        "events_transitions": _TRANSITIONS_ORACLE,
         "events_anomaly": """
             WITH ev AS (SELECT event_id, user_id,
                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -1913,3 +1913,40 @@ def test_doc_keywords_tfidf_vs_reference(ray_session):
              "df": "int64", "score": "int64"}),
         want.astype({"doc_id": "int64", "rank": "int64", "tf": "int64",
                      "df": "int64", "score": "int64"}))
+
+
+def test_transition_counts_vs_brute_force(ray_session):
+    """Adjacent (prev,next) label bigrams per user, (ts, event_id)
+    order, summed globally — vs a pandas shift reference; exercised
+    across a multi-block dataset so users split across blocks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from wikilinks_ray.ops.windows import transition_counts
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 50, n),
+        "ts": (pd.Timestamp("2024-01-01")
+               + pd.to_timedelta(rng.integers(0, 10**6, n), unit="us")),
+        "event_type": rng.choice(["a", "b", "c", "d"], n),
+    })
+    # forced exact-ts tie inside one user: order falls to event_id
+    df.loc[1, ["user_id", "ts", "event_type"]] = \
+        df.loc[0, "user_id"], df.loc[0, "ts"], "d"
+
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    same = s["user_id"].to_numpy()[1:] == s["user_id"].to_numpy()[:-1]
+    want = (pd.DataFrame({"prev_type": s["event_type"].to_numpy()[:-1][same],
+                          "next_type": s["event_type"].to_numpy()[1:][same]})
+            .groupby(["prev_type", "next_type"]).size().rename("n")
+            .reset_index())
+
+    ds = rd.from_pandas(df).repartition(8)
+    got = (transition_counts(ds).to_pandas()
+           .sort_values(["prev_type", "next_type"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, want.sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True), check_dtype=False)

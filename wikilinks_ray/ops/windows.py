@@ -127,3 +127,53 @@ def sliding_windows(events: "ray.data.Dataset", *, key: str = "user_id",
     return grouped_agg(events.map_batches(expand, batch_format="pyarrow"),
                        [key, "window_start"], None, "count",
                        out_col="n_events")
+
+
+def transition_counts(events: "ray.data.Dataset", *, key: str = "user_id",
+                      ts: str = "ts", tie: str = "event_id",
+                      label: str = "event_type") -> "ray.data.Dataset":
+    """Markov transition matrix over a keyed event log: for every key's
+    event sequence ordered by (ts, tie), count each adjacent
+    (prev_label, next_label) pair globally. Output rows
+    (prev_type, next_type, n) — at most |labels|² of them.
+
+    One bucketed pass (the windows-module plan): keys hash into ``_B``
+    buckets, each bucket lexsorts by (key, ts, tie) and reduces its
+    adjacent same-key pairs to per-bucket (prev, next, count) partials
+    vectorized — so what leaves a bucket is bounded by |labels|², never
+    by events. The cross-bucket merge is over ≤ _B·|labels|² rows
+    (output-bounded, NOT data-bounded): one more single-bucket
+    map_groups pass sums the partials. No per-key Python, no driver
+    state beyond the final matrix."""
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        kk = g[key].to_numpy().astype(np.int64)
+        us = g[ts].astype("int64").to_numpy()
+        ee = g[tie].to_numpy().astype(np.int64)
+        lab = g[label].to_numpy()
+        order = np.lexsort((ee, us, kk))
+        kk, lab = kk[order], lab[order]
+        same = kk[1:] == kk[:-1]
+        if not same.any():
+            return pd.DataFrame({"prev_type": pd.Series(dtype=object),
+                                 "next_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64"),
+                                 "__m": pd.Series(dtype="int64")})
+        out = (pd.DataFrame({"prev_type": lab[:-1][same],
+                             "next_type": lab[1:][same]})
+               .groupby(["prev_type", "next_type"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        out["__m"] = np.int64(0)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["prev_type", "next_type"], sort=False)["n"]
+               .sum().reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    part = events.map_batches(_part_by_key(key), batch_format="pyarrow")
+    partials = part.groupby("__part").map_groups(bucket_pairs,
+                                                 batch_format="pandas")
+    return partials.groupby("__m").map_groups(merge, batch_format="pandas")
