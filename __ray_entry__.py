@@ -1305,6 +1305,71 @@ def q_graph_kcore(sf_dir: str):
     return pd.DataFrame({"vertex": ids})
 
 
+def q_graph_mst(sf_dir: str):
+    """Minimum spanning forest of the weighted lineitem graph
+    (pipelines/mst.py Borůvka contraction rounds). Deterministic under
+    the total edge order (w, u, v), so the output is THE unique MSF of
+    the perturbed weights and the DuckDB oracle replays the identical
+    rounds (`_mst_oracle_sql`: per-component windowed argmin, 2-cycle
+    collapse, unrolled pointer doubling, relabel — fixed unroll counts
+    are fixpoints past convergence, the kcore/labelprop argument)."""
+    from wikilinks_ray.pipelines.derived import derived_weighted_edges
+    from wikilinks_ray.pipelines.mst import boruvka_msf
+
+    _quiet()
+    return boruvka_msf(derived_weighted_edges(sf_dir))
+
+
+def _mst_oracle_sql(rounds: int = 20, jumps: int = 18) -> str:
+    """Borůvka round replay in SQL, same (w, u, v) total order as the
+    engine. Per round: both-direction per-component min edge
+    (row_number window), mutual-pick collapse to the smaller label,
+    ``jumps`` unrolled pointer-doubling self-joins (reaches chain depth
+    2^jumps), relabel via two left joins. ``rounds`` must cover
+    ceil(log2(#vertices)) — components at least halve per round and
+    extra rounds are no-ops on the empty selection."""
+    parts = ["""
+WITH base AS (
+    SELECT least(l_partkey, l_suppkey)::BIGINT AS u,
+           greatest(l_partkey, l_suppkey)::BIGINT AS v,
+           min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+    FROM lineitem
+    WHERE l_partkey <> l_suppkey
+    GROUP BY 1, 2),
+e_0 AS MATERIALIZED (SELECT u AS cu, v AS cv, w, u, v FROM base)"""]
+    for r in range(rounds):
+        parts.append(f"""
+both_{r} AS MATERIALIZED (
+    SELECT cu AS comp, cv AS other, w, u, v FROM e_{r} WHERE cu <> cv
+    UNION ALL
+    SELECT cv AS comp, cu AS other, w, u, v FROM e_{r} WHERE cu <> cv),
+sel_{r} AS MATERIALIZED (
+    SELECT comp, other, w, u, v FROM (
+        SELECT *, row_number() OVER (PARTITION BY comp
+                                     ORDER BY w, u, v) AS rn
+        FROM both_{r}) WHERE rn = 1),
+p_{r}_0 AS MATERIALIZED (
+    SELECT a.comp,
+           CASE WHEN b.other = a.comp THEN least(a.comp, a.other)
+                ELSE a.other END AS p
+    FROM sel_{r} a JOIN sel_{r} b ON a.other = b.comp)""")
+        for j in range(1, jumps + 1):
+            parts.append(f"""
+p_{r}_{j} AS MATERIALIZED (SELECT a.comp, b.p FROM p_{r}_{j - 1} a
+              JOIN p_{r}_{j - 1} b ON a.p = b.comp)""")
+        parts.append(f"""
+m_{r} AS MATERIALIZED (SELECT comp, p FROM p_{r}_{jumps} WHERE p <> comp),
+mst_{r} AS (SELECT DISTINCT u, v, w FROM sel_{r}),
+e_{r + 1} AS MATERIALIZED (
+    SELECT coalesce(m1.p, e.cu) AS cu, coalesce(m2.p, e.cv) AS cv,
+           e.w, e.u, e.v
+    FROM e_{r} e LEFT JOIN m_{r} m1 ON e.cu = m1.comp
+                 LEFT JOIN m_{r} m2 ON e.cv = m2.comp)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT u, v, w FROM mst_{r}" for r in range(rounds))
+    return ",".join(parts) + "\n" + union
+
+
 def q_graph_sssp(sf_dir: str):
     """EXACT-match weighted single-source shortest paths: Bellman-Ford
     min-plus supersteps in int64 over weight-carrying CSR shards
@@ -2782,6 +2847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_louvain": q_graph_louvain,
         "graph_louvain2": q_graph_louvain2,
         "graph_kcore": q_graph_kcore,
+        "graph_mst": q_graph_mst,
         "wiki_vertices": q_wiki_vertices,
         "wiki_edges": q_wiki_edges,
         "wiki_stats": q_wiki_stats,
@@ -3553,6 +3619,7 @@ def oracle_sql() -> dict[str, str]:
             FROM deg dg LEFT JOIN pv p ON p.v = dg.v
         """,
         "graph_kcore": _kcore_oracle_sql(k=30, rounds=48),
+        "graph_mst": _mst_oracle_sql(rounds=20, jumps=18),
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "similarity_lsh": _similarity_lsh_oracle_sql(),
         # IVF-flat: centroids = first 16 vectors by id (normalized is a

@@ -1045,3 +1045,49 @@ def test_louvain_multilevel_invariances(ray_session, tmp_path):
     assert modularity_int(pairs, a.labels, n) > 0
     assert modularity_int(pairs, a.labels, n) >= \
         modularity_int(pairs, a.phase1_labels, n)
+
+
+def test_boruvka_msf_vs_networkx(ray_session):
+    """Borůvka forest: same total weight as networkx's MSF (all MSFs
+    agree on weight), acyclic, spans every component, deterministic
+    across partitionings, and the forced relabel-join leg (broadcast
+    gate at 0) is byte-identical to the broadcast leg."""
+    import networkx as nx
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wikilinks_ray.pipelines.mst import boruvka_msf
+
+    rng = np.random.default_rng(23)
+    n, m = 300, 900
+    u = rng.integers(0, n, m)
+    v = rng.integers(0, n, m)
+    keep = u != v
+    uu, vv = np.minimum(u, v)[keep], np.maximum(u, v)[keep]
+    # duplicate weights on purpose: ties break on (w, u, v)
+    w = rng.integers(0, 40, keep.sum())
+    df = (pd.DataFrame({"u": uu, "v": vv, "w": w})
+          .groupby(["u", "v"], as_index=False)["w"].min())
+
+    def mk(npart):
+        return rd.from_arrow(pa.Table.from_pandas(
+            df, preserve_index=False)).repartition(npart)
+
+    got = boruvka_msf(mk(4))
+    got2 = boruvka_msf(mk(9))
+    pd.testing.assert_frame_equal(got, got2)
+    forced = boruvka_msf(mk(4), label_broadcast_limit=0)
+    pd.testing.assert_frame_equal(got, forced)
+
+    G = nx.Graph()
+    G.add_weighted_edges_from(df.itertuples(index=False))
+    want_w = sum(d["weight"] for _, _, d in
+                 nx.minimum_spanning_edges(G, algorithm="kruskal"))
+    assert got["w"].sum() == want_w
+    # forest: |edges| = |vertices touched| - |components|
+    n_comp = nx.number_connected_components(G)
+    assert len(got) == G.number_of_nodes() - n_comp
+    F = nx.Graph()
+    F.add_edges_from(got[["u", "v"]].itertuples(index=False))
+    assert nx.is_forest(F)

@@ -26,6 +26,13 @@ def test_build_gates():
     _assert_knob(build_graph, "title_broadcast_limit")
 
 
+def test_mst_gates():
+    from wikilinks_ray.pipelines.mst import boruvka_msf
+
+    _assert_knob(boruvka_msf, "label_broadcast_limit")
+    _assert_knob(boruvka_msf, "max_rounds")
+
+
 def test_superstep_checkpoint_knobs():
     from wikilinks_ray.pipelines.bfs import multi_source_bfs
     from wikilinks_ray.pipelines.components import connected_components
@@ -125,6 +132,7 @@ def test_every_scale_gate_name_resolves():
         "max_bucket", "broadcast_limit", "driver_merge_limit",
         "checkpoint_every", "capacity", "degree_broadcast_limit",
         "broadcast_edge_limit", "max_rounds", "converged", "user_broadcast_limit",
+        "label_broadcast_limit",
         "n_cells", "num_partitions", "batch_size", "kind", "analytics",
         "route", "permille", "idf_scale", "source_ids",
     }
@@ -133,6 +141,7 @@ def test_every_scale_gate_name_resolves():
         "map_batches", "map_groups", "groupby", "ray", "n", "k",
         "batch_format", "pyarrow", "local", "to_pylist", "reduceat",
         "src", "dst", "__init__", "repartition", "read_binary_files",
+        "searchsorted", "materialize",
     }
     for name in cited - known_params - modules:
         # importable as a wikilinks_ray attribute somewhere?

@@ -106,3 +106,32 @@ class DerivedGraph:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def derived_weighted_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Canonical undirected weighted edges over the lineitem graph:
+    (u, v) = (least, greatest)(l_partkey, l_suppkey), u != v, weight =
+    min extendedprice in exact cents over the pair's rows — one
+    column-pruned read + one two-key grouped min."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        a = t.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        keep = a != b
+        return pa.table({
+            "u": pa.array(np.minimum(a, b)[keep], pa.int64()),
+            "v": pa.array(np.maximum(a, b)[keep], pa.int64()),
+            "w": pa.array(cents[keep], pa.int64()),
+        })
+
+    from ..stages.agg import grouped_agg
+
+    return grouped_agg(li.map_batches(project, batch_format="pyarrow"),
+                       ["u", "v"], "w", "min", out_col="w")
