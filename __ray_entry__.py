@@ -148,6 +148,61 @@ def q_graph_bfs(sf_dir: str):
                              "dist": dist[reach].astype(np.int64)})
 
 
+def q_graph_diameter(sf_dir: str):
+    """Double-sweep diameter bound on the undirected derived graph: BFS
+    from the min vertex id gives ecc(s0) and the farthest vertex s1
+    (min-id tie-break); BFS from s1 gives ecc(s1) — the classic 2-sweep
+    LOWER bound on the diameter (exact on trees; within a small factor
+    on web-ish graphs; the scale path to exactness is iFUB seeded by
+    exactly these sweeps). Two frontier BFS runs over the same CSR
+    shard machinery as graph_bfs — no new exchange shape."""
+    from wikilinks_ray.pipelines.bfs import multi_source_bfs
+    from wikilinks_ray.pipelines.derived import DerivedGraph
+
+    _quiet()
+    with DerivedGraph(sf_dir, num_shards=4, symmetric=True) as g:
+        vs = g.vertices
+        s0 = int(vs.min())
+        d0 = multi_source_bfs(g.actors, g.n, [s0]).distances()[:, 0]
+        reach0 = vs[d0[vs] >= 0]
+        ecc0 = int(d0[reach0].max())
+        s1 = int(reach0[d0[reach0] == ecc0].min())
+        d1 = multi_source_bfs(g.actors, g.n, [s1]).distances()[:, 0]
+        reach1 = vs[d1[vs] >= 0]
+        ecc1 = int(d1[reach1].max())
+        return pd.DataFrame({"sweep": np.array([0, 1], np.int64),
+                             "source": np.array([s0, s1], np.int64),
+                             "ecc": np.array([ecc0, ecc1], np.int64)})
+
+
+_DIAMETER_ORACLE = """
+WITH RECURSIVE {und},
+start0 AS (SELECT min(v) AS s FROM verts),
+walk0(v, dist) AS (
+    SELECT s, 0 FROM start0
+    UNION
+    SELECT u.b, w.dist + 1 FROM walk0 w JOIN und u ON u.a = w.v
+    WHERE w.dist < 256
+),
+d0 AS (SELECT v, min(dist) AS dist FROM walk0 GROUP BY v),
+ecc0 AS (SELECT max(dist) AS e FROM d0),
+start1 AS (SELECT min(v) AS s FROM d0
+           WHERE dist = (SELECT e FROM ecc0)),
+walk1(v, dist) AS (
+    SELECT s, 0 FROM start1
+    UNION
+    SELECT u.b, w.dist + 1 FROM walk1 w JOIN und u ON u.a = w.v
+    WHERE w.dist < 256
+),
+d1 AS (SELECT v, min(dist) AS dist FROM walk1 GROUP BY v),
+ecc1 AS (SELECT max(dist) AS e FROM d1)
+SELECT 0::BIGINT AS sweep, (SELECT s FROM start0)::BIGINT AS source,
+       (SELECT e FROM ecc0)::BIGINT AS ecc
+UNION ALL
+SELECT 1, (SELECT s FROM start1), (SELECT e FROM ecc1)
+"""
+
+
 def q_graph_pagerank(sf_dir: str):
     """EXACT-match PageRank: 20 fixed iterations in scaled int64
     arithmetic (rank × 10^12, floor divisions) over the CSR shard
@@ -2848,6 +2903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_louvain2": q_graph_louvain2,
         "graph_kcore": q_graph_kcore,
         "graph_mst": q_graph_mst,
+        "graph_diameter": q_graph_diameter,
         "wiki_vertices": q_wiki_vertices,
         "wiki_edges": q_wiki_edges,
         "wiki_stats": q_wiki_stats,
@@ -3620,6 +3676,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_kcore": _kcore_oracle_sql(k=30, rounds=48),
         "graph_mst": _mst_oracle_sql(rounds=20, jumps=18),
+        "graph_diameter": _DIAMETER_ORACLE.format(und=_UND),
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "similarity_lsh": _similarity_lsh_oracle_sql(),
         # IVF-flat: centroids = first 16 vectors by id (normalized is a

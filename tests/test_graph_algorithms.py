@@ -1091,3 +1091,28 @@ def test_boruvka_msf_vs_networkx(ray_session):
     F = nx.Graph()
     F.add_edges_from(got[["u", "v"]].itertuples(index=False))
     assert nx.is_forest(F)
+
+
+def test_double_sweep_vs_networkx(rand_graph):
+    """2-sweep: ecc(s0) exact vs networkx, the second source is the
+    min-id farthest vertex, ecc(s1) exact, and the pair lower-bounds
+    the true diameter of s0's component."""
+    import networkx as nx
+
+    n, pairs, _ds, _fwd, symA = rand_graph
+    s0 = int(pairs.min())
+    d0 = multi_source_bfs(symA, n, [s0]).distances()[:, 0]
+    ecc0 = int(d0.max())
+    s1 = int(np.flatnonzero(d0 == ecc0).min())
+    d1 = multi_source_bfs(symA, n, [s1]).distances()[:, 0]
+    ecc1 = int(d1.max())
+
+    G = nx.Graph()
+    G.add_edges_from(pairs)
+    comp = nx.node_connected_component(G, s0)
+    H = G.subgraph(comp)
+    assert ecc0 == nx.eccentricity(H, v=s0)
+    assert ecc1 == nx.eccentricity(H, v=s1)
+    diam = nx.diameter(H)
+    assert max(ecc0, ecc1) <= diam
+    assert ecc1 >= ecc0  # the far vertex can only be more eccentric
