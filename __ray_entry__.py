@@ -2476,6 +2476,35 @@ def q_sample_mix(sf_dir: str):
     return kept.to_pandas()[["doc_id", "source"]]
 
 
+def q_sample_fixed(sf_dir: str):
+    """Deterministic fixed-SIZE stratified sample (ops/sample.py
+    fixed_size_sample): exactly 40 docs per source — the k smallest
+    md5 priorities of each stratum, combiner-first so at most
+    batches×k rows per stratum ever shuffle. Pure function of
+    (seed, doc_id): resume/partitioning-stable, oracle = one
+    row_number window over the same priorities."""
+    from wikilinks_ray.ops.sample import fixed_size_sample
+
+    _quiet()
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = fixed_size_sample(docs, 40, strata_col="source", seed=13)
+    return (out.to_pandas().sort_values(["source", "rank"])
+            .reset_index(drop=True))
+
+
+_SAMPLE_FIXED_ORACLE = """
+SELECT source, doc_id, pri, rank FROM (
+    SELECT source, doc_id, pri,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY pri, doc_id) AS rank
+    FROM (SELECT source, doc_id,
+                 (md5_number_upper('13:' || CAST(doc_id AS VARCHAR))
+                  >> 1)::BIGINT AS pri
+          FROM documents))
+WHERE rank <= 40
+"""
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing: hash-bucketed greedy fill of documents into
     4000-char context windows (ops/pack.py) — the deterministic
@@ -2858,6 +2887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": q_text_repetition,
         "text_scrub_pii": q_text_scrub_pii,
         "sample_mix": q_sample_mix,
+        "sample_fixed": q_sample_fixed,
         "pack_sequences": q_pack_sequences,
         "classify_quality": q_classify_quality,
         "dedup_clusters": q_dedup_clusters,
@@ -3747,6 +3777,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE md5_number_upper('13:' || doc_id) % 1000
                   < 50 + 90 * (CAST(substr(source, 4) AS INT) % 10)
         """,
+        "sample_fixed": _SAMPLE_FIXED_ORACLE,
         # SQL twin of ops/pack.py: replay the greedy sequential fill as
         # a per-bucket recursive CTE over doc_id-ordered rows
         "pack_sequences": """

@@ -1950,3 +1950,42 @@ def test_transition_counts_vs_brute_force(ray_session):
     pd.testing.assert_frame_equal(
         got, want.sort_values(["prev_type", "next_type"])
         .reset_index(drop=True), check_dtype=False)
+
+
+def test_fixed_size_sample_exact_k_and_partition_invariant(ray_session):
+    """Fixed-size sample: exactly k per stratum (or global), identical
+    across partitionings and batch cuts, ranks dense 1..k, and the
+    chosen set IS the k smallest priorities."""
+    import pandas as pd
+    import ray.data as rd
+
+    from wikilinks_ray.ops.sample import fixed_size_sample, \
+        sample_priorities
+
+    n = 3000
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(n).astype(np.int64),
+        "source": [f"s{i % 3}" for i in range(n)],
+    })
+
+    def run(npart, **kw):
+        ds = rd.from_pandas(df).repartition(npart)
+        return (fixed_size_sample(ds, 25, **kw).to_pandas()
+                .sort_values(["rank"]).reset_index(drop=True))
+
+    g1 = run(2)
+    g2 = run(13)
+    pd.testing.assert_frame_equal(g1, g2)
+    assert len(g1) == 25 and list(g1["rank"]) == list(range(1, 26))
+    pri = sample_priorities(df["doc_id"].to_numpy(), 0)
+    want = np.sort(pri)[:25]
+    assert np.array_equal(np.sort(g1["pri"].to_numpy()), want)
+
+    s1 = run(2, strata_col="source")
+    s2 = run(17, strata_col="source")
+    pd.testing.assert_frame_equal(
+        s1.sort_values(["source", "rank"]).reset_index(drop=True),
+        s2.sort_values(["source", "rank"]).reset_index(drop=True))
+    assert (s1.groupby("source")["rank"].agg(["min", "max", "count"])
+            .eq([1, 25, 25]).all().all())
