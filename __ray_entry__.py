@@ -2141,6 +2141,72 @@ GROUP BY 1, 2
 """
 
 
+def q_events_running_total(sf_dir: str):
+    """Per-user running spend — the classic cumulative window
+    sum() OVER (PARTITION BY user ORDER BY ts, event_id) — in exact
+    integer cents via ops/windows.py running_totals (one bucketed pass,
+    vectorized run-boundary cumsum, O(input) streaming output)."""
+    from wikilinks_ray.ops.windows import running_totals
+
+    _quiet()
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "ts": t.column("ts"),
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    out = running_totals(ev.map_batches(to_cents, batch_format="pyarrow"))
+    return (out.to_pandas().sort_values("event_id")
+            .reset_index(drop=True))
+
+
+_RUNNING_TOTAL_ORACLE = """
+WITH c AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT event_id, user_id, cents,
+       sum(cents) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS running
+FROM c
+"""
+
+
+def q_events_covisitation(sf_dir: str):
+    """Item-item co-visitation matrix (ops/covisit.py): canonical item
+    pairs co-visited by >= 3 distinct users, items parsed from the JSON
+    props payload vectorized. Distinct (user, item) shuffles once; the
+    quadratic pair expansion is per-user inside one bucket with the
+    max_items_per_user skew guard mirrored by the oracle."""
+    from wikilinks_ray.ops.covisit import covisitation_pairs
+
+    _quiet()
+    ev = _read(sf_dir, "events", ["user_id", "props"])
+    return (covisitation_pairs(ev, min_users=3, max_items_per_user=200)
+            .to_pandas().sort_values(["item_a", "item_b"])
+            .reset_index(drop=True))
+
+
+_COVISIT_ORACLE = """
+WITH ui AS (SELECT DISTINCT user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS item
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL),
+ok AS (SELECT user_id FROM ui GROUP BY user_id HAVING count(*) <= 200),
+f AS (SELECT ui.user_id, ui.item FROM ui JOIN ok USING (user_id))
+SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_users
+FROM f a JOIN f b ON a.user_id = b.user_id AND a.item < b.item
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
 def q_events_anomaly(sf_dir: str):
     """Per-user 3-sigma outlier events in exact integer arithmetic:
     (n*x - s)^2 > 9*(n*s2 - s^2) over cents — no division, no sqrt, so
@@ -2869,6 +2935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
         "events_transitions": q_events_transitions,
+        "events_covisitation": q_events_covisitation,
+        "events_running_total": q_events_running_total,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3552,6 +3620,8 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": _ASOF_ORACLE,
         "events_interval_join": _INTERVAL_JOIN_ORACLE,
         "events_transitions": _TRANSITIONS_ORACLE,
+        "events_covisitation": _COVISIT_ORACLE,
+        "events_running_total": _RUNNING_TOTAL_ORACLE,
         "events_anomaly": """
             WITH ev AS (SELECT event_id, user_id,
                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

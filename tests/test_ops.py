@@ -1989,3 +1989,72 @@ def test_fixed_size_sample_exact_k_and_partition_invariant(ray_session):
         s2.sort_values(["source", "rank"]).reset_index(drop=True))
     assert (s1.groupby("source")["rank"].agg(["min", "max", "count"])
             .eq([1, 25, 25]).all().all())
+
+
+def test_covisitation_vs_brute_force(ray_session):
+    """Item pairs per user vs an O(n²) pandas reference, including the
+    max_items_per_user guard (a hub user emits nothing), the min_users
+    support filter, duplicate (user, item) collapse, and bucket
+    independence."""
+    import pandas as pd
+    import ray.data as rd
+
+    from wikilinks_ray.ops.covisit import covisitation_pairs
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 400, n).astype(np.int64),
+        "item": rng.integers(0, 40, n).astype(np.int64),
+    })
+    # hub user 999 touches 30 distinct items -> over a cap of 20
+    hub = pd.DataFrame({"user_id": np.full(30, 999, np.int64),
+                        "item": np.arange(30, dtype=np.int64)})
+    df = pd.concat([df, hub], ignore_index=True)
+    df["props"] = ['{"k": %d}' % i for i in df["item"]]
+
+    ui = df[["user_id", "item"]].drop_duplicates()
+    sizes = ui.groupby("user_id")["item"].size()
+    ok = sizes[sizes <= 20].index
+    f = ui[ui.user_id.isin(ok)]
+    m = f.merge(f, on="user_id")
+    m = m[m.item_x < m.item_y]
+    want = (m.groupby(["item_x", "item_y"]).size().rename("n_users")
+            .reset_index().query("n_users >= 4")
+            .rename(columns={"item_x": "item_a", "item_y": "item_b"})
+            .sort_values(["item_a", "item_b"]).reset_index(drop=True))
+
+    ds = rd.from_pandas(df[["user_id", "props"]]).repartition(7)
+    got = (covisitation_pairs(ds, min_users=4, max_items_per_user=20)
+           .to_pandas().sort_values(["item_a", "item_b"])
+           .reset_index(drop=True))
+    assert len(want) > 0  # the reference itself must be non-trivial
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  want.astype("int64"), check_dtype=False)
+
+
+def test_running_totals_vs_pandas_window(ray_session):
+    """Cumulative per-key sum vs groupby().cumsum() on the same order,
+    with exact-timestamp ties ordered by event_id."""
+    import pandas as pd
+    import ray.data as rd
+
+    from wikilinks_ray.ops.windows import running_totals
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "ts": base + pd.to_timedelta(rng.integers(0, 500, n), unit="s"),
+        "cents": rng.integers(-100, 10_000, n).astype(np.int64),
+    })
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    want = s.assign(running=s.groupby("user_id")["cents"].cumsum()) \
+        .sort_values("event_id").reset_index(drop=True) \
+        [["event_id", "user_id", "cents", "running"]]
+    got = (running_totals(rd.from_pandas(df).repartition(9))
+           .to_pandas().sort_values("event_id").reset_index(drop=True)
+           [["event_id", "user_id", "cents", "running"]])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

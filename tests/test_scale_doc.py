@@ -33,6 +33,13 @@ def test_mst_gates():
     _assert_knob(boruvka_msf, "max_rounds")
 
 
+def test_covisit_gates():
+    from wikilinks_ray.ops.covisit import covisitation_pairs
+
+    _assert_knob(covisitation_pairs, "max_items_per_user")
+    _assert_knob(covisitation_pairs, "min_users")
+
+
 def test_superstep_checkpoint_knobs():
     from wikilinks_ray.pipelines.bfs import multi_source_bfs
     from wikilinks_ray.pipelines.components import connected_components
@@ -132,7 +139,7 @@ def test_every_scale_gate_name_resolves():
         "max_bucket", "broadcast_limit", "driver_merge_limit",
         "checkpoint_every", "capacity", "degree_broadcast_limit",
         "broadcast_edge_limit", "max_rounds", "converged", "user_broadcast_limit",
-        "label_broadcast_limit",
+        "label_broadcast_limit", "max_items_per_user", "min_users",
         "n_cells", "num_partitions", "batch_size", "kind", "analytics",
         "route", "permille", "idf_scale", "source_ids",
     }

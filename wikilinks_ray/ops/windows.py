@@ -177,3 +177,37 @@ def transition_counts(events: "ray.data.Dataset", *, key: str = "user_id",
     partials = part.groupby("__part").map_groups(bucket_pairs,
                                                  batch_format="pandas")
     return partials.groupby("__m").map_groups(merge, batch_format="pandas")
+
+
+def running_totals(events: "ray.data.Dataset", *, key: str = "user_id",
+                   ts: str = "ts", tie: str = "event_id",
+                   val: str = "cents") -> "ray.data.Dataset":
+    """Per-key running sum — ``sum(val) OVER (PARTITION BY key ORDER BY
+    ts, tie)`` — as ONE bucketed pass: each key-hash bucket lexsorts by
+    (key, ts, tie) and computes every key's cumulative sum vectorized
+    over run boundaries (global cumsum minus each run's base). Output
+    one row per input row (tie, key, val, running) — an O(input)
+    transform that streams out of the buckets, no driver state."""
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        kk = g[key].to_numpy().astype(np.int64)
+        us = g[ts].astype("int64").to_numpy()
+        ee = g[tie].to_numpy().astype(np.int64)
+        vv = g[val].to_numpy().astype(np.int64)
+        order = np.lexsort((ee, us, kk))
+        kk, ee, vv = kk[order], ee[order], vv[order]
+        n = len(kk)
+        if n == 0:
+            return pd.DataFrame({tie: pd.Series(dtype="int64"),
+                                 key: pd.Series(dtype="int64"),
+                                 val: pd.Series(dtype="int64"),
+                                 "running": pd.Series(dtype="int64")})
+        cum = np.cumsum(vv)
+        new = np.concatenate(([True], kk[1:] != kk[:-1]))
+        run_start = np.flatnonzero(new)
+        base = (cum[run_start] - vv[run_start])[np.cumsum(new) - 1]
+        return pd.DataFrame({tie: ee, key: kk, val: vv,
+                             "running": cum - base})
+
+    part = events.map_batches(_part_by_key(key), batch_format="pyarrow")
+    return part.groupby("__part").map_groups(cumsum, batch_format="pandas")
