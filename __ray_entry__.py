@@ -2141,6 +2141,66 @@ GROUP BY 1, 2
 """
 
 
+def q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day) in exact integer cents
+    (ops/windows.py rollup_counts): the finest grain reduces
+    distributed; subtotal levels derive from the base aggregate —
+    additive, O(output) work. Sentinels day=-1 / '(all)' mirror the
+    oracle's coalesced ROLLUP nulls."""
+    from wikilinks_ray.ops.windows import rollup_counts
+
+    _quiet()
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "ts": t.column("ts"),
+            "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    return rollup_counts(ev.map_batches(to_cents, batch_format="pyarrow"))
+
+
+_ROLLUP_ORACLE = """
+WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(day, -1)::BIGINT AS day,
+       count(*)::BIGINT AS n_events,
+       sum(cents)::BIGINT AS sum_cents
+FROM c
+GROUP BY ROLLUP (event_type, day)
+"""
+
+
+def q_events_rolling_dau(sf_dir: str):
+    """Daily + trailing-7-day distinct active users (ops/windows.py
+    rolling_active_users): exact count-distinct per window WITHOUT a
+    count-distinct window function — dedup (user, day) once, bounded
+    7-way window-end expansion, dedup again, grouped counts."""
+    from wikilinks_ray.ops.windows import rolling_active_users
+
+    _quiet()
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return rolling_active_users(ev, window_days=7)
+
+
+_ROLLING_DAU_ORACLE = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day
+            FROM events),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day,
+       (SELECT count(*) FROM ud WHERE ud.day = d.day)::BIGINT AS dau,
+       (SELECT count(DISTINCT u.user_id) FROM ud u
+        WHERE u.day BETWEEN d.day - 6 AND d.day)::BIGINT AS wau
+FROM days d
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-user running spend — the classic cumulative window
     sum() OVER (PARTITION BY user ORDER BY ts, event_id) — in exact
@@ -2937,6 +2997,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": q_events_transitions,
         "events_covisitation": q_events_covisitation,
         "events_running_total": q_events_running_total,
+        "events_rolling_dau": q_events_rolling_dau,
+        "events_rollup": q_events_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3622,6 +3684,8 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": _TRANSITIONS_ORACLE,
         "events_covisitation": _COVISIT_ORACLE,
         "events_running_total": _RUNNING_TOTAL_ORACLE,
+        "events_rolling_dau": _ROLLING_DAU_ORACLE,
+        "events_rollup": _ROLLUP_ORACLE,
         "events_anomaly": """
             WITH ev AS (SELECT event_id, user_id,
                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

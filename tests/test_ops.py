@@ -2058,3 +2058,70 @@ def test_running_totals_vs_pandas_window(ray_session):
            .to_pandas().sort_values("event_id").reset_index(drop=True)
            [["event_id", "user_id", "cents", "running"]])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rolling_active_users_vs_brute_force(ray_session):
+    """DAU/WAU vs a pandas reference; window ends only at observed
+    days; a user active twice inside one window counts once."""
+    import pandas as pd
+    import ray.data as rd
+
+    from wikilinks_ray.ops.windows import rolling_active_users
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 60, n).astype(np.int64),
+        "ts": (pd.Timestamp("2024-01-01")
+               + pd.to_timedelta(rng.integers(0, 20 * 86400, n), unit="s")),
+    })
+    df["day"] = df["ts"].astype("int64") // 86_400_000_000
+    ud = df[["user_id", "day"]].drop_duplicates()
+    days = np.sort(ud["day"].unique())
+    want = pd.DataFrame({
+        "day": days,
+        "dau": [ud[ud.day == d]["user_id"].nunique() for d in days],
+        "wau": [ud[(ud.day >= d - 6) & (ud.day <= d)]["user_id"].nunique()
+                for d in days],
+    })
+    got = rolling_active_users(
+        rd.from_pandas(df[["user_id", "ts"]]).repartition(6),
+        window_days=7)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rollup_counts_vs_pandas(ray_session):
+    """ROLLUP levels are consistent: fine rows sum to per-label rows
+    sum to the grand total; values match a pandas reference."""
+    import pandas as pd
+    import ray.data as rd
+
+    from wikilinks_ray.ops.windows import rollup_counts
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    df = pd.DataFrame({
+        "event_type": rng.choice(["x", "y", "z"], n),
+        "ts": (pd.Timestamp("2024-01-01")
+               + pd.to_timedelta(rng.integers(0, 10 * 86400, n), unit="s")),
+        "cents": rng.integers(0, 10_000, n).astype(np.int64),
+    })
+    got = rollup_counts(rd.from_pandas(df).repartition(8))
+    fine = got[got.day >= 0]
+    by_label = got[(got.day == -1) & (got.event_type != "(all)")]
+    total = got[got.event_type == "(all)"]
+    assert len(total) == 1
+    assert total["sum_cents"].iloc[0] == df["cents"].sum()
+    assert total["n_events"].iloc[0] == n
+    assert fine["sum_cents"].sum() == df["cents"].sum()
+    pd.testing.assert_frame_equal(
+        by_label[["event_type", "n_events", "sum_cents"]]
+        .reset_index(drop=True),
+        df.groupby("event_type", as_index=False)
+        .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
+        .astype({"n_events": "int64"}),
+        check_dtype=False)
+    d0 = int(fine["day"].iloc[0])
+    sub = df[df["ts"].astype("int64") // 86_400_000_000 == d0]
+    row = fine[(fine.day == d0)].groupby("day")["n_events"].sum()
+    assert int(row.iloc[0]) == len(sub)

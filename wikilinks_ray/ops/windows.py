@@ -211,3 +211,128 @@ def running_totals(events: "ray.data.Dataset", *, key: str = "user_id",
 
     part = events.map_batches(_part_by_key(key), batch_format="pyarrow")
     return part.groupby("__part").map_groups(cumsum, batch_format="pandas")
+
+
+def rolling_active_users(events: "ray.data.Dataset", *,
+                         key: str = "user_id", ts: str = "ts",
+                         window_days: int = 7) -> "ray.data.Dataset":
+    """Daily + trailing-window distinct active users — the DAU/WAU
+    pair. Exact distinct counts without any count-distinct window
+    (which neither Ray Data nor SQL engines support directly):
+
+    1. dedup (user, day) once (``distinct_pairs`` — raw events never
+       shuffle, a user's Nth event of a day dies in the batch combine);
+    2. DAU: grouped count per day;
+    3. WAU: each (user, day) expands to the ``window_days`` window-end
+       days it contributes to (np.repeat — bounded fan-out), dedup
+       (user, window_end) again (a user active twice inside one window
+       counts once), grouped count per window end;
+    4. report only days that actually occur (observed-day list is
+       bounded by the time span, broadcast as a filter).
+
+    Output: (day, dau, wau) with day = floor(epoch_us / 86400e6).
+    """
+    from ..stages.agg import distinct_pairs, grouped_agg
+
+    US_DAY = 86_400_000_000
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = t.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user": t.column(key).cast(pa.int64()),
+            "day": pa.array(us // US_DAY, pa.int64()),
+        })
+
+    ud = distinct_pairs(events.map_batches(to_day, batch_format="pyarrow"),
+                        "user", "day").materialize()
+    dau = grouped_agg(ud, ["day"], None, "count", out_col="dau")
+
+    def expand(t: pa.Table) -> pa.Table:
+        u = t.column("user").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        k = window_days
+        return pa.table({
+            "user": pa.array(np.repeat(u, k), pa.int64()),
+            "wend": pa.array((np.repeat(d, k)
+                              + np.tile(np.arange(k, dtype=np.int64),
+                                        len(d))), pa.int64()),
+        })
+
+    uw = distinct_pairs(ud.map_batches(expand, batch_format="pyarrow"),
+                        "user", "wend")
+    wau = grouped_agg(uw, ["wend"], None, "count", out_col="wau")
+
+    # observed days (bounded by the calendar span, not the data volume)
+    days = np.sort(np.asarray(ud.unique("day"), dtype=np.int64))
+    days_ref = set(int(x) for x in days)
+
+    dau_df = dau.to_pandas()
+    wau_df = wau.to_pandas()
+    wau_df = wau_df[wau_df["wend"].isin(days_ref)]
+    out = dau_df.merge(wau_df, left_on="day", right_on="wend",
+                       how="left")[["day", "dau", "wau"]]
+    out["wau"] = out["wau"].fillna(0).astype(np.int64)
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def rollup_counts(events: "ray.data.Dataset", *, label: str = "event_type",
+                  ts: str = "ts", val: str = "cents",
+                  all_label: str = "(all)") -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(label, day): counts + exact integer sums at
+    (label, day), (label, *) and (*, *) grain. ONE distributed pass
+    computes the finest grain (per-batch pandas combine -> one bucketed
+    merge keyed on the label hash); the coarser levels are derived FROM
+    that base aggregate — sums are additive, so subtotals cost
+    O(base rows), which is |labels| x |days| (output-bounded, never
+    data-bounded). Sentinels: day = -1 / label = ``all_label`` mark
+    rolled-up levels (SQL twin: coalesce over ROLLUP nulls)."""
+    from ..stages.agg import _bucket_of
+
+    US_DAY = 86_400_000_000
+
+    def base(t: pa.Table) -> pa.Table:
+        us = t.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            label: t.column(label).to_pylist(),
+            "day": us // US_DAY,
+            val: t.column(val).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        })
+        g = (df.groupby([label, "day"], sort=False)
+             .agg(n_events=(val, "size"), sum_cents=(val, "sum"))
+             .reset_index())
+        g["n_events"] = g["n_events"].astype(np.int64)
+        g["sum_cents"] = g["sum_cents"].astype(np.int64)
+        import hashlib
+
+        # md5, not hash(): PYTHONHASHSEED varies per worker process, and
+        # co-bucketing requires the same label -> same bucket everywhere
+        lab_h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(s).encode()).digest()[:8],
+                            "little") >> 1 for s in g[label]),
+            np.int64, len(g))
+        g["__b"] = _bucket_of(lab_h, num_buckets=16)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby([label, "day"], sort=False)
+               [["n_events", "sum_cents"]].sum().reset_index())
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["sum_cents"] = out["sum_cents"].astype(np.int64)
+        return out
+
+    fine = (events.map_batches(base, batch_format="pyarrow")
+            .groupby("__b").map_groups(merge, batch_format="pandas")
+            .to_pandas())
+    by_label = (fine.groupby(label, as_index=False)
+                [["n_events", "sum_cents"]].sum())
+    by_label["day"] = np.int64(-1)
+    total = pd.DataFrame({label: [all_label], "day": [np.int64(-1)],
+                          "n_events": [fine["n_events"].sum()],
+                          "sum_cents": [fine["sum_cents"].sum()]})
+    out = pd.concat([fine, by_label, total], ignore_index=True) \
+        [[label, "day", "n_events", "sum_cents"]]
+    out["day"] = out["day"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_cents"] = out["sum_cents"].astype(np.int64)
+    return out.sort_values([label, "day"]).reset_index(drop=True)
