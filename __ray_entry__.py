@@ -2505,6 +2505,61 @@ def q_similarity_ivf(sf_dir: str):
     return t[["query_id", "vec_id"]]
 
 
+def q_embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table in EXACT
+    scaled-int arithmetic (ops/cluster.py kmeans_int): coordinates
+    scale to ``floor(x*2^20+0.5)+2^22`` (offset keeps the centroid
+    floor-division identical in numpy and SQL; squared distance is
+    translation-invariant), 4 rounds from the first-8-by-id init. The
+    oracle replays every round — assignment argmin, centroid update,
+    empty-cell carry — so the whole combiner exchange is value-hashed."""
+    from wikilinks_ray.ops.cluster import kmeans_int
+
+    _quiet()
+    emb = _read(sf_dir, "embeddings")
+    return (kmeans_int(emb, k=8, iters=4).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 4,
+                       scale: int = 1 << 20, offset: int = 1 << 22) -> str:
+    """SQL twin of ops/cluster.py kmeans_int (see its docstring for the
+    integer envelope). Parallel unnest keeps (dim, value) aligned."""
+    parts = [f"""
+WITH pts AS MATERIALIZED (
+    SELECT vec_id, d,
+           (CAST(floor(e * {scale} + 0.5) AS BIGINT) + {offset}) AS x
+    FROM (SELECT vec_id, unnest(embedding) AS e,
+                 generate_subscripts(embedding, 1) AS d
+          FROM embeddings)),
+c_0 AS MATERIALIZED (SELECT vec_id AS cid, d, x FROM pts
+                     WHERE vec_id < {k})"""]
+    for r in range(iters + 1):
+        parts.append(f"""
+dist_{r} AS MATERIALIZED (
+    SELECT p.vec_id, c.cid, sum((p.x - c.x) * (p.x - c.x)) AS dd
+    FROM pts p JOIN c_{r} c USING (d) GROUP BY 1, 2),
+asn_{r} AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, cid) AS rn
+        FROM dist_{r}) WHERE rn = 1)""")
+        if r == iters:
+            break
+        parts.append(f"""
+cn_{r} AS MATERIALIZED (
+    SELECT a.cid, p.d, sum(p.x) // count(*) AS x
+    FROM asn_{r} a JOIN pts p USING (vec_id) GROUP BY 1, 2),
+c_{r + 1} AS MATERIALIZED (
+    SELECT * FROM cn_{r}
+    UNION ALL
+    SELECT c.cid, c.d, c.x FROM c_{r} c
+    WHERE c.cid NOT IN (SELECT DISTINCT cid FROM cn_{r}))""")
+    return (",".join(parts)
+            + f"\nSELECT vec_id, cid AS cluster FROM asn_{iters}")
+
+
 def q_media_decode(sf_dir: str):
     """REAL dependency-free codecs (binary PGM via numpy, 8-bit PNG via
     stdlib zlib + numpy, baseline JPEG via ops/jpeg, WAV via stdlib
@@ -3009,6 +3064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
+        "embedding_kmeans": q_embedding_kmeans,
         "curate_docs": q_curate_docs,
         "media_decode": q_media_decode,
         "text_token_counts": q_text_token_counts,
@@ -3846,6 +3902,7 @@ def oracle_sql() -> dict[str, str]:
         # IVF-flat: centroids = first 16 vectors by id (normalized is a
         # no-op for cosine); cell = argmax cosine with cid-asc tie-break
         # (numpy argmax takes the first max the same way); probe = the
+        "embedding_kmeans": _kmeans_oracle_sql(k=8, iters=4),
         # 4 nearest centroids per query; top-5 over probed cells only.
         "similarity_ivf": """
             WITH cent AS MATERIALIZED (

@@ -2125,3 +2125,40 @@ def test_rollup_counts_vs_pandas(ray_session):
     sub = df[df["ts"].astype("int64") // 86_400_000_000 == d0]
     row = fine[(fine.day == d0)].groupby("day")["n_events"].sum()
     assert int(row.iloc[0]) == len(sub)
+
+
+def test_kmeans_int_vs_dense_replay(ray_session):
+    """Scaled-int Lloyd: identical to a single-process numpy replay of
+    the same recurrence (assign argmin-first, floor-div update,
+    empty-cell carry), across partitionings."""
+    import pandas as pd
+    import ray.data as rd
+
+    from wikilinks_ray.ops.cluster import OFFSET, SCALE_BITS, kmeans_int
+
+    rng = np.random.default_rng(41)
+    n, dim, k, iters = 400, 16, 5, 4
+    X = rng.normal(0, 0.5, (n, dim)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(X),
+                                        pa.list_(pa.float32()))})
+
+    Xi = (np.floor(X.astype(np.float64) * (1 << SCALE_BITS) + 0.5)
+          .astype(np.int64) + OFFSET)
+    C = Xi[:k].copy()
+    for _ in range(iters):
+        d = ((Xi[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = np.argmin(d, axis=1)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                C[c] = Xi[m].sum(0) // m.sum()
+    d = ((Xi[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    want = np.argmin(d, axis=1).astype(np.int64)
+
+    for npart in (3, 11):
+        got = (kmeans_int(rd.from_arrow(t).repartition(npart),
+                          k=k, iters=iters)
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        assert np.array_equal(got["cluster"].to_numpy(), want)
+    assert len(np.unique(want)) > 1  # the replay itself is non-trivial
