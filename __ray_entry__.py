@@ -2505,6 +2505,39 @@ def q_similarity_ivf(sf_dir: str):
     return t[["query_id", "vec_id"]]
 
 
+def q_text_vocab_coverage(sf_dir: str):
+    """Per-document vocabulary coverage vs the corpus top-1000 words
+    (ops/text.py vocab_coverage) — integer-scaled occupancy of common
+    words, the "is this normal prose" quality signal. Word counts
+    combine per batch; per-bucket heads bound the driver vocab merge at
+    buckets×k rows."""
+    from wikilinks_ray.ops.text import vocab_coverage
+
+    _quiet()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (vocab_coverage(docs, top_k=1000).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+_VOCAB_COVERAGE_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+    FROM documents),
+cnt AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 1000),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+                   THEN 1 ELSE 0 END)::BIGINT AS in_vocab
+        FROM toks GROUP BY doc_id)
+SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(p.in_vocab, 0)::BIGINT AS in_vocab,
+       CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN -1
+            ELSE (p.in_vocab * 1000000) // p.n_tokens
+       END::BIGINT AS coverage_scaled
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table in EXACT
     scaled-int arithmetic (ops/cluster.py kmeans_int): coordinates
@@ -3065,6 +3098,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "embedding_kmeans": q_embedding_kmeans,
+        "text_vocab_coverage": q_text_vocab_coverage,
+        "graph_mst": q_graph_mst,
+        "graph_diameter": q_graph_diameter,
         "curate_docs": q_curate_docs,
         "media_decode": q_media_decode,
         "text_token_counts": q_text_token_counts,
@@ -3118,8 +3154,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_louvain": q_graph_louvain,
         "graph_louvain2": q_graph_louvain2,
         "graph_kcore": q_graph_kcore,
-        "graph_mst": q_graph_mst,
-        "graph_diameter": q_graph_diameter,
         "wiki_vertices": q_wiki_vertices,
         "wiki_edges": q_wiki_edges,
         "wiki_stats": q_wiki_stats,
@@ -3903,6 +3937,7 @@ def oracle_sql() -> dict[str, str]:
         # no-op for cosine); cell = argmax cosine with cid-asc tie-break
         # (numpy argmax takes the first max the same way); probe = the
         "embedding_kmeans": _kmeans_oracle_sql(k=8, iters=4),
+        "text_vocab_coverage": _VOCAB_COVERAGE_ORACLE,
         # 4 nearest centroids per query; top-5 over probed cells only.
         "similarity_ivf": """
             WITH cent AS MATERIALIZED (

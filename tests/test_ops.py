@@ -2162,3 +2162,38 @@ def test_kmeans_int_vs_dense_replay(ray_session):
                .to_pandas().sort_values("vec_id").reset_index(drop=True))
         assert np.array_equal(got["cluster"].to_numpy(), want)
     assert len(np.unique(want)) > 1  # the replay itself is non-trivial
+
+
+def test_vocab_coverage_vs_brute_force(ray_session):
+    """Top-k vocab boundary ties break on (count desc, word asc);
+    coverage counts OCCURRENCES; empty docs carry the -1 sentinel;
+    partition-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from wikilinks_ray.ops.text import _TOKEN_RE, vocab_coverage
+
+    texts = ["aa bb cc dd", "aa aa bb xx", "", "yy zz aa", "bb bb cc qq",
+             "dd dd ee ff gg aa"] * 20
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        c.update(_TOKEN_RE.findall(t.lower()))
+    vocab = set(w for w, _ in sorted(c.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))[:5])
+    rows = []
+    for did, t in zip(df.doc_id, df.text):
+        toks = _TOKEN_RE.findall(t.lower())
+        iv = sum(1 for w in toks if w in vocab)
+        cov = (iv * 10**6) // len(toks) if toks else -1
+        rows.append((did, len(toks), iv, cov))
+    want = pd.DataFrame(rows, columns=["doc_id", "n_tokens", "in_vocab",
+                                       "coverage_scaled"])
+    for npart in (3, 9):
+        got = (vocab_coverage(rd.from_pandas(df).repartition(npart),
+                              top_k=5)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

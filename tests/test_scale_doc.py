@@ -140,7 +140,7 @@ def test_every_scale_gate_name_resolves():
         "checkpoint_every", "capacity", "degree_broadcast_limit",
         "broadcast_edge_limit", "max_rounds", "converged", "user_broadcast_limit",
         "label_broadcast_limit", "max_items_per_user", "min_users",
-        "window_days",
+        "window_days", "top_k",
         "n_cells", "num_partitions", "batch_size", "kind", "analytics",
         "route", "permille", "idf_scale", "source_ids",
     }

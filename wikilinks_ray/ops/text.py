@@ -430,3 +430,75 @@ def doc_keywords_tfidf(docs, *, text_col: str = "text", k: int = 5,
         return g[["doc_id", "rank", "word", "tf", "df", "score"]]
 
     return scored.groupby("__d").map_groups(topk, batch_format="pandas")
+
+
+def vocab_coverage(docs, *, text_col: str = "text", top_k: int = 1000,
+                   scale: int = 10 ** 6, num_buckets: int = 32):
+    """Per-document vocabulary coverage — the classic quality signal
+    "what fraction of this doc's token occurrences are common corpus
+    words": rows (doc_id, n_tokens, in_vocab, coverage_scaled) with
+    ``coverage_scaled = in_vocab * scale // n_tokens`` (-1 sentinel for
+    token-less docs).
+
+    The vocabulary is the corpus's ``top_k`` words by (count desc,
+    word asc) — deterministic, derivable by the SQL twin. Plan: one
+    pass emits per-batch (word, count) partials (combiner: occurrences
+    collapse in the batch); a word-hash bucket pass totals counts and
+    HEADS each bucket to its local top-k, so the driver merge sees at
+    most buckets×top_k rows (output-bounded); the merged vocab
+    broadcasts once (``ray.put``) into the scoring pass."""
+    import hashlib
+
+    import pandas as pd
+
+    import ray
+
+    def wc_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for text in t.column(text_col).to_pylist():
+            c.update(_TOKEN_RE.findall((text or "").lower()))
+        ws = list(c.keys())
+        bk = np.fromiter(
+            (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+             % num_buckets for w in ws), np.int64, len(ws))
+        return pa.table({"word": pa.array(ws, pa.string()),
+                         "cnt": pa.array([c[w] for w in ws], pa.int64()),
+                         "__b": pa.array(bk)})
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("word", sort=False)["cnt"].sum().reset_index()
+        tot = tot.sort_values(["cnt", "word"],
+                              ascending=[False, True]).head(top_k)
+        tot["cnt"] = tot["cnt"].astype(np.int64)
+        return tot
+
+    partials = (docs.map_batches(wc_partial, batch_format="pyarrow")
+                .groupby("__b").map_groups(bucket_topk,
+                                           batch_format="pandas")
+                .to_pandas())
+    vocab = (partials.sort_values(["cnt", "word"],
+                                  ascending=[False, True])
+             .head(top_k)["word"])
+    vref = ray.put(frozenset(vocab))
+
+    def score(t: pa.Table) -> pa.Table:
+        vs = ray.get(vref)
+        ids, nt, iv = [], [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column(text_col).to_pylist()):
+            toks = _TOKEN_RE.findall((text or "").lower())
+            ids.append(did)
+            nt.append(len(toks))
+            iv.append(sum(1 for w in toks if w in vs))
+        nt_a = np.asarray(nt, np.int64)
+        iv_a = np.asarray(iv, np.int64)
+        cov = np.where(nt_a > 0, (iv_a * scale) // np.maximum(nt_a, 1),
+                       -1).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(nt_a),
+                         "in_vocab": pa.array(iv_a),
+                         "coverage_scaled": pa.array(cov)})
+
+    return docs.map_batches(score, batch_format="pyarrow")
