@@ -203,6 +203,50 @@ SELECT 1, (SELECT s FROM start1), (SELECT e FROM ecc1)
 """
 
 
+def q_graph_landmarks(sf_dir: str):
+    """Landmark distance sketch — the classic web-graph distance-oracle
+    table: exact BFS distance from each of the 8 smallest vertex ids to
+    every reachable vertex, long-form rows (landmark, vertex, dist).
+    ONE multi-source frontier BFS run computes all 8 columns
+    simultaneously (the engine's set-seeded BFS — state O(n·L), one
+    frontier exchange per level TOTAL, not per landmark); downstream,
+    min over landmarks of d(u,L)+d(L,v) is the standard constant-time
+    distance upper bound."""
+    from wikilinks_ray.pipelines.bfs import multi_source_bfs
+    from wikilinks_ray.pipelines.derived import DerivedGraph
+
+    _quiet()
+    with DerivedGraph(sf_dir, num_shards=4, symmetric=True) as g:
+        vs = g.vertices
+        sources = [int(x) for x in np.sort(vs)[:8]]
+        D = multi_source_bfs(g.actors, g.n, sources).distances()
+        rows = []
+        for j, s in enumerate(sources):
+            d = D[:, j]
+            reach = vs[d[vs] >= 0]
+            rows.append(pd.DataFrame({
+                "landmark": np.full(len(reach), s, np.int64),
+                "vertex": reach.astype(np.int64),
+                "dist": d[reach].astype(np.int64)}))
+        return (pd.concat(rows, ignore_index=True)
+                .sort_values(["landmark", "vertex"])
+                .reset_index(drop=True))
+
+
+_LANDMARKS_ORACLE = """
+WITH RECURSIVE {und},
+lm AS (SELECT DISTINCT v AS s FROM verts ORDER BY v LIMIT 8),
+walk(s, v, dist) AS (
+    SELECT s, s, 0 FROM lm
+    UNION
+    SELECT w.s, u.b, w.dist + 1 FROM walk w JOIN und u ON u.a = w.v
+    WHERE w.dist < 256
+)
+SELECT s AS landmark, v AS vertex, min(dist)::BIGINT AS dist
+FROM walk GROUP BY s, v
+"""
+
+
 def q_graph_pagerank(sf_dir: str):
     """EXACT-match PageRank: 20 fixed iterations in scaled int64
     arithmetic (rank × 10^12, floor divisions) over the CSR shard
@@ -3101,6 +3145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_vocab_coverage": q_text_vocab_coverage,
         "graph_mst": q_graph_mst,
         "graph_diameter": q_graph_diameter,
+        "graph_landmarks": q_graph_landmarks,
         "curate_docs": q_curate_docs,
         "media_decode": q_media_decode,
         "text_token_counts": q_text_token_counts,
@@ -3931,6 +3976,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle_sql(k=30, rounds=48),
         "graph_mst": _mst_oracle_sql(rounds=20, jumps=18),
         "graph_diameter": _DIAMETER_ORACLE.format(und=_UND),
+        "graph_landmarks": _LANDMARKS_ORACLE.format(und=_UND),
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "similarity_lsh": _similarity_lsh_oracle_sql(),
         # IVF-flat: centroids = first 16 vectors by id (normalized is a
