@@ -927,12 +927,15 @@ def q_graph_linkpred(sf_dir: str):
 
 
 def _linkpred_oracle_sql(min_common: int = 10, max_posting: int = 100_000,
-                         scale: int = 10**6) -> str:
+                         scale: int = 10**6,
+                         edges_sql: str | None = None) -> str:
     """SQL twin of pipelines.linkpred.common_neighbor_pairs: self-join
     on shared dst (posting-cap filter first), full out-degrees for the
-    Jaccard denominator."""
+    Jaccard denominator. ``edges_sql`` overrides the edge derivation
+    (the co-citation twin passes the REVERSED edge table — common
+    in-neighbors are common out-neighbors of the transpose)."""
     return f"""
-        WITH edges AS MATERIALIZED ({_EDGES}),
+        WITH edges AS MATERIALIZED ({edges_sql or _EDGES}),
         ind AS (SELECT dst, count(*)::BIGINT AS c FROM edges GROUP BY dst),
         fe AS MATERIALIZED (SELECT e.src, e.dst FROM edges e
                             JOIN ind i ON i.dst = e.dst
@@ -948,6 +951,30 @@ def _linkpred_oracle_sql(min_common: int = 10, max_posting: int = 100_000,
         FROM pairs p JOIN deg du ON du.src = p.u
                      JOIN deg dv ON dv.src = p.v
     """
+
+
+def q_graph_cocitation(sf_dir: str):
+    """Co-citation pairs — vertices cited together: common IN-neighbor
+    counts + scaled Jaccard for pairs with >= 10 shared predecessors.
+    Exactly pipelines/linkpred.common_neighbor_pairs on the TRANSPOSED
+    edge table (common in-neighbors of G are common out-neighbors of
+    G^T), so the posting-list plan, skew cap and integer Jaccard are
+    shared code; only the edge orientation differs."""
+    from wikilinks_ray.pipelines.derived import derived_edges
+    from wikilinks_ray.pipelines.linkpred import common_neighbor_pairs
+
+    _quiet()
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("dst"), "dst": t.column("src")})
+
+    edges = derived_edges(sf_dir).map_batches(rev, batch_format="pyarrow")
+    out = common_neighbor_pairs(edges, min_common=10)
+    df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({c: pd.Series(dtype="int64")
+                           for c in ("u", "v", "common", "jaccard_scaled")})
+    return df
 
 
 def q_graph_mis(sf_dir: str):
@@ -3146,6 +3173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_mst": q_graph_mst,
         "graph_diameter": q_graph_diameter,
         "graph_landmarks": q_graph_landmarks,
+        "graph_cocitation": q_graph_cocitation,
         "curate_docs": q_curate_docs,
         "media_decode": q_media_decode,
         "text_token_counts": q_text_token_counts,
@@ -3915,6 +3943,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_modularity": _MODULARITY_SQL.format(edges=_EDGES),
         "graph_mis": _mis_oracle_sql(rounds=12),
         "graph_linkpred": _linkpred_oracle_sql(min_common=10),
+        "graph_cocitation": _linkpred_oracle_sql(
+            min_common=10,
+            edges_sql="SELECT dst AS src, src AS dst "
+                      f"FROM ({_EDGES})"),
         "graph_scc": _SCC_ORACLE_SQL.format(edges=_EDGES),
         "graph_bowtie": _BOWTIE_ORACLE_SQL.format(edges=_EDGES),
         "graph_pathcount": _pathcount_oracle_sql(levels=24, n_pivots=16),

@@ -52,6 +52,14 @@ SF01_SET = [
     # round-5 fourth-session addition (the louvain oracle is cheap
     # enough to replay at sf0.1: 8 unrolled rounds over ~1.2M sym rows)
     "graph_louvain",
+    # round-5 fifth-session additions (all individually gated at sf0.1
+    # when they landed; graph_landmarks stays sf0.01-only here — its
+    # 8-landmark recursive-walk ORACLE costs minutes at sf0.1 in DuckDB
+    # (engine side is one multi-source BFS, sf0.1-verified at landing))
+    "events_asof", "events_interval_join", "events_transitions",
+    "events_covisitation", "events_running_total", "events_rolling_dau",
+    "events_rollup", "sample_fixed", "embedding_kmeans",
+    "text_vocab_coverage", "graph_mst", "graph_diameter",
 ]
 
 _CHILD = r"""
