@@ -270,6 +270,51 @@ def main() -> int:
                             in bt["region"].value_counts().items()}
     out["bowtie_exact"] = bool(got_region == want_region)
 
+    # fifth-session additions: MSF weight/forest structure, 2-sweep
+    # eccentricities, landmark sketch distances
+    from wikilinks_ray.pipelines.derived import derived_weighted_edges
+    from wikilinks_ray.pipelines.mst import boruvka_msf
+
+    wdf = derived_weighted_edges(sf_dir).to_pandas()
+    gw = nx.Graph()
+    gw.add_weighted_edges_from(wdf.itertuples(index=False))
+    forest = boruvka_msf(derived_weighted_edges(sf_dir))
+    want_w = sum(d["weight"] for _, _, d in
+                 nx.minimum_spanning_edges(gw, algorithm="kruskal"))
+    fg = nx.Graph()
+    fg.add_edges_from(forest[["u", "v"]].itertuples(index=False))
+    out["mst_edges"] = int(len(forest))
+    out["mst_exact"] = bool(
+        int(forest["w"].sum()) == int(want_w) and nx.is_forest(fg)
+        and len(forest) == gw.number_of_nodes()
+        - nx.number_connected_components(gw))
+
+    with DerivedGraph(sf_dir, symmetric=True) as gsym:
+        vs2 = gsym.vertices
+        s0 = int(vs2.min())
+        d0 = multi_source_bfs(gsym.actors, gsym.n, [s0]).distances()[:, 0]
+        reach0 = vs2[d0[vs2] >= 0]
+        ecc0 = int(d0[reach0].max())
+        s1 = int(reach0[d0[reach0] == ecc0].min())
+        d1 = multi_source_bfs(gsym.actors, gsym.n, [s1]).distances()[:, 0]
+        ecc1 = int(d1[vs2[d1[vs2] >= 0]].max())
+        comp0 = nx.node_connected_component(g_und, s0)
+        H = g_und.subgraph(comp0)
+        out["diameter_sweep"] = [ecc0, ecc1]
+        out["diameter_exact"] = bool(
+            ecc0 == nx.eccentricity(H, v=s0)
+            and ecc1 == nx.eccentricity(H, v=s1))
+
+        lms = [int(x) for x in np.sort(vs2)[:8]]
+        D = multi_source_bfs(gsym.actors, gsym.n, lms).distances()
+        ok = True
+        for j, s in enumerate(lms):
+            want_d = nx.single_source_shortest_path_length(g_und, s)
+            dj = D[:, j]
+            got_d = {int(v): int(dj[v]) for v in vs2 if dj[v] >= 0}
+            ok &= got_d == {int(k): int(v) for k, v in want_d.items()}
+        out["landmarks_exact"] = bool(ok)
+
     print(json.dumps(out))
     ray.shutdown()
     return 0 if all(v for k, v in out.items()
