@@ -2609,6 +2609,103 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_text_lang_confusion(sf_dir: str):
+    """Language-ID evaluation: confusion matrix between the table's
+    ground-truth `lang` label and the engine's character-profile
+    prediction — counts per (lang_true, lang_pred) pair. One map-only
+    pass (prediction and label ride the same row), per-batch combine,
+    output bounded by |langs|²."""
+    from wikilinks_ray.ops.text import analyze_text
+
+    _quiet()
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        scored = analyze_text(t.select(["doc_id", "text"]))
+        df = pd.DataFrame({"lang_true": t.column("lang").to_pylist(),
+                           "lang_pred": scored.column("lang_pred")
+                           .to_pylist()})
+        g = (df.groupby(["lang_true", "lang_pred"], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (docs.map_batches(pairs, batch_format="pyarrow")
+           .to_pandas().groupby(["lang_true", "lang_pred"],
+                                as_index=False)["n"].sum())
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["lang_true", "lang_pred"]).reset_index(drop=True)
+
+
+_LANG_CONFUSION_ORACLE = r"""
+WITH p AS (
+    SELECT doc_id, lang AS lang_true,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+                WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+                WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+                ELSE 'en' END AS lang_pred
+    FROM documents)
+SELECT lang_true, lang_pred, count(*)::BIGINT AS n
+FROM p GROUP BY 1, 2
+"""
+
+
+def q_events_user_stats(sf_dir: str):
+    """Per-user profile table — n_events, first/last activity, span,
+    exact integer total spend — ONE bucketed multi-aggregate pass
+    (per-batch pandas combine on min/max/sum/count, all of which
+    compose exactly across batches; one key-hash shuffle of the
+    combined partials)."""
+    from wikilinks_ray.stages.agg import _bucket_of
+
+    _quiet()
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "us": us,
+            "cents": np.floor(v * 100 + 0.5).astype(np.int64),
+        })
+        g = (df.groupby("user_id", sort=False)
+             .agg(n_events=("us", "size"), first_us=("us", "min"),
+                  last_us=("us", "max"), total_cents=("cents", "sum"))
+             .reset_index())
+        for c in ("n_events", "first_us", "last_us", "total_cents"):
+            g[c] = g[c].astype(np.int64)
+        g["__b"] = _bucket_of(g["user_id"].to_numpy(), num_buckets=64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("user_id", sort=False)
+               .agg(n_events=("n_events", "sum"),
+                    first_us=("first_us", "min"),
+                    last_us=("last_us", "max"),
+                    total_cents=("total_cents", "sum")).reset_index())
+        out["span_us"] = out["last_us"] - out["first_us"]
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("__b").map_groups(merge, batch_format="pandas")
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+
+
+_USER_STATS_ORACLE = """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       min(epoch_us(ts))::BIGINT AS first_us,
+       max(epoch_us(ts))::BIGINT AS last_us,
+       (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT AS span_us,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS total_cents
+FROM events GROUP BY user_id
+"""
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table in EXACT
     scaled-int arithmetic (ops/cluster.py kmeans_int): coordinates
@@ -3170,6 +3267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_ivf": q_similarity_ivf,
         "embedding_kmeans": q_embedding_kmeans,
         "text_vocab_coverage": q_text_vocab_coverage,
+        "text_lang_confusion": q_text_lang_confusion,
+        "events_user_stats": q_events_user_stats,
         "graph_mst": q_graph_mst,
         "graph_diameter": q_graph_diameter,
         "graph_landmarks": q_graph_landmarks,
@@ -4016,6 +4115,8 @@ def oracle_sql() -> dict[str, str]:
         # (numpy argmax takes the first max the same way); probe = the
         "embedding_kmeans": _kmeans_oracle_sql(k=8, iters=4),
         "text_vocab_coverage": _VOCAB_COVERAGE_ORACLE,
+        "text_lang_confusion": _LANG_CONFUSION_ORACLE,
+        "events_user_stats": _USER_STATS_ORACLE,
         # 4 nearest centroids per query; top-5 over probed cells only.
         "similarity_ivf": """
             WITH cent AS MATERIALIZED (
