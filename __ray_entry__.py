@@ -2709,7 +2709,7 @@ FROM events GROUP BY user_id
 def q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table in EXACT
     scaled-int arithmetic (ops/cluster.py kmeans_int): coordinates
-    scale to ``floor(x*2^20+0.5)+2^22`` (offset keeps the centroid
+    scale to ``floor(x*2^20+0.5)+2^25`` (offset keeps the centroid
     floor-division identical in numpy and SQL; squared distance is
     translation-invariant), 4 rounds from the first-8-by-id init. The
     oracle replays every round — assignment argmin, centroid update,
@@ -2723,7 +2723,7 @@ def q_embedding_kmeans(sf_dir: str):
 
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 4,
-                       scale: int = 1 << 20, offset: int = 1 << 22) -> str:
+                       scale: int = 1 << 20, offset: int = 1 << 25) -> str:
     """SQL twin of ops/cluster.py kmeans_int (see its docstring for the
     integer envelope). Parallel unnest keeps (dim, value) aligned."""
     parts = [f"""

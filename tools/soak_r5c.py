@@ -148,12 +148,92 @@ def soak_transitions(n: int = 8_000_000) -> dict:
             "matrix_rows": int(len(out)), "wall_s": round(dt, 1)}
 
 
+
+
+def soak_kmeans(n: int = 2_000_000, dim: int = 64) -> dict:
+    import ray.data as rd
+
+    from wikilinks_ray.ops.cluster import kmeans_int
+
+    _init()
+    rng = np.random.default_rng(31)
+    # 8 planted gaussian blobs so the clustering is non-trivial
+    centers = rng.normal(0, 1.0, (8, dim)).astype(np.float32)
+    shards = []
+    per = n // 16
+    for s in range(16):
+        lab = rng.integers(0, 8, per)
+        X = (centers[lab] + rng.normal(0, 0.3, (per, dim))) \
+            .astype(np.float32)
+        shards.append(pa.table({
+            "vec_id": pa.array(np.arange(s * per, (s + 1) * per,
+                                         dtype=np.int64)),
+            "embedding": pa.array(list(X), pa.list_(pa.float32())),
+        }))
+    ds = rd.from_arrow(shards).materialize()
+    t0 = time.perf_counter()
+    out = kmeans_int(ds, k=8, iters=4)
+    sizes = out.to_pandas()["cluster"].value_counts()
+    dt = time.perf_counter() - t0
+    return {"soak": "kmeans", "n_vectors": int(per * 16), "dim": dim,
+            "k": 8, "iters": 4, "n_clusters_used": int(len(sizes)),
+            "largest_cluster": int(sizes.max()), "wall_s": round(dt, 1)}
+
+
+def soak_covisit(n: int = 10_000_000) -> dict:
+    import ray.data as rd
+
+    from wikilinks_ray.ops.covisit import covisitation_pairs
+
+    _init()
+    rng = np.random.default_rng(37)
+    n_users, n_items = 500_000, 10_000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, n_users, n)),
+        "props": pa.array([f'{{"k": {i}}}' for i in
+                           rng.zipf(1.3, n) % n_items]),
+    })
+    ds = rd.from_arrow(t).repartition(64).materialize()
+    t0 = time.perf_counter()
+    out = covisitation_pairs(ds, min_users=5, max_items_per_user=100)
+    n_pairs = out.count()
+    dt = time.perf_counter() - t0
+    return {"soak": "covisitation", "n_events": n, "n_users": n_users,
+            "n_items": n_items, "pairs_kept": int(n_pairs),
+            "wall_s": round(dt, 1)}
+
+
+def soak_dau(n: int = 20_000_000) -> dict:
+    import ray.data as rd
+
+    from wikilinks_ray.ops.windows import rolling_active_users
+
+    _init()
+    rng = np.random.default_rng(43)
+    n_users = 2_000_000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, n_users, n)),
+        "ts": pa.array(rng.integers(0, 365 * 86_400 * 10**6, n),
+                       pa.timestamp("us")),
+    })
+    ds = rd.from_arrow(t).repartition(64).materialize()
+    t0 = time.perf_counter()
+    out = rolling_active_users(ds, window_days=7)
+    dt = time.perf_counter() - t0
+    assert len(out) == 365 and (out["wau"] >= out["dau"]).all()
+    return {"soak": "rolling_dau", "n_events": n, "n_users": n_users,
+            "days": int(len(out)), "mean_dau": int(out["dau"].mean()),
+            "mean_wau": int(out["wau"].mean()), "wall_s": round(dt, 1)}
+
+
 def main():
     stage = "all"
+    names = ("mst", "interval", "transitions", "kmeans", "covisit",
+             "dau", "all")
     for a in sys.argv[1:]:
         if a.startswith("--stage"):
             stage = a.split("=", 1)[-1] if "=" in a else "all"
-        elif a in ("mst", "interval", "transitions", "all"):
+        elif a in names:
             stage = a
     if stage in ("mst", "all"):
         print(json.dumps(soak_mst()))
@@ -161,6 +241,12 @@ def main():
         print(json.dumps(soak_interval()))
     if stage in ("transitions", "all"):
         print(json.dumps(soak_transitions()))
+    if stage in ("kmeans", "all"):
+        print(json.dumps(soak_kmeans()))
+    if stage in ("covisit", "all"):
+        print(json.dumps(soak_covisit()))
+    if stage in ("dau", "all"):
+        print(json.dumps(soak_dau()))
     ray.shutdown()
 
 

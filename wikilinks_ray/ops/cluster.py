@@ -4,12 +4,12 @@ operator of a training-data pipeline, value-hash replayable in SQL.
 
 Why integers: float k-means (ops/similarity.py train_centroids, the IVF
 quantizer) is not bit-stable across reduction orders, so it can only be
-pytest-pinned. Here every coordinate is ``floor(x * 2^20 + 0.5) + 2^22``
+pytest-pinned. Here every coordinate is ``floor(x * 2^20 + 0.5) + 2^25``
 (the offset makes all coordinates non-negative, so the centroid update
 ``sum // count`` is the same floor division in numpy and DuckDB;
 squared-distance assignment is translation-invariant, so the offset
 never changes an argmin). All distances fit int64 with headroom
-(dim × (2^23)^2 = 2^52 at dim 64, asserted).
+(dim × (2^26)^2 = 2^58 at dim 64, asserted).
 
 Scale shape: per Lloyd round ONE ``map_batches`` pass; each batch
 assigns its vectors to the broadcast centroid matrix by exact integer
@@ -29,7 +29,7 @@ import ray
 import ray.data
 
 SCALE_BITS = 20
-OFFSET = 1 << 22  # coordinates must exceed -4.0 (asserted)
+OFFSET = 1 << 25  # coordinates must exceed -32.0 (asserted)
 
 
 def scale_vectors(t: pa.Table, vec_col: str = "embedding") -> np.ndarray:
@@ -39,7 +39,8 @@ def scale_vectors(t: pa.Table, vec_col: str = "embedding") -> np.ndarray:
 
     x = unpack_embeddings(t, vec_col)
     xi = np.floor(x * (1 << SCALE_BITS) + 0.5).astype(np.int64) + OFFSET
-    assert xi.min() >= 0, "kmeans_int: coordinate below the -4.0 envelope"
+    assert xi.min() >= 0 and xi.max() < 2 * OFFSET, \
+        "kmeans_int: coordinate outside the ±32.0 envelope"
     return xi
 
 
@@ -68,7 +69,7 @@ def kmeans_int(emb: "ray.data.Dataset", k: int = 8, iters: int = 4, *,
     C = scale_vectors(pa.Table.from_pandas(init, preserve_index=False),
                       vec_col)
     dim = C.shape[1]
-    assert dim * (1 << (2 * (SCALE_BITS + 3))) < 2 ** 62, \
+    assert dim * (2 * OFFSET) ** 2 < 2 ** 62, \
         "kmeans_int: int64 distance headroom"
 
     for _ in range(iters):

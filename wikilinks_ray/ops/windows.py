@@ -223,16 +223,19 @@ def rolling_active_users(events: "ray.data.Dataset", *,
     1. dedup (user, day) once (``distinct_pairs`` — raw events never
        shuffle, a user's Nth event of a day dies in the batch combine);
     2. DAU: grouped count per day;
-    3. WAU: each (user, day) expands to the ``window_days`` window-end
-       days it contributes to (np.repeat — bounded fan-out), dedup
-       (user, window_end) again (a user active twice inside one window
-       counts once), grouped count per window end;
+    3. WAU: ONE user-hash bucket pass — a user's deduped days live in
+       exactly one bucket, so each bucket expands its (user, day) rows
+       to their ``window_days`` window ends, dedups (user, window_end)
+       LOCALLY (a user active twice inside one window counts once) and
+       emits per-(window_end) partial counts; what crosses the second
+       shuffle is ≤ buckets × days rows (calendar-bounded), never the
+       window_days × pairs expansion;
     4. report only days that actually occur (observed-day list is
        bounded by the time span, broadcast as a filter).
 
     Output: (day, dau, wau) with day = floor(epoch_us / 86400e6).
     """
-    from ..stages.agg import distinct_pairs, grouped_agg
+    from ..stages.agg import _bucket_of, distinct_pairs, grouped_agg
 
     US_DAY = 86_400_000_000
 
@@ -247,20 +250,37 @@ def rolling_active_users(events: "ray.data.Dataset", *,
                         "user", "day").materialize()
     dau = grouped_agg(ud, ["day"], None, "count", out_col="dau")
 
-    def expand(t: pa.Table) -> pa.Table:
+    def part(t: pa.Table) -> pa.Table:
         u = t.column("user").to_numpy(zero_copy_only=False)
-        d = t.column("day").to_numpy(zero_copy_only=False)
-        k = window_days
-        return pa.table({
-            "user": pa.array(np.repeat(u, k), pa.int64()),
-            "wend": pa.array((np.repeat(d, k)
-                              + np.tile(np.arange(k, dtype=np.int64),
-                                        len(d))), pa.int64()),
-        })
+        return t.append_column("__p", pa.array(_bucket_of(u,
+                                                          num_buckets=_B)))
 
-    uw = distinct_pairs(ud.map_batches(expand, batch_format="pyarrow"),
-                        "user", "wend")
-    wau = grouped_agg(uw, ["wend"], None, "count", out_col="wau")
+    def wau_partial(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user"].to_numpy().astype(np.int64)
+        d = g["day"].to_numpy().astype(np.int64)
+        k = window_days
+        ue = np.repeat(u, k)
+        we = np.repeat(d, k) + np.tile(np.arange(k, dtype=np.int64),
+                                       len(d))
+        order = np.lexsort((we, ue))
+        ue, we = ue[order], we[order]
+        first = np.concatenate(([True], (ue[1:] != ue[:-1])
+                                | (we[1:] != we[:-1]))) \
+            if len(ue) else np.empty(0, bool)
+        we = we[first]
+        ws = np.sort(we)
+        idx = np.flatnonzero(np.concatenate(([True], ws[1:] != ws[:-1]))) \
+            if len(ws) else np.empty(0, np.int64)
+        cnt = np.diff(np.concatenate((idx, [len(ws)]))) if len(ws) \
+            else np.empty(0, np.int64)
+        return pd.DataFrame({"wend": ws[idx] if len(ws)
+                             else np.empty(0, np.int64),
+                             "wau": cnt.astype(np.int64)})
+
+    partials = (ud.map_batches(part, batch_format="pyarrow")
+                .groupby("__p").map_groups(wau_partial,
+                                           batch_format="pandas"))
+    wau = grouped_agg(partials, ["wend"], "wau", "sum", out_col="wau")
 
     # observed days (bounded by the calendar span, not the data volume)
     days = np.sort(np.asarray(ud.unique("day"), dtype=np.int64))
