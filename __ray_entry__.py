@@ -2761,6 +2761,52 @@ c_{r + 1} AS MATERIALIZED (
             + f"\nSELECT vec_id, cid AS cluster FROM asn_{iters}")
 
 
+def q_embedding_centroid_eval(sf_dir: str):
+    """Nearest-centroid classifier evaluation over the embeddings
+    table's ground-truth labels (ops/cluster.py
+    centroid_classifier_eval): exact scaled-int per-label mean
+    centroids, Gram-argmin prediction, confusion matrix — the
+    "is this embedding space separable" diagnostic of an embedding
+    pipeline, fully value-hash replayable."""
+    from wikilinks_ray.ops.cluster import centroid_classifier_eval
+
+    _quiet()
+    emb = _read(sf_dir, "embeddings")
+    return (centroid_classifier_eval(emb).to_pandas()
+            .sort_values(["label_true", "label_pred"])
+            .reset_index(drop=True))
+
+
+def _centroid_eval_oracle_sql(scale: int = 1 << 20,
+                              offset: int = 1 << 25) -> str:
+    """SQL twin of ops/cluster.py centroid_classifier_eval (same
+    scaled+offset integer envelope as the kmeans twin)."""
+    return f"""
+WITH pts AS MATERIALIZED (
+    SELECT vec_id, d,
+           (CAST(floor(e * {scale} + 0.5) AS BIGINT) + {offset}) AS x
+    FROM (SELECT vec_id, unnest(embedding) AS e,
+                 generate_subscripts(embedding, 1) AS d
+          FROM embeddings)),
+lcent AS MATERIALIZED (
+    SELECT e.label::BIGINT AS label, p.d, sum(p.x) // count(*) AS x
+    FROM embeddings e JOIN pts p USING (vec_id) GROUP BY 1, 2),
+dist AS MATERIALIZED (
+    SELECT p.vec_id, c.label, sum((p.x - c.x) * (p.x - c.x)) AS dd
+    FROM pts p JOIN lcent c USING (d) GROUP BY 1, 2),
+pred AS (
+    SELECT vec_id, label AS label_pred FROM (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, label) AS rn
+        FROM dist) WHERE rn = 1)
+SELECT e.label::BIGINT AS label_true, p.label_pred,
+       count(*)::BIGINT AS n
+FROM embeddings e JOIN pred p USING (vec_id)
+GROUP BY 1, 2
+"""
+
+
 def q_media_decode(sf_dir: str):
     """REAL dependency-free codecs (binary PGM via numpy, 8-bit PNG via
     stdlib zlib + numpy, baseline JPEG via ops/jpeg, WAV via stdlib
@@ -3266,6 +3312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "embedding_kmeans": q_embedding_kmeans,
+        "embedding_centroid_eval": q_embedding_centroid_eval,
         "text_vocab_coverage": q_text_vocab_coverage,
         "text_lang_confusion": q_text_lang_confusion,
         "events_user_stats": q_events_user_stats,
@@ -4114,6 +4161,7 @@ def oracle_sql() -> dict[str, str]:
         # no-op for cosine); cell = argmax cosine with cid-asc tie-break
         # (numpy argmax takes the first max the same way); probe = the
         "embedding_kmeans": _kmeans_oracle_sql(k=8, iters=4),
+        "embedding_centroid_eval": _centroid_eval_oracle_sql(),
         "text_vocab_coverage": _VOCAB_COVERAGE_ORACLE,
         "text_lang_confusion": _LANG_CONFUSION_ORACLE,
         "events_user_stats": _USER_STATS_ORACLE,

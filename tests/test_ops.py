@@ -2197,3 +2197,33 @@ def test_vocab_coverage_vs_brute_force(ray_session):
                               top_k=5)
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_centroid_classifier_eval_planted(ray_session):
+    """On well-separated planted blobs the confusion matrix is
+    diagonal; partition-invariant; counts total to n."""
+    import pandas as pd
+    import ray.data as rd
+
+    from wikilinks_ray.ops.cluster import centroid_classifier_eval
+
+    rng = np.random.default_rng(47)
+    n, dim = 600, 16
+    centers = rng.normal(0, 4.0, (3, dim)).astype(np.float32)
+    lab = rng.integers(0, 3, n)
+    X = (centers[lab] + rng.normal(0, 0.05, (n, dim))).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(X), pa.list_(pa.float32())),
+                  "label": pa.array(lab.astype(np.int64))})
+
+    def run(npart):
+        return (centroid_classifier_eval(
+            rd.from_arrow(t).repartition(npart)).to_pandas()
+            .sort_values(["label_true", "label_pred"])
+            .reset_index(drop=True))
+
+    g1, g2 = run(3), run(11)
+    pd.testing.assert_frame_equal(g1, g2)
+    assert g1["n"].sum() == n
+    diag = g1[g1.label_true == g1.label_pred]["n"].sum()
+    assert diag == n  # separable blobs -> perfect diagonal

@@ -109,3 +109,75 @@ def kmeans_int(emb: "ray.data.Dataset", k: int = 8, iters: int = 4, *,
                          "cluster": pa.array(a, pa.int64())})
 
     return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def centroid_classifier_eval(emb: "ray.data.Dataset", *,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             label_col: str = "label"
+                             ) -> "ray.data.Dataset":
+    """Nearest-centroid classifier evaluation — train per-label mean
+    centroids (exact scaled-int floor-division, the kmeans_int update
+    rule), predict every vector's nearest centroid, return the
+    confusion matrix (label_true, label_pred, n). Two passes:
+
+    1. per-batch per-label (sum-vector, count) combiner partials →
+       driver merge → k×dim int64 centroid matrix (the only driver
+       state);
+    2. broadcast centroids, assign per batch (exact Gram argmin, ties →
+       smallest label), combine confusion counts per batch; the final
+       merge is over ≤ batches × |labels|² rows (output-bounded).
+
+    Ties in the argmin break to the smallest label id — same rule as
+    kmeans_int, so the SQL twin's ORDER BY dist, label agrees."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = scale_vectors(t, vec_col)
+        lab = t.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        l_s = lab[order]
+        idx = np.flatnonzero(np.concatenate(([True], l_s[1:] != l_s[:-1])))
+        sums = np.add.reduceat(X[order], idx, axis=0)
+        counts = np.diff(np.append(idx, len(l_s)))
+        return pa.table({
+            "label": pa.array(l_s[idx], pa.int64()),
+            "vsum": pa.array(list(sums), pa.list_(pa.int64())),
+            "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    labels = np.sort(parts["label"].unique()).astype(np.int64)
+    lab_pos = {int(l): i for i, l in enumerate(labels)}
+    dim = len(parts["vsum"].iloc[0])
+    sums = np.zeros((len(labels), dim), dtype=np.int64)
+    counts = np.zeros(len(labels), dtype=np.int64)
+    for lb, vsum, cnt in parts.itertuples(index=False):
+        sums[lab_pos[int(lb)]] += np.asarray(vsum, dtype=np.int64)
+        counts[lab_pos[int(lb)]] += cnt
+    C = sums // counts[:, None]
+    assert dim * (2 * OFFSET) ** 2 < 2 ** 62
+    cref = ray.put((labels, C))
+
+    def confuse(t: pa.Table) -> pa.Table:
+        labs, Cm = ray.get(cref)
+        X = scale_vectors(t, vec_col)
+        pred = labs[_assign(X, Cm)]
+        true = t.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = (pd.DataFrame({"label_true": true, "label_pred": pred})
+              .groupby(["label_true", "label_pred"], sort=False)
+              .size().rename("n").reset_index())
+        df["n"] = df["n"].astype(np.int64)
+        df["__m"] = np.int64(0)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["label_true", "label_pred"], sort=False)["n"]
+               .sum().reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (emb.map_batches(confuse, batch_format="pyarrow")
+            .groupby("__m").map_groups(merge, batch_format="pandas"))

@@ -117,6 +117,8 @@ def _merge_roots(comp: np.ndarray, other: np.ndarray
 
 def _relabel_broadcast(edges: "ray.data.Dataset", keys: np.ndarray,
                        vals: np.ndarray) -> "ray.data.Dataset":
+    if not len(keys):  # no comp changed (can't happen mid-loop — sel
+        return edges   # non-empty forces >= 1 merge — but stay total)
     ref = ray.put((keys, vals))
 
     def relabel(t: pa.Table) -> pa.Table:
