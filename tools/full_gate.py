@@ -60,6 +60,8 @@ SF01_SET = [
     "events_covisitation", "events_running_total", "events_rolling_dau",
     "events_rollup", "sample_fixed", "embedding_kmeans",
     "text_vocab_coverage", "graph_mst", "graph_diameter",
+    "graph_cocitation", "text_lang_confusion", "events_user_stats",
+    "embedding_centroid_eval",
 ]
 
 _CHILD = r"""
