@@ -2706,6 +2706,66 @@ FROM events GROUP BY user_id
 """
 
 
+def q_audit_tables(sf_dir: str):
+    """Data-quality audit report (ops/audit.py): referential orphans
+    (distributed co-bucketed anti-join counts), primary-key duplicate /
+    surplus counts, null+NaN rates — the validation pass a 100 TB
+    ingest runs before trusting its tables. One (check_name, n) row per
+    check; 'unreferenced_customers' is the deliberately non-zero case
+    (customers no order ever references)."""
+    from wikilinks_ray.ops.audit import (null_counts, pk_duplicates,
+                                         referential_orphans)
+
+    _quiet()
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    part = _read(sf_dir, "part", ["p_partkey"])
+    ev = _read(sf_dir, "events", ["value"])
+
+    checks = {
+        "orphans_lineitem_orders": referential_orphans(
+            li, orders, fk="l_orderkey", pk="o_orderkey"),
+        "orphans_orders_customer": referential_orphans(
+            orders, cust, fk="o_custkey", pk="c_custkey"),
+        "unreferenced_customers": referential_orphans(
+            cust, orders, fk="c_custkey", pk="o_custkey"),
+    }
+    dup, surplus = pk_duplicates(part, pk="p_partkey")
+    checks["dup_keys_part"] = dup
+    checks["surplus_rows_part"] = surplus
+    checks["nulls_events_value"] = null_counts(ev, ["value"])["value"]
+    return pd.DataFrame({
+        "check_name": list(checks.keys()),
+        "n": np.array(list(checks.values()), np.int64),
+    }).sort_values("check_name").reset_index(drop=True)
+
+
+_AUDIT_ORACLE = """
+SELECT 'orphans_lineitem_orders' AS check_name, count(*)::BIGINT AS n
+FROM lineitem l WHERE l.l_orderkey IS NULL OR NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orphans_orders_customer', count(*)::BIGINT
+FROM orders x WHERE x.o_custkey IS NULL OR NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = x.o_custkey)
+UNION ALL
+SELECT 'unreferenced_customers', count(*)::BIGINT
+FROM customer c WHERE c.c_custkey IS NULL OR NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'dup_keys_part', count(*)::BIGINT FROM
+    (SELECT p_partkey FROM part GROUP BY p_partkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'surplus_rows_part', coalesce(sum(c - 1), 0)::BIGINT FROM
+    (SELECT count(*) AS c FROM part GROUP BY p_partkey
+     HAVING count(*) > 1)
+UNION ALL
+SELECT 'nulls_events_value', count(*)::BIGINT
+FROM events WHERE value IS NULL OR isnan(value)
+"""
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table in EXACT
     scaled-int arithmetic (ops/cluster.py kmeans_int): coordinates
@@ -3313,6 +3373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_ivf": q_similarity_ivf,
         "embedding_kmeans": q_embedding_kmeans,
         "embedding_centroid_eval": q_embedding_centroid_eval,
+        "audit_tables": q_audit_tables,
         "text_vocab_coverage": q_text_vocab_coverage,
         "text_lang_confusion": q_text_lang_confusion,
         "events_user_stats": q_events_user_stats,
@@ -4162,6 +4223,7 @@ def oracle_sql() -> dict[str, str]:
         # (numpy argmax takes the first max the same way); probe = the
         "embedding_kmeans": _kmeans_oracle_sql(k=8, iters=4),
         "embedding_centroid_eval": _centroid_eval_oracle_sql(),
+        "audit_tables": _AUDIT_ORACLE,
         "text_vocab_coverage": _VOCAB_COVERAGE_ORACLE,
         "text_lang_confusion": _LANG_CONFUSION_ORACLE,
         "events_user_stats": _USER_STATS_ORACLE,

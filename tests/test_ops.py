@@ -2227,3 +2227,36 @@ def test_centroid_classifier_eval_planted(ray_session):
     assert g1["n"].sum() == n
     diag = g1[g1.label_true == g1.label_pred]["n"].sum()
     assert diag == n  # separable blobs -> perfect diagonal
+
+
+def test_audit_ops_vs_brute_force(ray_session):
+    """Orphan counting (incl. NULL fks), PK duplicate/surplus counts
+    and null+NaN rates vs pandas references, with planted violations."""
+    import pandas as pd
+    import ray.data as rd
+
+    from wikilinks_ray.ops.audit import (null_counts, pk_duplicates,
+                                         referential_orphans)
+
+    rng = np.random.default_rng(53)
+    parent = pd.DataFrame({"pk": np.arange(100, dtype=np.int64)})
+    fkv = rng.integers(0, 140, 1000).astype(np.float64)  # 40 orphan keys
+    fkv[::50] = np.nan                                   # 20 NULL fks
+    child = pd.DataFrame({"fk": fkv})
+    child_pa = pa.table({"fk": pa.array(
+        [None if np.isnan(x) else int(x) for x in fkv], pa.int64())})
+    want_orphans = int((fkv >= 100).sum() + np.isnan(fkv).sum())
+    got = referential_orphans(
+        rd.from_arrow(child_pa).repartition(5),
+        rd.from_pandas(parent).repartition(3), fk="fk", pk="pk")
+    assert got == want_orphans
+
+    keys = np.concatenate([np.arange(50), [1, 1, 7]]).astype(np.int64)
+    dup, surplus = pk_duplicates(
+        rd.from_pandas(pd.DataFrame({"pk": keys})).repartition(4), pk="pk")
+    assert (dup, surplus) == (2, 3)
+
+    vals = np.array([1.0, np.nan, 3.0, np.nan, 5.0])
+    nc = null_counts(rd.from_pandas(pd.DataFrame({"v": vals})),
+                     ["v"])
+    assert nc["v"] == 2
