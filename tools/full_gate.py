@@ -61,7 +61,7 @@ SF01_SET = [
     "events_rollup", "sample_fixed", "embedding_kmeans",
     "text_vocab_coverage", "graph_mst", "graph_diameter",
     "graph_cocitation", "text_lang_confusion", "events_user_stats",
-    "embedding_centroid_eval",
+    "embedding_centroid_eval", "audit_tables",
 ]
 
 _CHILD = r"""
